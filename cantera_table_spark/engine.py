@@ -1,0 +1,232 @@
+"""Engine facade: executes parsed statements against a Catalog.
+
+The reference's statement dispatch (statement.cc:12-51) and the QUERY /
+SELECT executors (query.cc:726-948, select.cc:80-154) re-expressed as
+DataFrame pipelines.  Only the final page materializes driver-side (the
+JSON envelope is a page of top-k results — small by construction).
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import math
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cantera_table_spark.dsl import ast
+from cantera_table_spark.dsl.compiler import QueryCompiler
+from cantera_table_spark.dsl.parser import parse_script
+from cantera_table_spark.functions.dates import (
+    days_to_date_string, double_to_string, header_sort_key,
+)
+from cantera_table_spark.model import Catalog
+from cantera_table_spark.operators import set_algebra as sa
+
+
+class Engine:
+    def __init__(self, catalog: Catalog, unique_postings: bool = False,
+                 blob_fetcher: Callable[[str], str] | None = None):
+        self.catalog = catalog
+        self.unique_postings = unique_postings
+        self.blob_fetcher = blob_fetcher
+        # session parameters (reference SET statement, statement.cc:35-48)
+        self.output_format = "json"
+        self.time_format = "%Y-%m-%d %H:%M:%S"
+
+    def _compiler(self) -> QueryCompiler:
+        return QueryCompiler(self.catalog, unique_postings=self.unique_postings,
+                             blob_fetcher=self.blob_fetcher)
+
+    # ------------------------------------------------------------------
+    # Script / statement entry points
+    # ------------------------------------------------------------------
+    def execute_script(self, text: str) -> list:
+        """Run a ';'-separated script; returns one result object per
+        statement (dict for QUERY, DataFrame for SELECT/CORRELATE,
+        str for PARSE, None for SET)."""
+        out = []
+        for stmt in parse_script(text):
+            out.append(self.execute(stmt))
+        return out
+
+    def execute(self, stmt):
+        if isinstance(stmt, ast.QueryStmt):
+            return self.query_stmt(stmt)
+        if isinstance(stmt, ast.SelectStmt):
+            return self.select_stmt(stmt)
+        if isinstance(stmt, ast.CorrelateStmt):
+            from cantera_table_spark.operators.correlate import correlate
+            return correlate(self, stmt.query_a, stmt.query_b)
+        if isinstance(stmt, ast.ParseStmt):
+            return ast.format_query(stmt.query)
+        if isinstance(stmt, ast.SetStmt):
+            if stmt.parameter == "output_format":
+                self.output_format = stmt.value
+            elif stmt.parameter == "time_format":
+                self.time_format = stmt.value
+            return None
+        raise TypeError(f"unknown statement {stmt!r}")
+
+    # ------------------------------------------------------------------
+    # QUERY — result DataFrame (the distributed part)
+    # ------------------------------------------------------------------
+    def query_df(self, query: ast.Node,
+                 thresholds: ast.Thresholds | None = None,
+                 limit: int = -1, offset: int = 0,
+                 compiler: QueryCompiler | None = None) -> DataFrame:
+        """Evaluate to the (doc_id, score) page DataFrame (pre-envelope)."""
+        comp = compiler or self._compiler()
+        result = comp.process_query(query, use_max=True)
+        if thresholds is not None:
+            key = thresholds.key
+            if key.startswith("~"):
+                key = key[1:]
+            kp = comp._lookup_leaf(key)
+            result = sa.threshold_filter(result, kp, thresholds.values)
+        return sa.top_k(result, limit, offset)
+
+    def query_stmt(self, stmt: ast.QueryStmt):
+        """Full QUERY executor: returns the JSON envelope as a dict
+        (``{"result-count": N, "result": [...]}`` — query.cc:933-941) or,
+        for KEYS FOR, a list of keys."""
+        comp = self._compiler()
+        result = comp.process_query(stmt.query, use_max=True)
+
+        thr_values = None
+        use_date_headers = reverse = False
+        if stmt.thresholds is not None:
+            key = stmt.thresholds.key
+            if key.startswith("~"):
+                key = key[1:]
+                reverse = True
+            use_date_headers = self.catalog.is_timestamped(key)
+            thr_values = sorted(stmt.thresholds.values)
+            kp = comp._lookup_leaf(key)
+            result = sa.threshold_filter(result, kp, thr_values)
+
+        result = result.cache()
+        try:
+            total = result.count()
+            if stmt.offset >= total:
+                # Reference prints a bare "[]" in this case (query.cc:796-799)
+                return []
+            page_df = sa.top_k(result, stmt.limit, stmt.offset)
+            docs = self.catalog.summary()
+            page = (page_df.join(docs, "doc_id", "left")
+                    .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            ov = self.catalog.override()
+            if ov is not None:
+                ov = ov.withColumnRenamed("doc", "__ov_doc")
+                page = (page.join(ov, "key", "left")
+                        .orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc()))
+            extra = comp.extra
+            if extra is not None:
+                page = (page.join(extra, "doc_id", "left")
+                        .orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc()))
+            rows = page.collect()
+        finally:
+            result.unpersist()
+
+        if stmt.keys_only:
+            return [r["key"] for r in rows]
+
+        results = []
+        for r in rows:
+            obj: dict = {"_key": r["key"]}
+            if r["doc"]:
+                obj.update(json.loads(r["doc"]))
+            if "__ov_doc" in r.__fields__ and r["__ov_doc"]:
+                obj.update(json.loads(r["__ov_doc"]))
+            if "_header" in r.__fields__ and r["_header"] is not None:
+                obj["_header"] = r["_header"]
+                obj["_header_key"] = r["_header_key"]
+            if thr_values is not None:
+                obj.update(self._threshold_header(
+                    r["score"], thr_values, use_date_headers, reverse))
+            results.append(obj)
+        return {"result-count": total, "result": results}
+
+    @staticmethod
+    def _threshold_header(score: float, thresholds: list[float],
+                          use_date_headers: bool, reverse: bool) -> dict:
+        """Group header assembly (query.cc:893-927)."""
+        i = bisect.bisect_left(thresholds, score, lo=1)
+        if i < len(thresholds) and thresholds[i] == score \
+                and i + 1 < len(thresholds):
+            i += 1
+        lo_v, hi_v = thresholds[i - 1], thresholds[i]
+        if not use_date_headers:
+            header = f"{double_to_string(lo_v)}–{double_to_string(hi_v)}"
+        elif lo_v + 1 != hi_v:
+            header = (f"{days_to_date_string(lo_v)}–"
+                      f"{days_to_date_string(hi_v)}")
+        else:
+            header = days_to_date_string(lo_v)
+        key = i
+        if reverse:
+            key = len(thresholds) - key
+        return {"_header": header, "_header_key": header_sort_key(key)}
+
+    # ------------------------------------------------------------------
+    # SELECT — feature matrix (select.cc:80-154)
+    # ------------------------------------------------------------------
+    def select_df(self, fields: list[ast.Node], query: ast.Node,
+                  with_summaries: bool = False,
+                  field_names: list[str] | None = None) -> DataFrame:
+        """Feature matrix: one row per selected doc (key first), one
+        float column per field query; NaN = missing, all-zero-score
+        fields report 1.0 presence (select.cc:47-65).
+
+        All fields evaluate in ONE pass: union-with-index + pivot, so
+        Spark schedules every field lookup in parallel (replacing the
+        reference's 16-thread pool) and shuffles once.
+        """
+        comp = self._compiler()
+        sel = comp.process_query(query, use_max=False)
+
+        n = len(fields)
+        names = field_names or [f"f{i}" for i in range(n)]
+        if len(names) != n:
+            raise ValueError("field_names length mismatch")
+
+        parts = []
+        for i, fq in enumerate(fields):
+            fdf = comp.process_query(fq, use_max=False)
+            parts.append(fdf.select(F.lit(i).alias("__fidx"), "doc_id",
+                                    "score"))
+        allf = parts[0]
+        for p in parts[1:]:
+            allf = allf.unionByName(p)
+
+        # all-zero -> presence indicator 1.0 (select.cc:47-53)
+        stats = allf.groupBy("__fidx").agg(
+            F.max(F.abs(F.col("score"))).alias("__mx"))
+        allf = (allf.join(F.broadcast(stats), "__fidx")
+                .withColumn("__val",
+                            F.when(F.col("__mx") == 0.0, F.lit(1.0))
+                            .otherwise(F.col("score"))))
+
+        matrix = (allf.groupBy("doc_id")
+                  .pivot("__fidx", list(range(n)))
+                  .agg(F.first("__val")))
+        for i, name in enumerate(names):
+            matrix = matrix.withColumnRenamed(str(i), name)
+
+        out = sel.select("doc_id").join(matrix, "doc_id", "left")
+        for name in names:
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), F.lit(float("nan"))))
+
+        docs = self.catalog.summary()
+        cols = ["key"] + names + (["doc"] if with_summaries else [])
+        return (out.join(docs, "doc_id", "left")
+                .select("doc_id", *cols).orderBy("doc_id"))
+
+    def select_stmt(self, stmt: ast.SelectStmt) -> DataFrame:
+        return self.select_df(stmt.fields, stmt.query,
+                              with_summaries=stmt.with_summaries)

@@ -1,0 +1,206 @@
+"""Canonical data model + catalog.
+
+Reference mapping (SURVEY.md §1.4):
+
+- summary table (doc name -> JSON, reference README.md:26-35, schema.cc)
+  -> ``documents(doc_id LONG, key STRING, doc STRING)``.  The reference's
+  64-bit byte-offset address space (query.cc:813-821) is replaced by a
+  surrogate ``doc_id``; joins on doc_id replace byte seeks.
+- summary-override table (README.md:37-46) -> ``overrides(key, doc)``,
+  left-joined at output time.
+- index table (keyword -> compressed (offset, score) array,
+  ca-table.h:89-106) -> long-form ``postings(keyword, doc_id, score,
+  pct5, pct25, pct75, pct95)``, one row per posting.  Parquet dictionary /
+  delta / ZSTD encodings replace the reference's posting-list compression
+  (format.cc:41-243, parse.cc).
+- time-series table (offset = epoch seconds, ca-load.cc:296-315)
+  -> ``timeseries(key, ts TIMESTAMP, value, pct5..pct95)``.
+
+Scores are float32 in the reference (ca-table.h:100).  We carry DOUBLE
+end-to-end: Spark aggregates and the DuckDB oracle both operate in
+float64, which keeps comparison semantics consistent; documented
+divergence from the reference's float32 storage.
+
+At 100 TB: ``postings`` is written partitioned by a keyword hash bucket
+(``pmod(xxhash64(keyword), N_BUCKETS)``) so a leaf lookup prunes to one
+bucket, and sorted by (keyword, doc_id) within files so min/max row-group
+stats prune further.  ``documents`` partitions by ``pmod(doc_id, N)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("keyword", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("pct5", T.DoubleType(), True),
+    T.StructField("pct25", T.DoubleType(), True),
+    T.StructField("pct75", T.DoubleType(), True),
+    T.StructField("pct95", T.DoubleType(), True),
+])
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("key", T.StringType(), False),
+    T.StructField("doc", T.StringType(), True),  # JSON object body
+])
+
+OVERRIDES_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("doc", T.StringType(), True),
+])
+
+TIMESERIES_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("value", T.DoubleType(), False),
+    T.StructField("pct5", T.DoubleType(), True),
+    T.StructField("pct25", T.DoubleType(), True),
+    T.StructField("pct75", T.DoubleType(), True),
+    T.StructField("pct95", T.DoubleType(), True),
+])
+
+# Result relation flowing through the set algebra: one row per posting.
+RESULT_COLS = ("doc_id", "score")
+
+
+@dataclass
+class Catalog:
+    """The schema-file equivalent (reference schema.cc:60-118).
+
+    The reference's schema file lists member tables of a database with
+    types ``summary`` / ``summary-override`` / ``index``.  Here a catalog
+    holds the same three roles as DataFrames.  Multiple physical tables
+    per role are unioned (the reference's multi-table address space is a
+    storage detail that doc_id surrogates erase).
+    """
+
+    summaries: list[DataFrame] = field(default_factory=list)
+    indexes: list[DataFrame] = field(default_factory=list)
+    overrides: list[DataFrame] = field(default_factory=list)
+    # Keyword metadata (reference keywords.yaml, keywords.cc:51-58):
+    # list of (pattern, is_regex, kind) with kind in
+    # {"timestamped", "ephemeral"}.
+    keyword_meta: list[tuple[str, bool, str]] = field(default_factory=list)
+
+    def index(self) -> DataFrame:
+        if not self.indexes:
+            raise ValueError("catalog has no index tables")
+        df = self.indexes[0]
+        for other in self.indexes[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        return df
+
+    def summary(self) -> DataFrame:
+        if not self.summaries:
+            raise ValueError("catalog has no summary tables")
+        df = self.summaries[0]
+        for other in self.summaries[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        return df
+
+    def override(self) -> DataFrame | None:
+        if not self.overrides:
+            return None
+        df = self.overrides[0]
+        for other in self.overrides[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        return df
+
+    def is_timestamped(self, key: str) -> bool:
+        """reference keywords.h:18-45 — prefix or regex match."""
+        import re
+        for pattern, is_regex, kind in self.keyword_meta:
+            if kind != "timestamped":
+                continue
+            if is_regex:
+                if re.search(pattern, key):
+                    return True
+            elif key.startswith(pattern):
+                return True
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Deterministic derivations from the driver's TPC-H-ish testdata
+# (TESTDATA.md).  These double as the ingest reference implementations and
+# must match the DuckDB oracle SQL in __spark_entry__.py token-for-token.
+# ---------------------------------------------------------------------------
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derive_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents.text: keyword = lowercase token,
+    score = term frequency (DOUBLE).
+
+    Oracle equivalent (DuckDB):
+        SELECT t.tok AS keyword, d.doc_id, count(*)::DOUBLE AS score
+        FROM documents d,
+             unnest(list_filter(regexp_split_to_array(lower(d.text),
+                    '[^a-z]+'), x -> x <> '')) AS t(tok)
+        GROUP BY 1, 2
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("keyword"),
+    )
+    return (
+        toks.groupBy("keyword", "doc_id")
+        .agg(F.count("*").cast("double").alias("score"))
+        .select("keyword", "doc_id", "score")
+    )
+
+
+def derive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary table: key = 'doc<id>.example.com', doc = JSON body of the
+    metadata columns (FIXTURES.md §1 shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+                 F.lit(".example.com")).alias("key"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("doc"),
+    )
+
+
+def derive_label_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra index rows: 'lang:<lang>' and 'src:<source>' presence keywords
+    (score 0.0 — presence-only, exercises SELECT's all-zero -> 1.0 rule,
+    reference select.cc:47-53) plus 'len:chars' with score = n_chars."""
+    d = load_table(spark, sf_dir, "documents")
+    lang = d.select(F.concat(F.lit("lang:"), F.col("lang")).alias("keyword"),
+                    "doc_id", F.lit(0.0).alias("score"))
+    src = d.select(F.concat(F.lit("src:"), F.col("source")).alias("keyword"),
+                   "doc_id", F.lit(0.0).alias("score"))
+    nchars = d.select(F.lit("len:chars").alias("keyword"), "doc_id",
+                      F.col("n_chars").cast("double").alias("score"))
+    return lang.unionByName(src).unionByName(nchars)
+
+
+def derive_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series table from events: key = event_type, value = value."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(F.col("event_type").alias("key"), "ts",
+                    F.col("value").alias("value"))
+
+
+def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over the driver testdata derivations."""
+    postings = derive_postings(spark, sf_dir).unionByName(
+        derive_label_postings(spark, sf_dir))
+    return Catalog(
+        summaries=[derive_documents(spark, sf_dir)],
+        indexes=[postings],
+        keyword_meta=[("ts:", False, "timestamped")],
+    )
