@@ -1,0 +1,453 @@
+"""Correctness-gate query registry.
+
+Every entry pairs a Spark implementation (through the engine's public
+operators — the DSL path wherever the reference had an equivalent) with
+a DuckDB oracle SQL string that reproduces the same semantics on the
+same parquet tables (driver contract, __spark_entry__.py).
+
+Column names are aligned on both sides; float aggregates that could
+differ in last-ulp accumulation order are rounded identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cantera_table_spark.engine import Engine
+from cantera_table_spark.dsl.parser import parse_script, parse_query
+from cantera_table_spark.model import load_table, testdata_catalog
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (must mirror model.derive_* exactly)
+# ---------------------------------------------------------------------------
+
+ORACLE_POSTINGS = """
+WITH toks AS (
+  SELECT d.doc_id, t.tok AS keyword
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+),
+postings AS (
+  SELECT keyword, doc_id, count(*)::DOUBLE AS score FROM toks GROUP BY 1, 2
+),
+labels AS (
+  SELECT 'lang:' || lang AS keyword, doc_id, 0.0::DOUBLE AS score
+    FROM documents
+  UNION ALL
+  SELECT 'src:' || source, doc_id, 0.0::DOUBLE FROM documents
+  UNION ALL
+  SELECT 'len:chars', doc_id, n_chars::DOUBLE FROM documents
+),
+idx AS (SELECT * FROM postings UNION ALL SELECT * FROM labels)
+"""
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def gate(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(testdata_catalog(spark, sf_dir), unique_postings=True)
+
+
+def _dsl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run one QUERY statement through parser+compiler, return the
+    (doc_id, score) page DataFrame."""
+    eng = _engine(spark, sf_dir)
+    stmt = parse_script(text)[0]
+    return eng.query_df(stmt.query, thresholds=stmt.thresholds,
+                        limit=stmt.limit, offset=stmt.offset)
+
+
+# ---------------------------------------------------------------------------
+# Core search algebra (SURVEY.md §2.2-§2.6) — DSL end-to-end
+# ---------------------------------------------------------------------------
+
+@gate("q01_and", ORACLE_POSTINGS + """
+SELECT p.doc_id, p.score FROM idx p
+WHERE p.keyword = 'spark'
+  AND EXISTS (SELECT 1 FROM idx q
+              WHERE q.keyword = 'fast' AND q.doc_id = p.doc_id)
+""")
+def q01_and(spark, sf_dir):
+    """J1: AND = left semi join keeping lhs scores (query.cc:96-125)."""
+    return _dsl(spark, sf_dir, "QUERY (spark AND fast);")
+
+
+@gate("q02_or", ORACLE_POSTINGS + """
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       coalesce(b.score, a.score) AS score
+FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+FULL OUTER JOIN (SELECT * FROM idx WHERE keyword = 'fast') b
+  ON a.doc_id = b.doc_id
+""")
+def q02_or(spark, sf_dir):
+    """J2: OR = union with rhs precedence on collisions (query.cc:68-94)."""
+    return _dsl(spark, sf_dir, "QUERY (spark OR fast);")
+
+
+@gate("q03_subtract", ORACLE_POSTINGS + """
+SELECT p.doc_id, p.score FROM idx p
+WHERE p.keyword = 'spark'
+  AND NOT EXISTS (SELECT 1 FROM idx q
+                  WHERE q.keyword = 'fast' AND q.doc_id = p.doc_id)
+""")
+def q03_subtract(spark, sf_dir):
+    """J3: a - b = left anti join (query.cc:358-392)."""
+    return _dsl(spark, sf_dir, "QUERY (spark - fast);")
+
+
+@gate("q04_score_filters", ORACLE_POSTINGS + """
+SELECT doc_id, score FROM idx
+WHERE keyword = 'spark' AND score > 1 AND score <= 4
+""")
+def q04_score_filters(spark, sf_dir):
+    """F2/F3: literal score predicates (query.cc:459-505)."""
+    return _dsl(spark, sf_dir, "QUERY (spark>1<=4);")
+
+
+@gate("q05_eq_and_range", ORACLE_POSTINGS + """
+SELECT doc_id, score FROM idx
+WHERE keyword = 'spark' AND score BETWEEN 2 AND 5
+""")
+def q05_eq_and_range(spark, sf_dir):
+    """F4: inclusive range with swapped bounds (query.cc:507-517)."""
+    return _dsl(spark, sf_dir, "QUERY (spark[5,2]);")
+
+
+@gate("q06_theta_join", ORACLE_POSTINGS + """
+SELECT a.doc_id, a.score
+FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+JOIN (SELECT * FROM idx WHERE keyword = 'fast') b ON a.doc_id = b.doc_id
+WHERE a.score > b.score
+""")
+def q06_theta_join(spark, sf_dir):
+    """J4: theta join on score (query.cc:139-164)."""
+    return _dsl(spark, sf_dir, "QUERY (spark > fast);")
+
+
+@gate("q07_order_by", ORACLE_POSTINGS + """
+SELECT a.doc_id, d.n_chars::DOUBLE AS score
+FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+JOIN documents d ON d.doc_id = a.doc_id
+""")
+def q07_order_by(spark, sf_dir):
+    """J5: ORDER BY re-score (query.cc:519-547).  len:chars covers every
+    doc, so the -inf fill never fires here (it is covered by unit
+    tests); scores become n_chars."""
+    return _dsl(spark, sf_dir, "QUERY (spark ORDER BY len:chars);")
+
+
+@gate("q08_negate", ORACLE_POSTINGS + """
+SELECT doc_id, -score AS score FROM idx
+WHERE keyword = 'spark' AND -score BETWEEN -4 AND -2
+""")
+def q08_negate(spark, sf_dir):
+    """F5 + F4: negate then range (query.cc:609-611)."""
+    return _dsl(spark, sf_dir, "QUERY ((~spark)[-4,-2]);")
+
+
+@gate("q09_min_dedup", ORACLE_POSTINGS + """
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       coalesce(b.score, a.score) AS score
+FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+FULL OUTER JOIN (SELECT * FROM idx WHERE keyword = 'slow') b
+  ON a.doc_id = b.doc_id
+""")
+def q09_min_dedup(spark, sf_dir):
+    """A2: MIN() dedup mode (query.cc:595-607); identity on unique input
+    (full dup semantics covered by tests/test_set_algebra.py)."""
+    return _dsl(spark, sf_dir, "QUERY (MIN((spark OR slow)));")
+
+
+@gate("q10_prefix_scan", ORACLE_POSTINGS + """
+SELECT DISTINCT doc_id, 0.0::DOUBLE AS score FROM idx
+WHERE keyword LIKE 's%' AND contains(lower(keyword), 'lo')
+""")
+def q10_prefix_scan(spark, sf_dir):
+    """S2: in-KEY:PARAM prefix scan, scores zeroed (query.cc:306-352).
+    Matches keywords starting 's' containing 'lo' ('slow', 'src:...')."""
+    return _dsl(spark, sf_dir, "QUERY (in-s:lo);")
+
+
+@gate("q11_summary_key", ORACLE_POSTINGS + """
+SELECT doc_id, 0.0::DOUBLE AS score FROM documents
+WHERE 'doc' || lpad(doc_id::VARCHAR, 6, '0') || '.example.com'
+      = 'doc000042.example.com'
+""")
+def q11_summary_key(spark, sf_dir):
+    """S4: KEY=name summary point lookup (query.cc:397-406)."""
+    return _dsl(spark, sf_dir, "QUERY (KEY=doc000042.example.com);")
+
+
+@gate("q12_thresholds", ORACLE_POSTINGS + """
+SELECT k.doc_id, k.score
+FROM (SELECT DISTINCT doc_id FROM idx WHERE keyword = 'spark') r
+JOIN (SELECT doc_id, score FROM idx WHERE keyword = 'len:chars') k
+  ON k.doc_id = r.doc_id
+WHERE k.score >= 200 AND k.score < 500
+""")
+def q12_thresholds(spark, sf_dir):
+    """F6: THRESHOLDS grouping filter — score replaced by the threshold
+    key's score, range [min, max) (query.cc:749-793)."""
+    return _dsl(spark, sf_dir,
+                "QUERY (spark) THRESHOLDS 200,350,500 FOR KEY 'len:chars';")
+
+
+@gate("q13_topk_page", ORACLE_POSTINGS + """
+SELECT a.doc_id, d.n_chars::DOUBLE AS score
+FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+JOIN documents d ON d.doc_id = a.doc_id
+ORDER BY score DESC, a.doc_id ASC
+LIMIT 20 OFFSET 5
+""")
+def q13_topk_page(spark, sf_dir):
+    """T1: top-k page with OFFSET (query.cc:795-807); doc_id tiebreak is
+    this engine's documented determinism addition."""
+    return _dsl(spark, sf_dir,
+                "QUERY (spark ORDER BY len:chars) LIMIT 20 OFFSET 5;")
+
+
+@gate("q14_random_sample", ORACLE_POSTINGS + """
+SELECT doc_id, score FROM idx
+WHERE keyword = 'spark'
+ORDER BY (doc_id * 2654435761 + 1234) % 4294967296, doc_id
+LIMIT 25
+""")
+def q14_random_sample(spark, sf_dir):
+    """T3: deterministic sample (query.cc:549-568; seedable hash-order
+    divergence documented in operators/set_algebra.py)."""
+    return _dsl(spark, sf_dir, "QUERY (RANDOM_SAMPLE(spark, 25));")
+
+
+@gate("q15_select_matrix", ORACLE_POSTINGS + """
+SELECT sel.doc_id,
+       'doc' || lpad(sel.doc_id::VARCHAR, 6, '0') || '.example.com' AS key,
+       coalesce(ps.score, 'NaN'::DOUBLE) AS f_spark,
+       CASE WHEN d.lang = 'en' THEN 1.0 ELSE 'NaN'::DOUBLE END AS f_en,
+       coalesce(d.n_chars::DOUBLE, 'NaN'::DOUBLE) AS f_len
+FROM (SELECT DISTINCT doc_id FROM idx
+      WHERE keyword IN ('fast', 'slow')) sel
+JOIN documents d ON d.doc_id = sel.doc_id
+LEFT JOIN (SELECT doc_id, score FROM idx WHERE keyword = 'spark') ps
+  ON ps.doc_id = sel.doc_id
+""")
+def q15_select_matrix(spark, sf_dir):
+    """SELECT feature matrix (select.cc:80-154): NaN missing, all-zero
+    keyword (lang:en) reports 1.0 presence."""
+    eng = _engine(spark, sf_dir)
+    return eng.select_df(
+        [parse_query("spark"), parse_query("lang:en"),
+         parse_query("len:chars")],
+        parse_query("fast OR slow"),
+        field_names=["f_spark", "f_en", "f_len"])
+
+
+# ---------------------------------------------------------------------------
+# Time-series layer (S7-S9, A3-A5, X2-X3) over events
+# ---------------------------------------------------------------------------
+
+@gate("ts01_daily_rollup", """
+SELECT event_type AS key, date_trunc('day', ts)::TIMESTAMP AS day,
+       count(*) AS n, round(sum(value), 3) AS total,
+       round(min(value), 3) AS vmin, round(max(value), 3) AS vmax
+FROM events GROUP BY 1, 2
+""")
+def ts01_daily_rollup(spark, sf_dir):
+    """Time-series rollup: per-series daily aggregates (the engine-side
+    analogue of ca-dump's time-series scan, ca-dump.cc:148-216)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.col("event_type").alias("key"),
+                      F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 3).alias("total"),
+                 F.round(F.min("value"), 3).alias("vmin"),
+                 F.round(F.max("value"), 3).alias("vmax")))
+
+
+@gate("ts02_merge_sum", """
+SELECT event_type AS key, ts, round(sum(value), 3) AS value
+FROM events GROUP BY 1, 2
+""")
+def ts02_merge_sum(spark, sf_dir):
+    """A3: merge-mode SUM — same (key, offset) scores summed
+    (ca-load.cc:490-494).  Shards are simulated by splitting on
+    event_id parity and re-merging."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = e.filter(F.col("event_id") % 2 == 0)
+    s2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = s1.unionByName(s2)
+    return (merged.groupBy(F.col("event_type").alias("key"), "ts")
+            .agg(F.round(F.sum("value"), 3).alias("value")))
+
+
+@gate("ts03_pick_one", """
+SELECT key, day, value FROM (
+  SELECT event_type AS key, date_trunc('day', ts)::TIMESTAMP AS day, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+""")
+def ts03_pick_one(spark, sf_dir):
+    """A5: merge-mode PICK-ONE — first wins (ca-load.cc:482-489), 'first'
+    defined by event_id order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type",
+                           F.date_trunc("day", "ts")).orderBy("event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("event_type").alias("key"),
+                    F.date_trunc("day", "ts").alias("day"), "value"))
+
+
+@gate("ts04_asof_prior", """
+WITH first_purchase AS (
+  SELECT user_id, min(ts) AS p_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_id, e.user_id,
+       (epoch_us(fp.p_ts) - epoch_us(e.ts)) AS age_us
+FROM events e JOIN first_purchase fp ON fp.user_id = e.user_id
+WHERE e.ts < fp.p_ts
+""")
+def ts04_asof_prior(spark, sf_dir):
+    """A11: timestamp-aware feature filter — keep events strictly older
+    than the outcome event, score = age delta (correlate.cc:360-462),
+    re-expressed as an as-of join."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (e.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (e.join(fp, "user_id")
+            .filter(F.col("ts") < F.col("p_ts"))
+            .select("event_id", "user_id",
+                    (F.unix_micros("p_ts") -
+                     F.unix_micros("ts")).alias("age_us")))
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics over the TPC-H-ish star schema (bench headliners)
+# ---------------------------------------------------------------------------
+
+@gate("tpch_q1_pricing", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@gate("tpch_q3_revenue", """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+       AS revenue, o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+""")
+def tpch_q3_revenue(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                  o.o_custkey == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+@gate("tpch_q5_region_volume", """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+       AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def tpch_q5_region_volume(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (s.join(F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               n.n_regionkey == F.col("r_regionkey"))),
+        s.s_nationkey == F.col("n_nationkey")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+            .join(c, (c.c_custkey == o.o_custkey) &
+                  (c.c_nationkey == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@gate("ev01_user_running", """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+       AS running_value
+FROM events WHERE user_id < 50
+""")
+def ev01_user_running(spark, sf_dir):
+    """Window functions (SURVEY.md §2.8 — the Spark-side analogue of the
+    reference's prefix-sum scans)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(wsum), 3).alias("running_value"))

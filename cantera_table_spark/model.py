@@ -134,7 +134,21 @@ class Catalog:
 # ---------------------------------------------------------------------------
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver parquet table.
+
+    The driver testdata stores timestamps as Parquet TIMESTAMP(NANOS),
+    which Spark's reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (session.py); the
+    column then arrives as LongType nanoseconds and is converted back to
+    a timestamp here (integer µs division — exact).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name in ("ts", "l_shipdate", "o_orderdate") and \
+                isinstance(f_.dataType, T.LongType):
+            df = df.withColumn(
+                f_.name, F.timestamp_micros(F.expr(f"{f_.name} div 1000")))
+    return df
 
 
 def derive_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

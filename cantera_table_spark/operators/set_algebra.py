@@ -127,18 +127,19 @@ def order_by(lhs: DataFrame, rhs: DataFrame, unique: bool = False
              ) -> DataFrame:
     """``a ORDER BY b`` — re-score from rhs, -inf fill (query.cc:519-547).
 
-    The reference takes the *first* rhs score per offset in run order;
-    canonical order makes that min(score).
+    The reference merge advances both cursors on a match, so duplicate
+    runs pair element-wise by rank; lhs elements beyond the rhs run get
+    -inf.
     """
     if unique:
         r1 = rhs.select(_DOC, F.col(_SCORE).alias("__rs"))
+        joined = lhs.join(r1, _DOC, "left")
     else:
-        r1 = rhs.groupBy(_DOC).agg(F.min(_SCORE).alias("__rs"))
-    return (
-        lhs.join(r1, _DOC, "left")
-        .select(_DOC,
-                F.coalesce(F.col("__rs"), F.lit(NEG_INF)).alias(_SCORE))
-    )
+        left = _run_rank(lhs)
+        r1 = _run_rank(rhs).select(_DOC, "__rn", F.col(_SCORE).alias("__rs"))
+        joined = left.join(r1, [_DOC, "__rn"], "left")
+    return joined.select(
+        _DOC, F.coalesce(F.col("__rs"), F.lit(NEG_INF)).alias(_SCORE))
 
 
 def negate(df: DataFrame) -> DataFrame:

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "cantera-table-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata writes TIMESTAMP(NANOS) parquet; read as long
+        # and convert in model.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,130 @@
+from cantera_table_spark.dsl.ast import (
+    Binary, KeyLookup, Leaf, QueryStmt, SelectStmt, SetStmt, Thresholds,
+    Unary, format_query,
+)
+from cantera_table_spark.dsl.parser import ParseError, parse_query, parse_script
+
+import pytest
+
+
+def test_juxtaposition_is_and():
+    q = parse_query("a b c")
+    assert q == Binary("and", Binary("and", Leaf("a"), Leaf("b")), Leaf("c"))
+
+
+def test_left_assoc_mixed_ops():
+    assert format_query(parse_query("a b OR c - d ORDER BY e")) == \
+        "((((a AND b) OR c) AND NOT d) ORDER BY e)"
+
+
+def test_and_not_equals_subtract():
+    assert parse_query("a AND NOT b") == parse_query("a - b")
+
+
+def test_comparisons_bind_tighter():
+    q = parse_query("a AND b > 5")
+    assert q == Binary("and", Leaf("a"), Binary("gt", Leaf("b"), value=5.0))
+
+
+def test_theta_join_form():
+    q = parse_query("a > b")
+    assert q == Binary("gt", Leaf("a"), rhs=Leaf("b"))
+
+
+def test_ge_le_take_numbers_only():
+    q = parse_query("a >= 2 b <= 3")
+    assert q.op == "and"
+    assert q.lhs == Binary("ge", Leaf("a"), value=2.0)
+    assert q.rhs == Binary("le", Leaf("b"), value=3.0)
+
+
+def test_range_and_negate():
+    q = parse_query("~a[1,2]")
+    assert q == Unary("negate", Binary("range", Leaf("a"), value=1.0,
+                                       value2=2.0))
+
+
+def test_date_literal_days_since_epoch():
+    q = parse_query("a > 2010-01-01")
+    assert q.value == 14610.0
+    q = parse_query("a = 1970-01-02")
+    assert q.value == 1.0
+
+
+def test_hex_and_negative_numbers():
+    assert parse_query("a = 0x10").value == 16.0
+    assert parse_query("a > -3").value == -3.0
+    assert parse_query("a > -3.5").value == -3.5
+
+
+def test_minus_number_is_parse_error():
+    # '-' binds to a following number as a negative literal ("a -3"), and
+    # "a - 3" subtracts a number which is not a sub-query; the reference
+    # grammar rejects both forms (query-lexer.ll:103, query-parser.yy).
+    with pytest.raises(ParseError):
+        parse_query("a -3")
+    with pytest.raises(ParseError):
+        parse_query("a - 3")
+
+
+def test_key_lookup():
+    assert parse_query("KEY=doc1.example.com") == \
+        KeyLookup("doc1.example.com")
+
+
+def test_max_min_sample():
+    q = parse_query("RANDOM_SAMPLE(MAX(a), 5)")
+    assert q == Binary("sample", Unary("max", Leaf("a")), value=5.0)
+
+
+def test_quoted_identifiers_and_keywords():
+    q = parse_query('"query" AND x')
+    assert q == Binary("and", Leaf("query"), Leaf("x"))
+
+
+def test_doubled_quote_escape():
+    q = parse_query('"a""b"')
+    assert q == Leaf('a"b')
+
+
+def test_query_statement_full():
+    s = parse_script(
+        "QUERY KEYS FOR (a) THRESHOLDS 5,1,10 FOR KEY 'k' "
+        "FETCH FIRST 7 ROWS ONLY OFFSET 2 ROWS;")[0]
+    assert s == QueryStmt(Leaf("a"), keys_only=True,
+                          thresholds=Thresholds([5.0, 1.0, 10.0], "k"),
+                          limit=7, offset=2)
+
+
+def test_limit_default_is_all():
+    s = parse_script("QUERY (a);")[0]
+    assert s.limit == -1 and s.offset == 0
+
+
+def test_select_statement():
+    s = parse_script("SELECT PARALLEL 4 f1, f2 FROM (x) WITH SUMMARIES;")[0]
+    assert s == SelectStmt([Leaf("f1"), Leaf("f2")], Leaf("x"),
+                           with_summaries=True, parallel=4)
+
+
+def test_set_statements():
+    s = parse_script("SET OUTPUT FORMAT CSV; SET TIME FORMAT '%Y-%m';")
+    assert s == [SetStmt("output_format", "csv"),
+                 SetStmt("time_format", "%Y-%m")]
+
+
+def test_comments():
+    q = parse_query("a -- comment\n AND /* block */ b")
+    assert q == Binary("and", Leaf("a"), Leaf("b"))
+
+
+def test_identifier_charset():
+    q = parse_query("in-test:aaa cat:term_1 %40home a/b.c")
+    assert isinstance(q.lhs.lhs.lhs, Leaf)
+    assert q.lhs.lhs.lhs.identifier == "in-test:aaa"
+    assert q.rhs.identifier == "a/b.c"
+
+
+def test_statement_query_requires_parens():
+    with pytest.raises(ParseError):
+        parse_script("QUERY a;")

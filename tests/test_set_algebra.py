@@ -1,0 +1,134 @@
+"""Property tests: Spark set-algebra operators vs the transcribed C++
+merge loops (tests/ref_model.py), on randomized posting lists with
+duplicate offsets — the semantics SURVEY.md §7 ranks as hardest (#1)."""
+
+import random
+
+import pytest
+
+from cantera_table_spark.operators import set_algebra as sa
+from tests import ref_model as ref
+
+SCHEMA = "doc_id long, score double"
+
+
+def canon(postings):
+    """Canonical order: (offset, score asc) — see set_algebra docstring."""
+    return sorted(postings, key=lambda p: (p[0], p[1]))
+
+
+def make_postings(rng, n_docs=30, n_rows=40, dup_rate=0.3):
+    rows = []
+    for _ in range(n_rows):
+        doc = rng.randrange(n_docs)
+        score = float(rng.randrange(-5, 15))
+        rows.append((doc, score))
+        if rng.random() < dup_rate:
+            rows.append((doc, float(rng.randrange(-5, 15))))
+    return canon(rows)
+
+
+def to_df(spark, postings):
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in postings], SCHEMA)
+
+
+def collected(df):
+    return sorted((r.doc_id, r.score) for r in df.collect())
+
+
+CASES = [(seed, op) for seed in range(4)
+         for op in ["union", "intersect", "subtract", "theta_gt",
+                    "theta_lt", "order_by"]]
+
+
+@pytest.mark.parametrize("seed,op", CASES)
+def test_operator_matches_reference_model(spark, seed, op):
+    rng = random.Random(seed)
+    lhs = make_postings(rng)
+    rhs = make_postings(rng)
+    ldf, rdf = to_df(spark, lhs), to_df(spark, rhs)
+
+    if op == "union":
+        got = sa.union_or(ldf, rdf)
+        want = ref.union(lhs, rhs)
+    elif op == "intersect":
+        got = sa.intersect_and(ldf, rdf)
+        want = ref.intersect(lhs, rhs)
+    elif op == "subtract":
+        got = sa.subtract(ldf, rdf)
+        want = ref.subtract(lhs, rhs)
+    elif op == "theta_gt":
+        got = sa.theta_join(ldf, rdf, "gt")
+        want = ref.theta(lhs, rhs, "gt")
+    elif op == "theta_lt":
+        got = sa.theta_join(ldf, rdf, "lt")
+        want = ref.theta(lhs, rhs, "lt")
+    elif op == "order_by":
+        got = sa.order_by(ldf, rdf)
+        want = ref.order_by(lhs, rhs)
+    assert collected(got) == sorted(want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("use_max", [True, False])
+def test_dedup_matches_reference_model(spark, seed, use_max):
+    rng = random.Random(seed)
+    v = make_postings(rng)
+    got = collected(sa.dedup(to_df(spark, v), use_max=use_max))
+    assert got == sorted(ref.dedup(v, use_max))
+
+
+def test_full_pipeline_matches_reference_model(spark):
+    """(a AND b OR c) ORDER BY d, then dedup-max — composed semantics."""
+    rng = random.Random(99)
+    a, b, c, d = (make_postings(rng) for _ in range(4))
+    spark_res = sa.dedup(
+        sa.order_by(
+            sa.union_or(sa.intersect_and(to_df(spark, a), to_df(spark, b)),
+                        to_df(spark, c)),
+            to_df(spark, d)),
+        use_max=True)
+    ref_res = ref.dedup(
+        ref.order_by(canon(ref.union(canon(ref.intersect(a, b)), c)),
+                     d),
+        use_max=True)
+    assert collected(spark_res) == sorted(ref_res)
+
+
+def test_unique_fast_paths_agree(spark):
+    """unique=True paths must equal general paths on duplicate-free input."""
+    rng = random.Random(7)
+    lhs = canon({(d, float(rng.randrange(10))) for d in range(0, 30, 2)})
+    rhs = canon({(d, float(rng.randrange(10))) for d in range(0, 30, 3)})
+    ldf, rdf = to_df(spark, lhs), to_df(spark, rhs)
+    for f in [sa.union_or, sa.order_by,
+              lambda l, r, unique: sa.theta_join(l, r, "gt", unique=unique)]:
+        assert collected(f(ldf, rdf, unique=True)) == \
+            collected(f(ldf, rdf, unique=False))
+
+
+def test_top_k_and_sample(spark):
+    rows = [(i, float(i % 7)) for i in range(50)]
+    df = to_df(spark, rows)
+    page = sa.top_k(df, 5)
+    got = [(r.doc_id, r.score) for r in page.collect()]
+    want = sorted(rows, key=lambda p: (-p[1], p[0]))[:5]
+    assert sorted(got) == sorted(want)
+
+    off = sa.top_k(df, 5, offset=2)
+    got_off = sorted((r.doc_id, r.score) for r in off.collect())
+    assert got_off == sorted(want[2:] + sorted(
+        rows, key=lambda p: (-p[1], p[0]))[5:7])
+
+    s1 = collected(sa.sample(df, 10))
+    s2 = collected(sa.sample(df, 10))
+    assert s1 == s2 and len(s1) == 10  # deterministic
+
+
+def test_threshold_filter(spark):
+    result = to_df(spark, [(1, 5.0), (2, 3.0), (3, 1.0)])
+    kp = to_df(spark, [(1, 10.0), (2, 25.0), (3, 99.0), (4, 15.0)])
+    out = collected(sa.threshold_filter(result, kp, [20.0, 90.0, 30.0]))
+    # range is [20, 90): docs 2 (25) kept with score replaced; 1,3 dropped
+    assert out == [(2, 25.0)]
