@@ -451,3 +451,119 @@ def ev01_user_running(spark, sf_dir):
         "event_id", "user_id",
         F.row_number().over(w).alias("seq"),
         F.round(F.sum("value").over(wsum), 3).alias("running_value"))
+
+
+# ---------------------------------------------------------------------------
+# CORRELATE — supervised feature mining (correlate.cc; SURVEY.md §2.4 A8-A10)
+# ---------------------------------------------------------------------------
+
+@gate("corr01_feature_mining", ORACLE_POSTINGS + """
+, A AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+B AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'es'
+      AND doc_id NOT IN (SELECT doc_id FROM A)),
+params AS (
+  SELECT ln(((SELECT count(*) FROM A) + 1.0) /
+            ((SELECT count(*) FROM B) + 1.0)) AS prior,
+         greatest((SELECT count(*) FROM A) // 20, 1) AS lim_a,
+         greatest((SELECT count(*) FROM B) // 20, 1) AS lim_b
+),
+kw_ok AS (
+  SELECT keyword FROM idx GROUP BY 1
+  HAVING count(*) >= (SELECT least(lim_a, lim_b) FROM params)
+),
+k AS (
+  SELECT i.keyword, i.doc_id, i.score,
+         CASE WHEN a.doc_id IS NOT NULL THEN 1
+              WHEN b.doc_id IS NOT NULL THEN -1 END AS cls
+  FROM idx i JOIN kw_ok USING (keyword)
+  LEFT JOIN A a ON a.doc_id = i.doc_id
+  LEFT JOIN B b ON b.doc_id = i.doc_id
+),
+kind AS (
+  SELECT keyword, max(abs(score)) > 0 AS continuous,
+         count(cls) AS n_classes
+  FROM k GROUP BY 1
+),
+classes AS (
+  SELECT k.* FROM k JOIN kind USING (keyword)
+  WHERE kind.continuous
+    AND kind.n_classes >= (SELECT least(lim_a, lim_b) FROM params)
+    AND k.cls IS NOT NULL
+),
+cum0 AS (
+  SELECT keyword, score,
+    count(*) FILTER (WHERE cls >= 0) OVER w AS cum_a,
+    count(*) FILTER (WHERE cls <= 0) OVER w AS cum_b,
+    count(*) OVER w AS cum_ab,
+    count(*) FILTER (WHERE cls >= 0) OVER wt AS tot_a,
+    count(*) FILTER (WHERE cls <= 0) OVER wt AS tot_b,
+    count(*) OVER wt AS tot_ab
+  FROM classes
+  WINDOW w AS (PARTITION BY keyword ORDER BY score
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY keyword)
+),
+cum AS (SELECT DISTINCT * FROM cum0),
+cand AS (
+  SELECT *,
+    CASE WHEN cum_a >= lim_a OR cum_b >= lim_b
+         THEN abs(ln((cum_a + 1.0) / (cum_ab - cum_a + 1.0)) - prior)
+         ELSE 0.0 END AS l_gain,
+    CASE WHEN (tot_a - cum_a) >= lim_a OR (tot_b - cum_b) >= lim_b
+         THEN abs(ln((tot_a - cum_a + 1.0) /
+                     ((tot_ab - cum_ab) - (tot_a - cum_a) + 1.0)) - prior)
+         ELSE 0.0 END AS r_gain
+  FROM cum, params
+),
+cand2 AS (
+  SELECT *, greatest(l_gain, r_gain) AS gain,
+    lead(score) OVER (PARTITION BY keyword ORDER BY score) AS next_score,
+    row_number() OVER (PARTITION BY keyword ORDER BY score) AS pos,
+    count(*) OVER (PARTITION BY keyword) AS npos
+  FROM cand
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY keyword
+                                 ORDER BY gain DESC, score ASC) AS rk
+    FROM cand2) t
+  WHERE rk = 1
+),
+split AS (
+  SELECT keyword,
+         (pos > 1 AND pos < npos AND gain >= ln(1.05)) AS use_split,
+         score AS mid, next_score
+  FROM best
+),
+tasks AS (
+  SELECT keyword, NULL::DOUBLE AS lo, NULL::DOUBLE AS hi FROM kind
+    WHERE NOT continuous
+  UNION ALL SELECT keyword, NULL, NULL FROM split WHERE NOT use_split
+  UNION ALL SELECT keyword, NULL, mid FROM split WHERE use_split
+  UNION ALL SELECT keyword, next_score, NULL FROM split WHERE use_split
+),
+counted AS (
+  SELECT t.keyword, t.lo, t.hi,
+    count(DISTINCT CASE WHEN cls = 1 THEN k.doc_id END) AS match_count_a,
+    count(DISTINCT CASE WHEN cls = -1 THEN k.doc_id END) AS match_count_b
+  FROM k JOIN tasks t ON t.keyword = k.keyword
+  WHERE (t.lo IS NULL OR k.score >= t.lo)
+    AND (t.hi IS NULL OR k.score <= t.hi)
+  GROUP BY 1, 2, 3
+)
+SELECT round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior, 3)
+         AS log_odds,
+       match_count_a, match_count_b, keyword,
+       lo AS min_score, hi AS max_score
+FROM counted, params
+WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
+  AND abs(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior)
+      >= ln(0.55 / 0.45)
+""")
+def corr01_feature_mining(spark, sf_dir):
+    """A8-A10: CORRELATE QUERY (lang:en), (lang:es) — contingency counts,
+    log-odds vs prior, min-support 5%, and single-split discretization of
+    continuous features (correlate.cc:84-358)."""
+    eng = _engine(spark, sf_dir)
+    return eng.execute_script(
+        "CORRELATE QUERY (lang:en), (lang:es);")[0]

@@ -1,0 +1,273 @@
+"""CORRELATE — supervised feature mining (reference correlate.cc).
+
+``CORRELATE QUERY (a), (b)`` finds the index keywords most predictive of
+membership in set A vs set B:
+
+1. A = ProcessQuery(query_a, use_max=False); B = ProcessQuery(query_b)
+   minus A (correlate.cc:495-500).
+2. prior_logit = log((|A|+1)/(|B|+1)); min-support limits = 5 % of each
+   set (correlate.cc:506-518).
+3. Per keyword: boolean features (all scores zero) score their mere
+   presence; continuous features search the single best split point by
+   |logit gain| over the cumulative class distribution
+   (ProcessSeries, correlate.cc:197-358), then re-count on the chosen
+   sub-range(s).
+4. Contingency counting dedups docs and keeps keywords with
+   match_A >= limit_A or match_B >= limit_B and |log_odds| >= log(.55/.45)
+   (ProcessRange, correlate.cc:84-147).
+
+Spark-first: the reference loops keywords over a thread pool; here every
+stage is a single DataFrame pipeline partitioned by keyword — the
+per-keyword cumulative scan is a Window.partitionBy(keyword)
+.orderBy(score) with rangeBetween (ties collapse exactly like the
+reference's ``agg`` array), and the split argmax is one row_number.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LOGIT_CUTOFF = math.log(0.55 / 0.45)   # correlate.cc:141-142
+MIN_GAIN = math.log(1.05)              # correlate.cc:346
+
+_POS_INF = float("inf")
+_NEG_INF = float("-inf")
+
+
+def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
+                   ) -> DataFrame:
+    """Core pipeline given resolved doc sets.
+
+    postings: (keyword, doc_id, score) — the feature space.
+    set_a / set_b: (doc_id, score) — deduped result sets; B is made
+    disjoint from A here.
+
+    Returns (log_odds, match_count_a, match_count_b, keyword, min_score,
+    max_score) with null min/max for unbounded ends.
+    """
+    a = set_a.select("doc_id").distinct()
+    b = set_b.select("doc_id").distinct().join(a, "doc_id", "left_anti")
+
+    n_a = a.count()
+    n_b = b.count()
+    if n_a == 0 or n_b == 0:
+        return postings.sparkSession.createDataFrame(
+            [], "log_odds double, match_count_a long, match_count_b long, "
+                "keyword string, min_score double, max_score double")
+
+    prior_logit = math.log((n_a + 1.0) / (n_b + 1.0))
+    limit_a = max(n_a // 20, 1)
+    limit_b = max(n_b // 20, 1)
+    min_limit = min(limit_a, limit_b)
+
+    # Keyword pre-filter: posting count must reach the smaller support
+    # limit (correlate.cc:541-543).
+    kw_ok = (postings.groupBy("keyword").agg(F.count("*").alias("__n"))
+             .filter(F.col("__n") >= min_limit).select("keyword"))
+    k = postings.join(kw_ok, "keyword")
+
+    # Class membership per posting row: +1 in A, -1 in B, null otherwise
+    # (disjoint after subtraction, correlate.cc:246-265).
+    k = (k.join(a.withColumn("__in_a", F.lit(1)), "doc_id", "left")
+         .join(b.withColumn("__in_b", F.lit(1)), "doc_id", "left")
+         .withColumn("cls", F.when(F.col("__in_a") == 1, F.lit(1))
+                     .when(F.col("__in_b") == 1, F.lit(-1)))
+         .select("keyword", "doc_id", "score", "cls"))
+    k = k.cache()
+
+    # --- split search on continuous keywords --------------------------
+    # boolean feature <=> every score is zero (correlate.cc:211-217)
+    kind = k.groupBy("keyword").agg(
+        (F.max(F.abs(F.col("score"))) > 0.0).alias("__continuous"),
+        F.count(F.col("cls")).alias("__n_classes"))
+
+    classes = k.filter(F.col("cls").isNotNull()).join(
+        kind.filter(F.col("__continuous") &
+                    (F.col("__n_classes") >= min_limit))
+        .select("keyword"), "keyword")
+
+    w_cum = (Window.partitionBy("keyword").orderBy("score")
+             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("keyword")
+    cum = (classes
+           .withColumn("cum_a", F.count(F.when(F.col("cls") >= 0, 1))
+                       .over(w_cum))
+           .withColumn("cum_b", F.count(F.when(F.col("cls") <= 0, 1))
+                       .over(w_cum))
+           .withColumn("cum_ab", F.count("*").over(w_cum))
+           .withColumn("tot_a", F.count(F.when(F.col("cls") >= 0, 1))
+                       .over(w_tot))
+           .withColumn("tot_b", F.count(F.when(F.col("cls") <= 0, 1))
+                       .over(w_tot))
+           .withColumn("tot_ab", F.count("*").over(w_tot))
+           .select("keyword", "score", "cum_a", "cum_b", "cum_ab",
+                   "tot_a", "tot_b", "tot_ab")
+           .dropDuplicates(["keyword", "score"]))
+
+    def abs_logit(ca, cab):
+        # log(P/(1-P)) with P=(ca+1)/(cab+2) simplifies to the form below;
+        # the simplified form is used on both engines so floats agree.
+        return F.abs(F.log((ca + 1.0) / (cab - ca + 1.0)) -
+                     F.lit(prior_logit))
+
+    left_ok = (F.col("cum_a") >= limit_a) | (F.col("cum_b") >= limit_b)
+    right_ok = ((F.col("tot_a") - F.col("cum_a") >= limit_a) |
+                (F.col("tot_b") - F.col("cum_b") >= limit_b))
+    cand = (cum
+            .withColumn("__left", F.when(left_ok, abs_logit(
+                F.col("cum_a"), F.col("cum_ab"))).otherwise(F.lit(0.0)))
+            .withColumn("__right", F.when(right_ok, abs_logit(
+                F.col("tot_a") - F.col("cum_a"),
+                F.col("tot_ab") - F.col("cum_ab"))).otherwise(F.lit(0.0)))
+            .withColumn("__gain", F.greatest("__left", "__right")))
+
+    # first/last distinct score per keyword + the next distinct score
+    # (the split emits ranges (-inf, mid] and [next, inf),
+    # correlate.cc:344-356)
+    w_ord = Window.partitionBy("keyword").orderBy("score")
+    w_all = Window.partitionBy("keyword")
+    cand = (cand
+            .withColumn("__next", F.lead("score").over(w_ord))
+            .withColumn("__pos", F.row_number().over(w_ord))
+            .withColumn("__npos", F.count("*").over(w_all)))
+    best = (cand
+            .withColumn("__rk", F.row_number().over(
+                Window.partitionBy("keyword")
+                .orderBy(F.col("__gain").desc(), F.col("score").asc())))
+            .filter(F.col("__rk") == 1))
+
+    split = (best
+             .withColumn("__use_split",
+                         (F.col("__pos") > 1) &
+                         (F.col("__pos") < F.col("__npos")) &
+                         (F.col("__gain") >= MIN_GAIN))
+             .select("keyword", "__use_split",
+                     F.col("score").alias("__mid"),
+                     F.col("__next").alias("__next_score")))
+
+    # --- assemble range tasks -----------------------------------------
+    # whole-range: boolean keywords + continuous without a useful split;
+    # continuous keywords with too few class rows are dropped entirely
+    # (correlate.cc:271: classes.empty() || < min_limit -> return).
+    bool_tasks = (kind.filter(~F.col("__continuous"))
+                  .select("keyword", F.lit(None).cast("double").alias("lo"),
+                          F.lit(None).cast("double").alias("hi")))
+    nosplit_tasks = (split.filter(~F.col("__use_split"))
+                     .select("keyword", F.lit(None).cast("double").alias("lo"),
+                             F.lit(None).cast("double").alias("hi")))
+    left_tasks = (split.filter(F.col("__use_split"))
+                  .select("keyword", F.lit(None).cast("double").alias("lo"),
+                          F.col("__mid").alias("hi")))
+    right_tasks = (split.filter(F.col("__use_split"))
+                   .select("keyword", F.col("__next_score").alias("lo"),
+                           F.lit(None).cast("double").alias("hi")))
+    tasks = (bool_tasks.unionByName(nosplit_tasks)
+             .unionByName(left_tasks).unionByName(right_tasks))
+
+    # --- ProcessRange: contingency counts per (keyword, range) --------
+    in_range = ((F.col("lo").isNull() | (F.col("score") >= F.col("lo"))) &
+                (F.col("hi").isNull() | (F.col("score") <= F.col("hi"))))
+    counted = (k.join(tasks, "keyword")
+               .filter(in_range)
+               .groupBy("keyword", "lo", "hi")
+               .agg(F.countDistinct(F.when(F.col("cls") == 1,
+                                           F.col("doc_id")))
+                    .alias("match_count_a"),
+                    F.countDistinct(F.when(F.col("cls") == -1,
+                                           F.col("doc_id")))
+                    .alias("match_count_b")))
+
+    out = (counted
+           .filter((F.col("match_count_a") >= limit_a) |
+                   (F.col("match_count_b") >= limit_b))
+           .withColumn("log_odds",
+                       F.log((F.col("match_count_a") + 1.0) /
+                             (F.col("match_count_b") + 1.0)) -
+                       F.lit(prior_logit))
+           .filter(F.abs(F.col("log_odds")) >= LOGIT_CUTOFF)
+           .select(F.round("log_odds", 3).alias("log_odds"),
+                   "match_count_a", "match_count_b", "keyword",
+                   F.col("lo").alias("min_score"),
+                   F.col("hi").alias("max_score")))
+    return out
+
+
+def filter_by_timestamp_sets(keys: DataFrame, set_a: DataFrame,
+                             set_b: DataFrame) -> DataFrame:
+    """FilterByTimestamp(keys, A, B) (correlate.cc:400-462): for docs in
+    A (preferred) or B, keep one row per doc when the doc's earliest key
+    timestamp precedes its earliest set timestamp; score becomes the age
+    delta.  Docs in neither set are dropped."""
+    kmin = keys.groupBy("keyword", "doc_id").agg(
+        F.min("score").alias("k_score"))
+    amin = set_a.groupBy("doc_id").agg(F.min("score").alias("a_score"))
+    bmin = set_b.groupBy("doc_id").agg(F.min("score").alias("b_score"))
+    j = (kmin.join(amin, "doc_id", "left").join(bmin, "doc_id", "left")
+         .withColumn("ref_score", F.coalesce("a_score", "b_score"))
+         .filter(F.col("ref_score").isNotNull())
+         .filter(F.col("k_score") < F.col("ref_score")))
+    return j.select("keyword", "doc_id",
+                    (F.col("ref_score") - F.col("k_score")).alias("score"))
+
+
+def filter_by_timestamp_now(keys: DataFrame, set_a: DataFrame,
+                            now_days: float) -> DataFrame:
+    """FilterByTimestamp(keys, adj, now) (correlate.cc:360-398): docs in
+    the set keep one age-delta row; docs outside keep every row scored
+    ``now - score``."""
+    amin = set_a.groupBy("doc_id").agg(F.min("score").alias("a_score"))
+    kmin = keys.groupBy("keyword", "doc_id").agg(
+        F.min("score").alias("k_score"))
+    matched = (kmin.join(amin, "doc_id")
+               .filter(F.col("k_score") < F.col("a_score"))
+               .select("keyword", "doc_id",
+                       (F.col("a_score") - F.col("k_score")).alias("score")))
+    unmatched = (keys.join(amin.select("doc_id"), "doc_id", "left_anti")
+                 .select("keyword", "doc_id",
+                         (F.lit(now_days) - F.col("score")).alias("score")))
+    return matched.unionByName(unmatched)
+
+
+def correlate(engine, query_a, query_b) -> DataFrame:
+    """Statement entry: resolve the two queries through the engine's
+    compiler, apply timestamped-feature filtering when query A's primary
+    keyword is timestamped (correlate.cc:486-491, 560-566), and run the
+    pipeline over the whole index."""
+    import time as _time
+
+    from cantera_table_spark.dsl import ast as _ast
+
+    comp = engine._compiler()
+    set_a = comp.process_query(query_a, use_max=False)
+    set_b = comp.process_query(query_b, use_max=False)
+
+    def primary_keyword(q):
+        if isinstance(q, _ast.Leaf):
+            return q.identifier
+        for attr in ("lhs", "rhs"):
+            sub = getattr(q, attr, None)
+            if sub is not None:
+                r = primary_keyword(sub)
+                if r:
+                    return r
+        return ""
+
+    cat = engine.catalog
+    postings = cat.index().select("keyword", "doc_id", "score")
+    a_ts = cat.is_timestamped(primary_keyword(query_a))
+    b_ts = cat.is_timestamped(primary_keyword(query_b))
+    if a_ts:
+        ts_keys = postings.filter(
+            F.udf(cat.is_timestamped, "boolean")(F.col("keyword")))
+        plain = postings.join(ts_keys.select("keyword").distinct(),
+                              "keyword", "left_anti")
+        if b_ts:
+            ts_filtered = filter_by_timestamp_sets(ts_keys, set_a, set_b)
+        else:
+            ts_filtered = filter_by_timestamp_now(
+                ts_keys, set_a, _time.time() / 86400.0)
+        postings = plain.unionByName(ts_filtered)
+    return correlate_sets(postings, set_a, set_b)

@@ -1,0 +1,97 @@
+"""CORRELATE pipeline tests (operators/correlate.py vs hand-computed
+expectations transcribing correlate.cc)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from cantera_table_spark.operators.correlate import (
+    correlate_sets, filter_by_timestamp_now, filter_by_timestamp_sets,
+)
+
+P_SCHEMA = "keyword string, doc_id long, score double"
+S_SCHEMA = "doc_id long, score double"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_boolean_feature_counts_and_logodds(spark):
+    # A = {0..9}, B = {10..14}; feature 'f' present on 8 A docs, 1 B doc.
+    a = spark.createDataFrame([(i, 0.0) for i in range(10)], S_SCHEMA)
+    b = spark.createDataFrame([(i, 0.0) for i in range(10, 15)], S_SCHEMA)
+    postings = spark.createDataFrame(
+        [("f", i, 0.0) for i in range(8)] + [("f", 10, 0.0)], P_SCHEMA)
+    out = correlate_sets(postings, a, b).collect()
+    assert len(out) == 1
+    r = out[0]
+    prior = math.log(11.0 / 6.0)
+    want = math.log(9.0 / 2.0) - prior
+    assert r.match_count_a == 8 and r.match_count_b == 1
+    assert abs(r.log_odds - round(want, 3)) < 1e-9
+    assert r.min_score is None and r.max_score is None
+
+
+def test_min_support_filters_rare_features(spark):
+    # |A|=40 -> limit_a=2; a feature on a single A doc must not appear.
+    a = spark.createDataFrame([(i, 0.0) for i in range(40)], S_SCHEMA)
+    b = spark.createDataFrame([(i, 0.0) for i in range(40, 80)], S_SCHEMA)
+    postings = spark.createDataFrame([("rare", 0, 0.0)], P_SCHEMA)
+    assert correlate_sets(postings, a, b).count() == 0
+
+
+def test_b_made_disjoint_from_a(spark):
+    # Doc 0 in both sets counts only for A (correlate.cc:498-500).
+    a = spark.createDataFrame([(0, 0.0), (1, 0.0)], S_SCHEMA)
+    b = spark.createDataFrame([(0, 0.0), (2, 0.0), (3, 0.0)], S_SCHEMA)
+    postings = spark.createDataFrame(
+        [("f", 0, 0.0), ("f", 1, 0.0), ("f", 2, 0.0)], P_SCHEMA)
+    out = correlate_sets(postings, a, b).collect()
+    assert len(out) == 1
+    # had doc 0 counted for B too, match counts would be symmetric and the
+    # log-odds (0) filtered out; the row existing proves the subtraction
+    assert out[0].match_count_a == 2 and out[0].match_count_b == 1
+    assert abs(out[0].log_odds - round(math.log(1.5), 3)) < 1e-9
+
+
+def test_continuous_feature_split(spark):
+    # Continuous feature: A docs score ~10, B docs score ~1 -> a split
+    # should isolate the high range and boost the A-side log-odds.
+    a = spark.createDataFrame([(i, 0.0) for i in range(10)], S_SCHEMA)
+    b = spark.createDataFrame([(i, 0.0) for i in range(10, 20)], S_SCHEMA)
+    postings = spark.createDataFrame(
+        [("cont", i, 10.0 + i * 0.1) for i in range(10)] +
+        [("cont", i, 1.0 + i * 0.01) for i in range(10, 20)], P_SCHEMA)
+    out = correlate_sets(postings, a, b).collect()
+    # Two range rows: low range favours B, high range favours A.
+    assert len(out) == 2
+    by_sign = {r.log_odds > 0: r for r in out}
+    hi, lo = by_sign[True], by_sign[False]
+    assert hi.match_count_a == 10 and hi.match_count_b == 0
+    assert lo.match_count_a == 0 and lo.match_count_b == 10
+    assert hi.min_score is not None and hi.max_score is None
+    assert lo.min_score is None and lo.max_score is not None
+
+
+def test_filter_by_timestamp_sets(spark):
+    # doc 1: key ts 5 < A ts 8 -> kept, score 3; doc 2: key ts 9 >= A ts 7
+    # -> dropped; doc 3 in B: 2 < 4 -> kept score 2; doc 4 unmatched ->
+    # dropped.
+    keys = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 2, 9.0), ("k", 3, 2.0), ("k", 4, 1.0)],
+        P_SCHEMA)
+    a = spark.createDataFrame([(1, 8.0), (2, 7.0)], S_SCHEMA)
+    b = spark.createDataFrame([(3, 4.0)], S_SCHEMA)
+    out = rows(filter_by_timestamp_sets(keys, a, b))
+    assert out == [("k", 1, 3.0), ("k", 3, 2.0)]
+
+
+def test_filter_by_timestamp_now(spark):
+    keys = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 2, 9.0), ("k", 9, 100.0)], P_SCHEMA)
+    a = spark.createDataFrame([(1, 8.0), (2, 7.0)], S_SCHEMA)
+    out = rows(filter_by_timestamp_now(keys, a, now_days=1000.0))
+    # doc 1 kept (8-5=3); doc 2 dropped (9 >= 7); doc 9 unmatched ->
+    # now - score = 900
+    assert out == [("k", 1, 3.0), ("k", 9, 900.0)]
