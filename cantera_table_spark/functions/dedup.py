@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines (north star,
+BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine.
+
+Scale design notes (100 TB posture):
+
+- exact dedup is a hash-groupBy — partial aggregation map-side, one
+  shuffle on the content hash.
+- MinHash/LSH: signatures are a narrow per-doc table; the LSH band join
+  shuffles only (band_idx, band_hash) keys, and candidate verification
+  touches only colliding pairs — never the O(n^2) cross join.
+- SimHash: 32-bit signature per doc from one aggregate over exploded
+  (token-hash, bit) rows; near-dup = signatures at small Hamming
+  distance, found by banding the signature bytes.
+- all hashes derive from md5 hex substrings so a SQL oracle (DuckDB)
+  reproduces them bit-for-bit — no engine-specific hash functions in
+  semantics-bearing positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cantera_table_spark.functions.text import tokens
+
+MINHASH_PRIME = 4_294_967_311          # smallest prime > 2^32
+
+
+def md5_int(col: Column) -> Column:
+    """First 8 hex chars of md5 as an int in [0, 2^32) — the shared
+    portable base hash.  DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; canonical = min id."""
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                      F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def shingles(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """MinHash signature, long form: (doc_id, h_idx, sig).
+
+    h_i(x) = ((2i+1) * x + 12345*i + 1) mod p over the portable shingle
+    hash x; sig_i = min over the doc's shingles.
+    """
+    x = md5_int(F.col("shingle"))
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("h_idx"),
+                     (((2 * i + 1) * x + 12345 * i + 1) % MINHASH_PRIME)
+                     .alias("h"))
+            for i in range(k)])).alias("e"))
+    return (hashed.select("doc_id", "e.h_idx", "e.h")
+            .groupBy("doc_id", "h_idx").agg(F.min("h").alias("sig")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, k: int = 16
+                        ) -> DataFrame:
+    """Band the signature into ``bands`` contiguous groups of k/bands
+    rows and join on (band, band-hash): docs sharing any full band
+    become candidate pairs (a < b).  Only colliding keys shuffle."""
+    rows = k // bands
+    banded = (sigs.withColumn("band", (F.col("h_idx") / rows).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.md5(F.concat_ws(",", F.sort_array(
+                  F.collect_list(F.concat_ws(":", "h_idx", "sig")))))
+                  .alias("band_hash")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.band_hash") == F.col("b.band_hash")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing at least one shingle
+    (optionally restricted to LSH candidates): (doc_a, doc_b, jaccard).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    out = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("inter") /
+               (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+           .select("doc_a", "doc_b", "jaccard"))
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash signature: per bit, sum +/-1 over distinct token hashes;
+    bit set when the sum is positive: (doc_id, simhash)."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(tokens(F.col(text_col))))
+                      .alias("tok"))
+            .withColumn("x", md5_int(F.col("tok"))))
+    bit_rows = toks.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("bit"),
+                     (F.shiftright(F.col("x"), b) % 2 * 2 - 1)
+                     .alias("sgn"))
+            for b in range(bits)])).alias("e"))
+    return (bit_rows.select("doc_id", "e.bit", "e.sgn")
+            .groupBy("doc_id", "bit")
+            .agg(F.sum("sgn").alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+                .otherwise(F.lit(0))).alias("simhash")))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force — the exact
+    baseline; LSH-bucketed variant in functions/similarity.py)."""
+    from cantera_table_spark.functions.similarity import cosine
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

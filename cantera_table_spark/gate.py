@@ -567,3 +567,279 @@ def corr01_feature_mining(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.execute_script(
         "CORRELATE QUERY (lang:en), (lang:es);")[0]
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (north star: dedup, similarity search,
+# text analysis, multimodal) — functions/{dedup,similarity,text,multimodal}
+# ---------------------------------------------------------------------------
+
+ORACLE_SHINGLES = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM arrs, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+)
+"""
+
+
+@gate("dd01_exact_dedup", """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dd01_exact_dedup(spark, sf_dir):
+    """Exact dedup: content-hash groupBy (map-side combinable)."""
+    from cantera_table_spark.functions.dedup import exact_dedup
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dd02_minhash", ORACLE_SHINGLES + """
+SELECT doc_id, i AS h_idx,
+       min(((2 * i + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+            + 12345 * i + 1) % 4294967311) AS sig
+FROM sh, unnest(range(0, 16)) AS h(i)
+GROUP BY 1, 2
+""")
+def dd02_minhash(spark, sf_dir):
+    """MinHash signatures (k=16) over 3-gram shingles; portable md5-based
+    hash family so the oracle reproduces signatures bit-for-bit."""
+    from cantera_table_spark.functions.dedup import (minhash_signatures,
+                                                     shingles)
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(sh, k=16)
+
+
+@gate("dd03_ngram_jaccard", ORACLE_SHINGLES + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
+""")
+def dd03_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (threshold 0.12); shuffle only on
+    shared shingles, never the full cross join."""
+    from cantera_table_spark.functions.dedup import jaccard_pairs, shingles
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, min_jaccard=0.12)
+
+
+@gate("dd04_simhash", """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum((((('0x' || substr(md5(tok), 1, 8))::BIGINT >> b.bit) & 1)
+              * 2 - 1)) AS s
+  FROM toks, unnest(range(0, 32)) AS b(bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM bits GROUP BY 1
+""")
+def dd04_simhash(spark, sf_dir):
+    """SimHash 32-bit signatures from distinct-token hash bits."""
+    from cantera_table_spark.functions.dedup import simhash
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@gate("tx01_text_stats", """
+WITH arrs AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_unique_tokens,
+  round(len(list_distinct(toks)) / greatest(len(toks), 1), 4)
+    AS type_token_ratio,
+  round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                    (a, b) -> a + b) / greatest(len(toks), 1), 4)
+    AS avg_token_len,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(length(text), 1), 4) AS alpha_ratio,
+  round(length(regexp_replace(text, concat('[^.,;:!?', chr(39),
+        '"()\\[\\]-]'), '', 'g')) / greatest(length(text), 1), 4)
+    AS punct_ratio,
+  round(len(list_filter(toks, t -> list_contains(
+        ['the', 'a', 'of', 'and', 'to'], t))) / greatest(len(toks), 1), 4)
+    AS stopword_ratio
+FROM arrs
+""")
+def tx01_text_stats(spark, sf_dir):
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    from cantera_table_spark.functions.text import with_text_stats
+    d = load_table(spark, sf_dir, "documents")
+    return with_text_stats(d).drop("text", "lang", "source", "n_chars")
+
+
+@gate("tx02_token_counts", """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+    AS n_words,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+    AS n_bpe_tokens
+FROM documents
+""")
+def tx02_token_counts(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish sub-word regex."""
+    from cantera_table_spark.functions.text import with_token_counts
+    d = load_table(spark, sf_dir, "documents")
+    return with_token_counts(d).select("doc_id", "n_words", "n_bpe_tokens")
+
+
+@gate("tx03_lang_id", """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, lang,
+         round(len(list_filter(toks, t -> list_contains(sw, t)))
+               / greatest(len(toks), 1), 6) AS ratio
+  FROM arrs, (VALUES
+    ('de', ['der', 'die', 'das', 'und', 'zu']),
+    ('en', ['the', 'a', 'of', 'and', 'to']),
+    ('es', ['el', 'la', 'de', 'y', 'que']),
+    ('fr', ['le', 'la', 'de', 'et', 'que'])) AS l(lang, sw)
+),
+best AS (
+  SELECT doc_id, ratio, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ratio DESC, lang DESC) AS rk
+  FROM ratios
+)
+SELECT doc_id, ratio AS lang_ratio,
+       CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS pred_lang
+FROM best WHERE rk = 1
+""")
+def tx03_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID (argmax over per-language ratios;
+    ties break to the lexicographically greatest language — the
+    array_max struct ordering)."""
+    from cantera_table_spark.functions.text import with_lang_id
+    d = load_table(spark, sf_dir, "documents")
+    return with_lang_id(d).select("doc_id", "lang_ratio", "pred_lang")
+
+
+@gate("tx04_fingerprint", """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, list_transform(
+      list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                  x -> x <> ''),
+      x -> length(x)::BIGINT)),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+""")
+def tx04_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (polynomial fold, mod 1e9+7)."""
+    from cantera_table_spark.functions.text import with_fingerprint
+    d = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+ORACLE_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(
+        range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b))),
+      6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+)
+"""
+
+
+@gate("sim01_brute_topk", ORACLE_COSINE + """
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def sim01_brute_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbours for query vectors vec_id < 10 —
+    identical left-fold double accumulation on both engines."""
+    from cantera_table_spark.functions.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@gate("sim02_ivf_topk")
+def sim02_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (scale path): bucket by nearest seed
+    centroid, probe 2 buckets.  Approximate by construction -> rows-only
+    check; recall vs sim01 is asserted in tests/test_similarity.py."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_topk, seed_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n=8)
+    indexed = ivf_assign(emb, cents)
+    return ivf_topk(indexed, cents, emb.filter(F.col("vec_id") < 10),
+                    k=5, nprobe=2)
+
+
+@gate("dd05_embedding_neardup", ORACLE_COSINE.replace(
+    "WHERE vec_id < 10", "") + """
+SELECT query_id AS id_a, neighbor_id AS id_b, cos
+FROM scored WHERE query_id < neighbor_id AND cos >= 0.8
+""")
+def dd05_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.8)."""
+    from cantera_table_spark.functions.dedup import embedding_near_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+@gate("mm01_decode_media", """
+SELECT doc_id AS media_id,
+       octet_length(text::BLOB)::INTEGER AS n_bytes,
+       lower(hex(substr(text, 1, 4))) AS header_hex,
+       (list_reduce(list_prepend(0::BIGINT, list_transform(
+          range(1, octet_length(text::BLOB) + 1),
+          i -> ord(substr(text, i, 1))::BIGINT)),
+          (a, b) -> a + b)) % 2147483648 AS byte_checksum
+FROM documents
+""")
+def mm01_decode_media(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads 'decoded' by an
+    Arrow-batched Pandas UDF (deterministic byte-level fake; codec stub
+    marked in functions/multimodal.py)."""
+    from cantera_table_spark.functions.multimodal import (
+        decode_media, media_from_documents)
+    d = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(d))

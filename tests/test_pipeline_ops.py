@@ -1,0 +1,139 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+text / multimodal)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def docs(spark):
+    from cantera_table_spark.model import load_table
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def emb(spark):
+    from cantera_table_spark.model import load_table
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from cantera_table_spark.functions.dedup import exact_dedup
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    out = {r.canonical_id: r.n_copies for r in exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_and_jaccard(spark):
+    from cantera_table_spark.functions.dedup import jaccard_pairs, shingles
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z q q")],
+        "doc_id long, text string")
+    sh = shingles(d, n=3)
+    # doc1: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d x} -> 2/4
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_pairs(sh).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_minhash_lsh_candidates_contain_near_dups(spark):
+    from cantera_table_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingles)
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+            (3, "completely different words about spark engines here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingles(d, n=2), k=16)
+    assert sigs.count() == 3 * 16
+    cands = {(r.doc_a, r.doc_b)
+             for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_simhash_similar_docs_close(spark):
+    from cantera_table_spark.functions.dedup import simhash
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in simhash(d).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_brute_force_topk_shape_and_selfexclusion(spark):
+    from cantera_table_spark.functions.similarity import brute_force_topk
+    e = emb(spark)
+    out = brute_force_topk(e, e.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cos <= 1.0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, seed_centroids)
+    e = emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=5).collect()
+    cents = seed_centroids(e, n=8)
+    approx = ivf_topk(ivf_assign(e, cents), cents, q, k=5, nprobe=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_lang_id_and_stats(spark):
+    from cantera_table_spark.functions.text import (with_lang_id,
+                                                    with_text_stats)
+    d = spark.createDataFrame(
+        [(1, "the cat of the house and a dog"),
+         (2, "el perro y la casa de que si"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in with_lang_id(d).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+    st = with_text_stats(d).filter(F.col("doc_id") == 1).collect()[0]
+    assert st.n_tokens == 8 and 0 < st.stopword_ratio <= 1
+
+
+def test_fingerprint_properties(spark):
+    from cantera_table_spark.functions.text import with_fingerprint
+    d = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb cc"), (3, "aa bb cc dd")],
+        "doc_id long, text string")
+    fp = {r.doc_id: r.fingerprint for r in with_fingerprint(d).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_decode_and_frames(spark):
+    from cantera_table_spark.functions.multimodal import (
+        decode_media, frame_sample, media_from_documents)
+    media = media_from_documents(docs(spark).limit(5))
+    dec = decode_media(media).collect()
+    assert len(dec) == 5
+    for r in dec:
+        assert r.n_bytes > 0 and len(r.header_hex) == 8
+        assert 0 <= r.byte_checksum < 2_147_483_648
+    frames = frame_sample(media, every_n_bytes=64)
+    got = frames.groupBy("media_id").count().collect()
+    n_bytes = {r.media_id: r.n_bytes for r in dec}
+    for r in got:
+        expect = -(-n_bytes[r.media_id] // 64)
+        assert r["count"] == expect
+
+
+def test_decode_real_is_marked_stub():
+    import pytest
+    from cantera_table_spark.functions.multimodal import decode_image_real
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
