@@ -843,3 +843,12 @@ def mm01_decode_media(spark, sf_dir):
         decode_media, media_from_documents)
     d = load_table(spark, sf_dir, "documents")
     return decode_media(media_from_documents(d))
+
+
+@gate("a06_posting_counts", ORACLE_POSTINGS + """
+SELECT keyword, count(*) AS n_postings FROM idx GROUP BY 1
+""")
+def a06_posting_counts(spark, sf_dir):
+    """A6: per-key posting counts (ca-dump --count, ca-dump.cc:340-367)."""
+    from cantera_table_spark.sources.dump import dump_counts
+    return dump_counts(testdata_catalog(spark, sf_dir))

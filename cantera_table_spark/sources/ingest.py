@@ -1,0 +1,186 @@
+"""Batch ingest — the ``ca-load`` equivalent (reference ca-load.cc).
+
+The reference streams TSV through a state machine into sorted table
+builders; here the same semantics are DataFrame transforms ending in a
+sorted Parquet write.  Spark's shuffle replaces the k-way heap merge
+(merge.cc:120-184), its external sort replaces the spill-sort builder
+(table-backend-writeonce.cc:761-905), and ``--shard-count/index``
+process sharding becomes partitioning.
+
+Input shapes (ca-load.cc:233-391):
+- summaries:    ``KEY<TAB>JSON``
+- index:        ``KEY<TAB>DOCNAME``        (doc resolved to doc_id, S10)
+- time-series:  ``KEY<TAB>DATE<TAB>VALUE`` (date via strptime fmt, S9)
+
+Merge modes on duplicate (key, offset) across inputs
+(ca-load.cc:409-541): sum | union (scores must agree) | pick-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class MergeError(ValueError):
+    pass
+
+
+def _apply_key_options(df: DataFrame, key_col: str = "key",
+                       key_filter: str | None = None,
+                       strip_key_prefix: str | None = None,
+                       add_key_prefix: str | None = None,
+                       shard_count: int | None = None,
+                       shard_index: int | None = None) -> DataFrame:
+    """F8 key options (ca-load.cc:183-214, 543-568): RE2 filter, prefix
+    strip/add, hash sharding.
+
+    The reference shards with an FNV-ish hash (util.h:86); sharding only
+    partitions work across processes, so any stable hash is
+    semantics-preserving — we use xxhash64 (documented divergence).
+    """
+    if key_filter is not None:
+        df = df.filter(F.col(key_col).rlike(key_filter))
+    if strip_key_prefix:
+        df = df.withColumn(
+            key_col,
+            F.when(F.col(key_col).startswith(strip_key_prefix),
+                   F.expr(f"substring({key_col}, "
+                          f"{len(strip_key_prefix) + 1})"))
+            .otherwise(F.col(key_col)))
+    if add_key_prefix:
+        df = df.withColumn(key_col,
+                           F.concat(F.lit(add_key_prefix), F.col(key_col)))
+    if shard_count:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(key_col)), shard_count)
+            == (shard_index or 0))
+    return df
+
+
+def _unescape_tsv(col):
+    """TSV unescape: ``\\\\``, ``\\n``, ``\\r``, ``\\t``
+    (ca-load.cc:238-253, format.cc:247-268).  A NUL sentinel protects
+    literal backslashes from the later replacements."""
+    c = F.regexp_replace(col, r"\\\\", "\x00")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    return F.translate(c, "\x00", "\\")
+
+
+def read_tsv_timeseries(spark: SparkSession, path: str,
+                        date_format: str = "yyyy-MM-dd HH:mm:ss",
+                        threshold: float | None = None,
+                        **key_options) -> DataFrame:
+    """S7+S9: ``KEY<TAB>DATE<TAB>VALUE`` -> (key, ts, value).
+
+    ``threshold`` is F7 (--threshold: drop values below S at load,
+    ca-load.cc:191-199).
+    """
+    raw = (spark.read.option("sep", "\t")
+           .schema("key string, date string, value double")
+           .csv(path))
+    df = (raw.select(_unescape_tsv(F.col("key")).alias("key"),
+                     F.try_to_timestamp(F.col("date"), F.lit(date_format)).alias("ts"),
+                     "value")
+          .filter(F.col("ts").isNotNull()))
+    if threshold is not None:
+        df = df.filter(F.col("value") >= threshold)
+    return _apply_key_options(df, **key_options)
+
+
+def read_tsv_postings(spark: SparkSession, path: str, documents: DataFrame,
+                      score_col: bool = False,
+                      threshold: float | None = None,
+                      **key_options) -> DataFrame:
+    """S7+S10: ``KEY<TAB>DOCNAME[<TAB>SCORE]`` -> (keyword, doc_id,
+    score); document names resolve to doc_ids through the summary table
+    (the reference resolved them to byte addresses, ca-load.cc:282-295).
+    Unknown documents are dropped (reference errors; at 100 TB a
+    quarantine sink is the right posture — divergence documented)."""
+    schema = "key string, docname string" + \
+             (", score double" if score_col else "")
+    raw = spark.read.option("sep", "\t").schema(schema).csv(path)
+    df = raw.select(
+        _unescape_tsv(F.col("key")).alias("keyword"),
+        _unescape_tsv(F.col("docname")).alias("docname"),
+        (F.col("score") if score_col else F.lit(0.0)).alias("score"))
+    df = _apply_key_options(df, key_col="keyword", **key_options)
+    if threshold is not None:
+        df = df.filter(F.col("score") >= threshold)
+    return (df.join(documents.select("doc_id", "key"),
+                    df.docname == documents.key)
+            .select("keyword", "doc_id", "score"))
+
+
+def read_tsv_summaries(spark: SparkSession, path: str,
+                       **key_options) -> DataFrame:
+    """S7: ``KEY<TAB>JSON`` -> (doc_id, key, doc); doc_id assigned by
+    dense key rank (stable, join-friendly — replaces byte offsets)."""
+    raw = (spark.read.option("sep", "\t")
+           .schema("key string, doc string").csv(path))
+    df = _apply_key_options(
+        raw.select(_unescape_tsv(F.col("key")).alias("key"), "doc"),
+        **key_options)
+    w = Window.orderBy("key")
+    # dense_rank over a global sort: acceptable at ingest (one pass);
+    # at 100 TB use zipWithIndex-per-partition + offset or a monotonic id
+    # plus a mapping table.
+    return df.withColumn("doc_id", F.dense_rank().over(w) - 1) \
+             .select("doc_id", "key", "doc")
+
+
+def merge_tables(tables: list[DataFrame], mode: str = "union",
+                 key_cols: tuple[str, ...] = ("key", "ts"),
+                 value_col: str = "value") -> DataFrame:
+    """A3-A5 merge modes over N inputs (ca-load.cc:393-541).
+
+    - ``sum``: duplicate (key, offset) values summed.
+    - ``union``: duplicates must agree on the value, else MergeError
+      (reference KJ_REQUIRE, ca-load.cc:477-481).
+    - ``pick-one``: first table wins (table order = priority; the
+      reference prefers percentile-bearing entries, ca-load.cc:482-489 —
+      here: lowest table index).
+    """
+    tagged = [t.withColumn("__src", F.lit(i)) for i, t in enumerate(tables)]
+    allt = tagged[0]
+    for t in tagged[1:]:
+        allt = allt.unionByName(t)
+    keys = [F.col(c) for c in key_cols]
+    if mode == "sum":
+        return (allt.groupBy(*keys)
+                .agg(F.sum(value_col).alias(value_col)))
+    if mode == "union":
+        agg = (allt.groupBy(*keys)
+               .agg(F.min(value_col).alias("__min"),
+                    F.max(value_col).alias("__max"),
+                    F.first(value_col).alias(value_col)))
+        bad = agg.filter(F.col("__min") != F.col("__max"))
+        n_bad = bad.limit(1).count()
+        if n_bad:
+            row = bad.first()
+            raise MergeError(
+                f"union merge: conflicting values for key "
+                f"{tuple(row[c] for c in key_cols)}")
+        return agg.drop("__min", "__max")
+    if mode == "pick-one":
+        w = Window.partitionBy(*keys).orderBy("__src")
+        return (allt.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src"))
+    raise ValueError(f"unknown merge mode {mode!r}")
+
+
+def write_postings(postings: DataFrame, path: str,
+                   n_buckets: int | None = None) -> None:
+    """S11/S12: sorted table write.  Keyword-hash partitioning + in-file
+    (keyword, doc_id) sort gives leaf lookups partition pruning plus
+    row-group stats pruning — the Parquet analogue of the reference's
+    block index + hash index (table-backend-writeonce.cc:488-636,
+    1209-1298)."""
+    n = n_buckets or 32
+    (postings
+     .repartition(n, "keyword")
+     .sortWithinPartitions("keyword", "doc_id")
+     .write.mode("overwrite").parquet(path))

@@ -1,0 +1,63 @@
+"""Structured Streaming ingest edge (SURVEY.md §2.9).
+
+The reference is batch-only (stdin -> write-once tables); its update
+model is "rebuild + override tables" (README.md:37-46).  The streaming
+edge maps that naturally onto Spark:
+
+- file/Kafka source -> the same parse/transform as batch ingest ->
+  Parquet sink in append mode (base table).
+- late corrections land in an ``overrides`` table (the reference's
+  summary-override layer) instead of rewriting the base — the override
+  join at query time (engine.query_stmt) already patches them in.
+- windowed rollups use event-time watermarks for late data.
+
+Kept deliberately thin: statement semantics stay in the batch engine;
+streaming only feeds tables (north-star guidance in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cantera_table_spark.sources.ingest import _unescape_tsv
+
+
+def stream_tsv_timeseries(spark: SparkSession, path: str,
+                          date_format: str = "yyyy-MM-dd HH:mm:ss",
+                          ) -> DataFrame:
+    """Streaming variant of sources.ingest.read_tsv_timeseries: a file
+    source watching ``path`` for new TSV drops."""
+    raw = (spark.readStream.option("sep", "\t")
+           .schema("key string, date string, value double")
+           .csv(path))
+    return (raw.select(_unescape_tsv(F.col("key")).alias("key"),
+                       F.try_to_timestamp(F.col("date"), F.lit(date_format)).alias("ts"),
+                       "value")
+            .filter(F.col("ts").isNotNull()))
+
+
+def windowed_rollup(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed aggregate with a late-data watermark — the
+    streaming analogue of the daily rollup (gate ts01)."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("key", F.window("ts", window).alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("total"))
+            .select("key", F.col("w.start").alias("window_start"),
+                    "n", "total"))
+
+
+def start_parquet_sink(stream: DataFrame, path: str, checkpoint: str,
+                       trigger_once: bool = True):
+    """Append the stream into the Parquet base table (exactly-once via
+    checkpointing; at scale this is the Delta/Iceberg commit point)."""
+    writer = (stream.writeStream.format("parquet")
+              .option("path", path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,91 @@
+"""End-to-end QUERY statement tests: JSON envelope, overrides,
+external-document expansion, thresholds headers."""
+
+import pytest
+
+from cantera_table_spark.engine import Engine
+from cantera_table_spark.model import Catalog
+
+
+@pytest.fixture()
+def catalog(spark):
+    postings = spark.createDataFrame(
+        [("alpha", 0, 2.0), ("alpha", 1, 1.0), ("alpha", 2, 5.0),
+         ("beta", 1, 4.0), ("beta", 2, 1.0),
+         ("name:example.com", 0, 0.0), ("name:other.org", 2, 0.0),
+         ("days", 0, 19000.0), ("days", 1, 19010.0), ("days", 2, 19020.0)],
+        "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame(
+        [(0, "d0", '{"title":"zero","rank":3}'),
+         (1, "d1", '{"title":"one"}'),
+         (2, "d2", '{"title":"two","rank":9}')],
+        "doc_id long, key string, doc string")
+    overrides = spark.createDataFrame(
+        [("d1", '{"title":"ONE-PATCHED","extra":true}')],
+        "key string, doc string")
+    return Catalog(summaries=[docs], indexes=[postings],
+                   overrides=[overrides],
+                   keyword_meta=[("days", False, "timestamped")])
+
+
+def test_envelope_and_override_patching(spark, catalog):
+    eng = Engine(catalog, unique_postings=True)
+    res = eng.execute_script("QUERY (alpha) LIMIT 2;")[0]
+    assert res["result-count"] == 3
+    assert [r["_key"] for r in res["result"]] == ["d2", "d0"]
+    assert res["result"][0]["title"] == "two"
+
+    res = eng.execute_script("QUERY (beta) LIMIT 1;")[0]
+    # doc 1 (score 4) tops; its override patches title and adds a field
+    r = res["result"][0]
+    assert r["_key"] == "d1" and r["title"] == "ONE-PATCHED"
+    assert r["extra"] is True
+
+
+def test_keys_only_and_offset_beyond(spark, catalog):
+    eng = Engine(catalog, unique_postings=True)
+    assert eng.execute_script(
+        "QUERY KEYS FOR (alpha) LIMIT 2;")[0] == ["d2", "d0"]
+    assert eng.execute_script("QUERY (alpha) LIMIT 2 OFFSET 99;")[0] == []
+
+
+def test_threshold_headers_numeric_and_date(spark, catalog):
+    eng = Engine(catalog, unique_postings=True)
+    res = eng.execute_script(
+        "QUERY (alpha) THRESHOLDS 0,3,6 FOR KEY 'alpha' LIMIT 10;")[0]
+    headers = {r["_key"]: (r["_header"], r["_header_key"])
+               for r in res["result"]}
+    assert headers["d0"] == ("0–3", "AAAAB")
+    assert headers["d2"] == ("3–6", "AAAAC")
+
+    # timestamped key -> date-formatted headers (X2)
+    res = eng.execute_script(
+        "QUERY (alpha) THRESHOLDS 18990,19015,19030 FOR KEY 'days' "
+        "LIMIT 10;")[0]
+    hdrs = {r["_key"]: r["_header"] for r in res["result"]}
+    # day 18990 = 1970-01-01 + 18990d = December 2021
+    assert hdrs["d0"].startswith("December") and "–" in hdrs["d0"]
+    assert hdrs["d2"].startswith("January")
+
+
+def test_external_expansion_with_fake_fetcher(spark, catalog):
+    """S3 FIELD-in:KEY (query.cc:222-305) with an injected blob."""
+    blob = "{Section One} www.example.com junk...\nother.org trailing"
+    eng = Engine(catalog, unique_postings=True,
+                 blob_fetcher=lambda key: blob)
+    res = eng.execute_script("QUERY (name-in:someblob) LIMIT 10;")[0]
+    keys = {r["_key"] for r in res["result"]}
+    assert keys == {"d0", "d2"}
+    by_key = {r["_key"]: r for r in res["result"]}
+    # example.com carried the "{Section One}" header
+    assert by_key["d0"]["_header"] == "Section One"
+    assert by_key["d0"]["_header_key"] == "000000"
+    # other.org appeared after the header section ended -> same header
+    # state per reference semantics (header persists until next '{')
+    assert "_header" in by_key["d2"]
+
+
+def test_parse_statement_echo(spark, catalog):
+    eng = Engine(catalog, unique_postings=True)
+    out = eng.execute_script("PARSE MAX(alpha) ORDER BY beta;")[0]
+    assert out == "(MAX(alpha) ORDER BY beta)"
