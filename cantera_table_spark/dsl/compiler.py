@@ -177,12 +177,14 @@ class QueryCompiler:
         if isinstance(node, ast.Binary):
             lhs = self.compile(node.lhs)
             if node.op == "and":
-                return sa.intersect_and(lhs, self.compile(node.rhs))
+                return sa.intersect_and(lhs, self.compile(node.rhs),
+                                        unique=self.unique)
             if node.op == "or":
                 return sa.union_or(lhs, self.compile(node.rhs),
                                    unique=self.unique)
             if node.op == "subtract":
-                return sa.subtract(lhs, self.compile(node.rhs))
+                return sa.subtract(lhs, self.compile(node.rhs),
+                                   unique=self.unique)
             if node.op == "orderby":
                 return sa.order_by(lhs, self.compile(node.rhs),
                                    unique=self.unique)
@@ -200,5 +202,15 @@ class QueryCompiler:
 
     def process_query(self, node: ast.Node, use_max: bool = True
                       ) -> DataFrame:
-        """ProcessQuery (query.cc:624-628): compile + final dedup."""
-        return sa.dedup(self.compile(node), use_max=use_max)
+        """ProcessQuery (query.cc:624-628): compile + final dedup.
+
+        With ``unique_postings`` every operator preserves at-most-one-
+        row-per-doc (see operators/set_algebra.py), so the final dedup
+        is an identity — skipping it removes a whole shuffle from every
+        query (at scale: the difference between one exchange per query
+        and none for broadcast-able plans).
+        """
+        df = self.compile(node)
+        if self.unique:
+            return df
+        return sa.dedup(df, use_max=use_max)

@@ -52,14 +52,23 @@ def _run_rank(df: DataFrame) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w))
 
 
-def intersect_and(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
-    """``a AND b`` — left semi join (query.cc:96-125, 429-438)."""
-    return lhs.join(rhs.select(_DOC).distinct(), _DOC, "left_semi")
+def intersect_and(lhs: DataFrame, rhs: DataFrame,
+                  unique: bool = False) -> DataFrame:
+    """``a AND b`` — left semi join (query.cc:96-125, 429-438).
+
+    Semi joins ignore rhs duplicates, so the explicit distinct only
+    exists to shrink the broadcast side; with ``unique`` inputs it is
+    skipped (saves the rhs pre-shuffle entirely).
+    """
+    rhs_docs = rhs.select(_DOC) if unique else rhs.select(_DOC).distinct()
+    return lhs.join(rhs_docs, _DOC, "left_semi")
 
 
-def subtract(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+def subtract(lhs: DataFrame, rhs: DataFrame,
+             unique: bool = False) -> DataFrame:
     """``a - b`` / ``a AND NOT b`` — left anti join (query.cc:358-392)."""
-    return lhs.join(rhs.select(_DOC).distinct(), _DOC, "left_anti")
+    rhs_docs = rhs.select(_DOC) if unique else rhs.select(_DOC).distinct()
+    return lhs.join(rhs_docs, _DOC, "left_anti")
 
 
 def union_or(lhs: DataFrame, rhs: DataFrame, unique: bool = False
