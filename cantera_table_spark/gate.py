@@ -852,3 +852,64 @@ def a06_posting_counts(spark, sf_dir):
     """A6: per-key posting counts (ca-dump --count, ca-dump.cc:340-367)."""
     from cantera_table_spark.sources.dump import dump_counts
     return dump_counts(testdata_catalog(spark, sf_dir))
+
+
+@gate("ts05_prediction_bands", """
+SELECT event_type AS key,
+       round(quantile_cont(value, 0.05), 4) AS pct5,
+       round(quantile_cont(value, 0.25), 4) AS pct25,
+       round(quantile_cont(value, 0.75), 4) AS pct75,
+       round(quantile_cont(value, 0.95), 4) AS pct95
+FROM events GROUP BY 1
+""")
+def ts05_prediction_bands(spark, sf_dir):
+    """Percentile prediction bands per series (the generator for the
+    reference's score_pct5..95 band columns, ca-table.h:89-106)."""
+    from cantera_table_spark.functions.timeseries import prediction_bands
+    e = load_table(spark, sf_dir, "events")
+    return prediction_bands(e.select(F.col("event_type").alias("key"),
+                                     "value"))
+
+
+@gate("ts06_band_outliers", """
+WITH bands AS (
+  SELECT event_type AS key,
+         round(quantile_cont(value, 0.05), 4) AS pct5,
+         round(quantile_cont(value, 0.25), 4) AS pct25,
+         round(quantile_cont(value, 0.75), 4) AS pct75,
+         round(quantile_cont(value, 0.95), 4) AS pct95
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, b.key, e.value,
+       CASE WHEN e.value < b.pct5 THEN 'low' ELSE 'high' END AS direction
+FROM events e JOIN bands b ON b.key = e.event_type
+WHERE e.value < b.pct5 OR e.value > b.pct95
+""")
+def ts06_band_outliers(spark, sf_dir):
+    """Out-of-band detection: values outside their series' 5-95 band."""
+    from cantera_table_spark.functions.timeseries import band_outliers
+    e = load_table(spark, sf_dir, "events")
+    ts = e.select("event_id", F.col("event_type").alias("key"), "value")
+    return band_outliers(ts).select("event_id", "key", "value", "direction")
+
+
+@gate("q16_uri_decode", ORACLE_POSTINGS + """
+SELECT doc_id, score FROM idx WHERE keyword = 'spark'
+""")
+def q16_uri_decode(spark, sf_dir):
+    """X6: leaf identifiers are %-decoded before lookup (query.cc:203):
+    'sp%61rk' finds the 'spark' postings."""
+    return _dsl(spark, sf_dir, "QUERY (sp%61rk);")
+
+
+@gate("x01_date_days", """
+SELECT event_id, epoch_us(ts) // 86400000000 AS day_number
+FROM events
+""")
+def x01_date_days(spark, sf_dir):
+    """X1/X2: timestamp -> days-since-epoch (the reference's date scalar
+    unit, query-parser.yy:204-210)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.expr("unix_micros(ts) div 86400000000")
+                    .alias("day_number"))

@@ -113,11 +113,11 @@ class Catalog:
             df = df.unionByName(other, allowMissingColumns=True)
         return df
 
-    def is_timestamped(self, key: str) -> bool:
+    def _match_kind(self, key: str, kind: str) -> bool:
         """reference keywords.h:18-45 — prefix or regex match."""
         import re
-        for pattern, is_regex, kind in self.keyword_meta:
-            if kind != "timestamped":
+        for pattern, is_regex, k in self.keyword_meta:
+            if k != kind:
                 continue
             if is_regex:
                 if re.search(pattern, key):
@@ -125,6 +125,14 @@ class Catalog:
             elif key.startswith(pattern):
                 return True
         return False
+
+    def is_timestamped(self, key: str) -> bool:
+        return self._match_kind(key, "timestamped")
+
+    def is_ephemeral(self, key: str) -> bool:
+        """Ephemeral keywords (value changes daily, keywords.cc:51-58);
+        CORRELATE skips them for event prediction (correlate.cc:536)."""
+        return self._match_kind(key, "ephemeral")
 
 
 # ---------------------------------------------------------------------------

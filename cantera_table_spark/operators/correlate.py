@@ -80,9 +80,12 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
 
     # --- split search on continuous keywords --------------------------
     # boolean feature <=> every score is zero (correlate.cc:211-217)
+    # kind and split are tiny (one row per keyword) but feed four task
+    # branches each — cache them so the window pipeline runs once, not
+    # once per branch.
     kind = k.groupBy("keyword").agg(
         (F.max(F.abs(F.col("score"))) > 0.0).alias("__continuous"),
-        F.count(F.col("cls")).alias("__n_classes"))
+        F.count(F.col("cls")).alias("__n_classes")).cache()
 
     classes = k.filter(F.col("cls").isNotNull()).join(
         kind.filter(F.col("__continuous") &
@@ -146,7 +149,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
                          (F.col("__gain") >= MIN_GAIN))
              .select("keyword", "__use_split",
                      F.col("score").alias("__mid"),
-                     F.col("__next").alias("__next_score")))
+                     F.col("__next").alias("__next_score"))).cache()
 
     # --- assemble range tasks -----------------------------------------
     # whole-range: boolean keywords + continuous without a useful split;
@@ -255,13 +258,31 @@ def correlate(engine, query_a, query_b) -> DataFrame:
                     return r
         return ""
 
+    def kind_match_col(meta, kind):
+        """Column expression for keyword-kind matching (JVM-side — a
+        Python UDF here would both unpickle-crash on the captured
+        catalog and drop the filter out of codegen)."""
+        conds = [
+            F.col("keyword").rlike(pat) if is_re
+            else F.col("keyword").startswith(pat)
+            for pat, is_re, k in meta if k == kind
+        ]
+        out = F.lit(False)
+        for c in conds:
+            out = out | c
+        return out
+
     cat = engine.catalog
     postings = cat.index().select("keyword", "doc_id", "score")
     a_ts = cat.is_timestamped(primary_keyword(query_a))
     b_ts = cat.is_timestamped(primary_keyword(query_b))
     if a_ts:
+        # Event prediction discards ephemeral keywords entirely — their
+        # values change daily so they leak the future (correlate.cc:536).
+        postings = postings.filter(
+            ~kind_match_col(cat.keyword_meta, "ephemeral"))
         ts_keys = postings.filter(
-            F.udf(cat.is_timestamped, "boolean")(F.col("keyword")))
+            kind_match_col(cat.keyword_meta, "timestamped"))
         plain = postings.join(ts_keys.select("keyword").distinct(),
                               "keyword", "left_anti")
         if b_ts:

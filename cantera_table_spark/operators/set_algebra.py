@@ -79,7 +79,7 @@ def union_or(lhs: DataFrame, rhs: DataFrame, unique: bool = False
     the rhs rows.  With ``unique`` inputs this is anti-join + union-all.
     """
     if unique:
-        kept = lhs.join(rhs.select(_DOC).distinct(), _DOC, "left_anti")
+        kept = lhs.join(rhs.select(_DOC), _DOC, "left_anti")
         return kept.unionByName(rhs.select(_DOC, _SCORE))
     m = rhs.groupBy(_DOC).agg(F.count("*").alias("__m"))
     kept = (

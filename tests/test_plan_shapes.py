@@ -1,0 +1,105 @@
+"""Plan-shape regression tests: the scale properties that make this
+engine viable at 100 TB, pinned as assertions (SURVEY.md §4)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cantera_table_spark.dsl.parser import parse_script
+from cantera_table_spark.engine import Engine
+from cantera_table_spark.model import Catalog
+from cantera_table_spark.plans.inspect import plan_facts
+
+
+@pytest.fixture(scope="module")
+def parquet_catalog(spark, tmp_path_factory):
+    """A parquet-backed catalog (file scans are what pushdown applies to)."""
+    d = str(tmp_path_factory.mktemp("cat"))
+    postings = spark.range(20_000).select(
+        F.concat(F.lit("kw"), (F.col("id") % 50).cast("string"))
+        .alias("keyword"),
+        (F.col("id") % 3000).alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("score"))
+    (postings.repartition(8, "keyword")
+     .sortWithinPartitions("keyword", "doc_id")
+     .write.mode("overwrite").parquet(f"{d}/postings"))
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("key"),
+        F.lit('{"a":1}').alias("doc"))
+    docs.write.mode("overwrite").parquet(f"{d}/documents")
+    return Catalog(
+        summaries=[spark.read.parquet(f"{d}/documents")],
+        indexes=[spark.read.parquet(f"{d}/postings")])
+
+
+def q(spark, catalog, text, unique=True):
+    eng = Engine(catalog, unique_postings=unique)
+    stmt = parse_script(text)[0]
+    return eng.query_df(stmt.query, thresholds=stmt.thresholds,
+                        limit=stmt.limit, offset=stmt.offset)
+
+
+def test_leaf_lookup_pushes_keyword_filter(spark, parquet_catalog):
+    facts = plan_facts(q(spark, parquet_catalog, "QUERY (kw7);"))
+    assert facts.pushed("EqualTo(keyword,kw7)")
+    assert not facts.has_python_eval
+
+
+def test_and_topk_is_shuffle_free_broadcast(spark, parquet_catalog):
+    facts = plan_facts(
+        q(spark, parquet_catalog, "QUERY (kw7 AND kw9) LIMIT 10;"))
+    assert facts.n_shuffles == 0, facts.text
+    assert facts.n_broadcasts >= 1
+    assert facts.has_take_ordered        # top-k, not full sort
+    assert facts.pushed("EqualTo(keyword,kw7)")
+    assert facts.pushed("EqualTo(keyword,kw9)")
+
+
+def test_semi_join_prunes_score_column_on_probe_side(spark,
+                                                     parquet_catalog):
+    facts = plan_facts(
+        q(spark, parquet_catalog, "QUERY (kw7 AND kw9) LIMIT 10;"))
+    # rhs scan must not read `score` (column pruning)
+    rhs_schemas = [s for s in facts.read_schemas if "score" not in s]
+    assert rhs_schemas, facts.read_schemas
+
+
+def test_prefix_scan_pushes_startswith(spark, parquet_catalog):
+    facts = plan_facts(q(spark, parquet_catalog, "QUERY (in-kw1:w);"))
+    assert facts.pushed("StringStartsWith(keyword,kw1)")
+
+
+def test_or_in_unique_mode_stays_shuffle_free(spark, parquet_catalog):
+    facts = plan_facts(
+        q(spark, parquet_catalog, "QUERY (kw7 OR kw9) LIMIT 10;"))
+    assert facts.n_shuffles == 0, facts.text
+
+
+def test_general_mode_dedup_costs_one_shuffle(spark, parquet_catalog):
+    facts = plan_facts(
+        q(spark, parquet_catalog, "QUERY (kw7) LIMIT 10;", unique=False))
+    assert facts.n_shuffles == 1  # the ProcessQuery dedup groupBy
+
+
+def test_select_matrix_has_no_python_eval(spark, parquet_catalog):
+    from cantera_table_spark.dsl.parser import parse_query
+    eng = Engine(parquet_catalog, unique_postings=True)
+    df = eng.select_df([parse_query("kw3"), parse_query("kw4")],
+                       parse_query("kw5"))
+    facts = plan_facts(df)
+    assert not facts.has_python_eval
+
+
+def test_correlate_pipeline_shuffle_budget(spark, parquet_catalog):
+    """CORRELATE is the heaviest statement; pin its shuffle count so a
+    regression (e.g. a lost broadcast or an extra repartition) fails
+    loudly rather than silently doubling the bill at scale."""
+    eng = Engine(parquet_catalog, unique_postings=True)
+    stmt = parse_script("CORRELATE QUERY (kw1), (kw2);")[0]
+    df = eng.execute(stmt)
+    facts = plan_facts(df)
+    # distinct partitionings, not raw Exchange nodes: cached subtrees
+    # (kind/split/k) print their plans inline once per consumer
+    assert len(facts.distinct_shuffle_keys()) <= 8, \
+        facts.distinct_shuffle_keys()
