@@ -40,10 +40,12 @@ class QueryCompiler:
     """
 
     def __init__(self, catalog: Catalog, unique_postings: bool = False,
-                 blob_fetcher: Callable[[str], str] | None = None):
+                 blob_fetcher: Callable[[str], str] | None = None,
+                 f32_scores: bool = False):
         self.catalog = catalog
         self.unique = unique_postings
         self.blob_fetcher = blob_fetcher
+        self.f32 = f32_scores
         # doc_id -> {"_header": ..., "_header_key": ...} side-channel from
         # FIELD-in:KEY expansion (reference extra_data, query.cc:57,293-299)
         self.extra: DataFrame | None = None
@@ -65,7 +67,15 @@ class QueryCompiler:
         """
         key = unquote(token)
         idx = self.catalog.index()
-        return idx.filter(F.col("keyword") == key).select("doc_id", "score")
+        score = F.col("score")
+        if self.f32:
+            # Reference scores are float32 (ca-table.h:100).  Fidelity
+            # mode quantizes through float32 on read so `=`/threshold
+            # comparisons see exactly the values the reference stores
+            # (SURVEY.md §7 hard-item 3); computation stays in float64.
+            score = score.cast("float").cast("double")
+        return (idx.filter(F.col("keyword") == key)
+                .select("doc_id", score.alias("score")))
 
     def _lookup_prefix(self, token: str) -> DataFrame:
         """S2 ``in-KEY:PARAM`` (query.cc:306-352): keys with prefix KEY

@@ -28,17 +28,22 @@ from cantera_table_spark.operators import set_algebra as sa
 
 class Engine:
     def __init__(self, catalog: Catalog, unique_postings: bool = False,
-                 blob_fetcher: Callable[[str], str] | None = None):
+                 blob_fetcher: Callable[[str], str] | None = None,
+                 f32_scores: bool = False):
         self.catalog = catalog
         self.unique_postings = unique_postings
         self.blob_fetcher = blob_fetcher
-        # session parameters (reference SET statement, statement.cc:35-48)
-        self.output_format = "json"
+        self.f32_scores = f32_scores
+        # session parameters (reference SET statement, statement.cc:35-48;
+        # default CSV per output.cc:32)
+        self.output_format = "csv"
         self.time_format = "%Y-%m-%d %H:%M:%S"
 
     def _compiler(self) -> QueryCompiler:
-        return QueryCompiler(self.catalog, unique_postings=self.unique_postings,
-                             blob_fetcher=self.blob_fetcher)
+        return QueryCompiler(self.catalog,
+                             unique_postings=self.unique_postings,
+                             blob_fetcher=self.blob_fetcher,
+                             f32_scores=self.f32_scores)
 
     # ------------------------------------------------------------------
     # Script / statement entry points

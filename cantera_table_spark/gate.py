@@ -913,3 +913,63 @@ def x01_date_days(spark, sf_dir):
     return e.select("event_id",
                     F.expr("unix_micros(ts) div 86400000000")
                     .alias("day_number"))
+
+
+@gate("q17_external_expansion", ORACLE_POSTINGS + """
+SELECT DISTINCT doc_id, 0.0::DOUBLE AS score FROM idx
+WHERE keyword IN ('src:src12', 'src:src3', 'src:src7')
+""")
+def q17_external_expansion(spark, sf_dir):
+    """S3: FIELD-in:KEY external-document expansion (query.cc:222-305)
+    with an injected blob resolver: domain-ish names are extracted from
+    the blob ('www.' stripped, <3-char names rejected) and looked up as
+    FIELD:name; distinct doc union, scores zeroed."""
+    eng = Engine(testdata_catalog(spark, sf_dir), unique_postings=True,
+                 blob_fetcher=lambda key:
+                 "{Header A} www.src12 en src3\nsrc7 x..")
+    stmt = parse_script("QUERY (src-in:blobkey);")[0]
+    return eng.query_df(stmt.query, limit=stmt.limit)
+
+
+@gate("ts07_union_merge", """
+SELECT event_type AS key, ts, value FROM events
+""")
+def ts07_union_merge(spark, sf_dir):
+    """A4/J9: union merge mode — overlapping shards must agree on values
+    (ca-load.cc:477-481); three overlapping event shards re-merge to the
+    original table (k-way heap merge -> shuffle)."""
+    from cantera_table_spark.sources.ingest import merge_tables
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), "ts", "value")
+    shards = [e.filter(F.pmod(F.xxhash64("key", "ts"), 2) == i)
+              for i in range(2)]
+    # 10% overlap with agreeing values (same source rows)
+    shards.append(e.filter(F.pmod(F.xxhash64("key", "ts"), 10) == 0))
+    return merge_tables(shards, "union")
+
+
+@gate("q18_override_patch", ORACLE_POSTINGS + """
+SELECT d.doc_id,
+       'doc' || lpad(d.doc_id::VARCHAR, 6, '0') || '.example.com' AS key,
+       CASE WHEN d.doc_id % 10 = 0 THEN 'OVERRIDDEN' ELSE d.source END
+         AS source_final
+FROM (SELECT DISTINCT doc_id FROM idx WHERE keyword = 'spark') r
+JOIN documents d ON d.doc_id = r.doc_id
+""")
+def q18_override_patch(spark, sf_dir):
+    """S5+J7+J8: summary fetch joined with the override patch layer
+    (query.cc:809-890) as a DataFrame: override fields win over base
+    fields (derived override table: every 10th doc)."""
+    from cantera_table_spark.model import derive_documents
+    docs = derive_documents(spark, sf_dir)
+    overrides = (docs.filter(F.col("doc_id") % 10 == 0)
+                 .select("key", F.to_json(F.struct(
+                     F.lit("OVERRIDDEN").alias("source"))).alias("doc")))
+    result = _dsl(spark, sf_dir, "QUERY (spark);")
+    page = (result.join(docs, "doc_id")
+            .join(overrides.withColumnRenamed("doc", "ov_doc"),
+                  "key", "left"))
+    base = F.get_json_object("doc", "$.source")
+    patch = F.get_json_object("ov_doc", "$.source")
+    return page.select("doc_id", "key",
+                       F.coalesce(patch, base).alias("source_final"))

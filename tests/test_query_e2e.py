@@ -89,3 +89,29 @@ def test_parse_statement_echo(spark, catalog):
     eng = Engine(catalog, unique_postings=True)
     out = eng.execute_script("PARSE MAX(alpha) ORDER BY beta;")[0]
     assert out == "(MAX(alpha) ORDER BY beta)"
+
+
+def test_f32_score_fidelity(spark):
+    """SURVEY.md §7 hard-item 3: float32 quantization mode.  The value
+    1.00000012 is representable in float32; 1.000000121 is not — in
+    fidelity mode both compare equal to the stored float32."""
+    f64 = 1.000000121            # rounds to 1.00000012f in float32
+    postings = spark.createDataFrame(
+        [("q", 0, f64)], "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame([(0, "d0", "{}")],
+                                 "doc_id long, key string, doc string")
+    cat = Catalog(summaries=[docs], indexes=[postings])
+
+    import struct
+    f32 = struct.unpack("f", struct.pack("f", f64))[0]
+
+    eng64 = Engine(cat, unique_postings=True)
+    eng32 = Engine(cat, unique_postings=True, f32_scores=True)
+    import cantera_table_spark.dsl.parser as P
+
+    def score(eng):
+        df = eng.query_df(P.parse_query("q"), limit=-1)
+        return df.collect()[0].score
+
+    assert score(eng64) == f64
+    assert score(eng32) == f32 != f64
