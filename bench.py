@@ -36,10 +36,19 @@ from cantera_table_spark.session import get_spark  # noqa: E402
 from cantera_table_spark import gate  # noqa: E402
 
 BENCH_QUERIES = [
+    # search algebra + statements
     "q01_and", "q02_or", "q06_theta_join", "q07_order_by",
     "q12_thresholds", "q13_topk_page", "q15_select_matrix",
+    "corr01_feature_mining",
+    # relational analytics
     "tpch_q1_pricing", "tpch_q3_revenue", "tpch_q5_region_volume",
-    "ts01_daily_rollup", "ts04_asof_prior", "ev01_user_running",
+    # time series
+    "ts01_daily_rollup", "ts04_asof_prior", "ts05_prediction_bands",
+    "ev01_user_running",
+    # training-data pipeline
+    "dd01_exact_dedup", "dd02_minhash", "dd04_simhash",
+    "sim01_brute_topk", "tx01_text_stats", "tx04_fingerprint",
+    "mm01_decode_media",
 ]
 
 

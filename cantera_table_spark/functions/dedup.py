@@ -59,17 +59,20 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
 
     h_i(x) = ((2i+1) * x + 12345*i + 1) mod p over the portable shingle
     hash x; sig_i = min over the doc's shingles.
+
+    One pass: the base hash is materialized once per shingle, the k mins
+    aggregate in a single groupBy (map-side combined), and the wide row
+    unpivots with ``stack`` — no k-fold row explosion, no per-element
+    md5 recomputation.
     """
-    x = md5_int(F.col("shingle"))
-    hashed = sh.select(
+    hashed = sh.withColumn("__x", md5_int(F.col("shingle")))
+    aggs = [F.min(((2 * i + 1) * F.col("__x") + 12345 * i + 1)
+                  % MINHASH_PRIME).alias(f"s{i}") for i in range(k)]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{i}, s{i}" for i in range(k))
+    return wide.select(
         "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("h_idx"),
-                     (((2 * i + 1) * x + 12345 * i + 1) % MINHASH_PRIME)
-                     .alias("h"))
-            for i in range(k)])).alias("e"))
-    return (hashed.select("doc_id", "e.h_idx", "e.h")
-            .groupBy("doc_id", "h_idx").agg(F.min("h").alias("sig")))
+        F.expr(f"stack({k}, {stack}) AS (h_idx, sig)"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, k: int = 16
@@ -128,21 +131,18 @@ def simhash(df: DataFrame, text_col: str = "text",
                       F.explode(F.array_distinct(tokens(F.col(text_col))))
                       .alias("tok"))
             .withColumn("x", md5_int(F.col("tok"))))
-    bit_rows = toks.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("bit"),
-                     (F.shiftright(F.col("x"), b) % 2 * 2 - 1)
-                     .alias("sgn"))
-            for b in range(bits)])).alias("e"))
-    return (bit_rows.select("doc_id", "e.bit", "e.sgn")
-            .groupBy("doc_id", "bit")
-            .agg(F.sum("sgn").alias("s"))
-            .groupBy("doc_id")
-            .agg(F.sum(F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-                .otherwise(F.lit(0))).alias("simhash")))
+    # One aggregate computes all bit-plane sums (±1 per token hash bit),
+    # then the signature assembles JVM-side — no 32-fold row explosion.
+    sums = toks.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(F.col("x"), b) % 2 * 2 - 1).alias(f"b{b}")
+        for b in range(bits)])
+    sig = sums.columns[1:]
+    expr = None
+    for b, c in enumerate(sig):
+        term = F.when(F.col(c) > 0, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return sums.select("doc_id", expr.alias("simhash"))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
