@@ -114,13 +114,14 @@ class Catalog:
         return df
 
     def _match_kind(self, key: str, kind: str) -> bool:
-        """reference keywords.h:18-45 — prefix or regex match."""
+        """reference keywords.h:18-45 — prefix match, or full regex
+        match (RE2::FullMatch, keywords.cc:66-92)."""
         import re
         for pattern, is_regex, k in self.keyword_meta:
             if k != kind:
                 continue
             if is_regex:
-                if re.search(pattern, key):
+                if re.fullmatch(pattern, key):
                     return True
             elif key.startswith(pattern):
                 return True
@@ -133,6 +134,52 @@ class Catalog:
         """Ephemeral keywords (value changes daily, keywords.cc:51-58);
         CORRELATE skips them for event prediction (correlate.cc:536)."""
         return self._match_kind(key, "ephemeral")
+
+
+def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
+    """Parse a keywords.yaml (reference keywords.cc:20-58): top-level
+    ``ephemeral:`` / ``timestamped:`` sequences of scalars; ``/re/``
+    items are full-match regexes, anything else a prefix.
+
+    Uses PyYAML when available, else a minimal parser for exactly this
+    restricted shape (two mapping keys, scalar sequence items).
+    """
+    kinds = ("ephemeral", "timestamped")
+    try:
+        import yaml  # type: ignore
+        with open(path) as f:
+            config = yaml.safe_load(f) or {}
+        items = []
+        for kind in kinds:
+            for v in (config.get(kind) or []):
+                # a bare "- foo:" sequence item parses as {"foo": None};
+                # the intended scalar is the "foo:" prefix
+                if isinstance(v, dict) and len(v) == 1 \
+                        and next(iter(v.values())) is None:
+                    v = f"{next(iter(v))}:"
+                items.append((kind, str(v)))
+    except ImportError:
+        items = []
+        current = None
+        with open(path) as f:
+            for raw in f:
+                line = raw.split("#", 1)[0].rstrip()
+                if not line.strip():
+                    continue
+                if not line.startswith((" ", "\t", "-")) and \
+                        line.endswith(":"):
+                    name = line[:-1].strip()
+                    current = name if name in kinds else None
+                elif line.lstrip().startswith("- ") and current:
+                    items.append((current,
+                                  line.lstrip()[2:].strip().strip("'\"")))
+    meta = []
+    for kind, expr in items:
+        if len(expr) > 2 and expr.startswith("/") and expr.endswith("/"):
+            meta.append((expr[1:-1], True, kind))
+        else:
+            meta.append((expr, False, kind))
+    return meta
 
 
 # ---------------------------------------------------------------------------

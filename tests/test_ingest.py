@@ -139,3 +139,25 @@ def test_streaming_ingest_availablenow(spark, tmpdir):
             for r in roll.collect()}
     assert rows[("cpu", "2024-01-01 00:00:00")] == (2, 3.0)
     assert rows[("mem", "2024-01-01 01:00:00")] == (1, 4.0)
+
+
+def test_keywords_config_loader(tmpdir):
+    from cantera_table_spark.model import Catalog, load_keywords_config
+    p = os.path.join(tmpdir, "keywords.yaml")
+    with open(p, "w") as f:
+        f.write(
+            "# comment\n"
+            "ephemeral:\n"
+            "  - 'alexa:'\n"
+            "  - /rank:[0-9]+/\n"
+            "timestamped:\n"
+            "  - ts:\n")
+    meta = load_keywords_config(p)
+    assert ("alexa:", False, "ephemeral") in meta
+    assert ("rank:[0-9]+", True, "ephemeral") in meta
+    assert ("ts:", False, "timestamped") in meta
+    cat = Catalog(keyword_meta=meta)
+    assert cat.is_ephemeral("alexa:rank")
+    assert cat.is_ephemeral("rank:42")          # full regex match
+    assert not cat.is_ephemeral("rank:42x")     # FullMatch, not search
+    assert cat.is_timestamped("ts:visits") and not cat.is_timestamped("x")
