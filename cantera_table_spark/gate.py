@@ -973,3 +973,32 @@ def q18_override_patch(spark, sf_dir):
     patch = F.get_json_object("ov_doc", "$.source")
     return page.select("doc_id", "key",
                        F.coalesce(patch, base).alias("source_final"))
+
+
+@gate("ev02_sessionize", """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 3) AS total_value
+FROM sid GROUP BY user_id, s
+""")
+def ev02_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — batch form of the custom
+    stateful streaming operator (streaming/sessionize.py); the
+    applyInPandasWithState variant is equivalence-tested in
+    tests/test_sessionize.py."""
+    from cantera_table_spark.streaming.sessionize import sessionize_batch
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = sessionize_batch(e, gap_seconds=1800)
+    return out.withColumn("total_value", F.round("total_value", 3))

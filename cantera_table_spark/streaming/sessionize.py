@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The reference has no stateful streaming (SURVEY.md §2.9); this is the
+north-star extension ("applyInPandasWithState for custom stateful
+operators", BASELINE.json).  Events per user collapse into sessions
+closed after ``gap_seconds`` of inactivity.
+
+Two implementations with identical semantics:
+
+- ``sessionize_batch``: window-based, for batch frames and as the
+  correctness oracle (a session starts where the time since the
+  previous event exceeds the gap).
+- ``sessionize_stream``: ``applyInPandasWithState`` over a stream,
+  holding per-user open-session state and emitting sessions when the
+  gap passes or the event-time timeout fires.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800
+                     ) -> DataFrame:
+    """Batch sessionization: window boundaries where the inter-event gap
+    exceeds ``gap_seconds``."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = (events
+              .withColumn("__prev", F.lag("ts").over(w))
+              .withColumn("__new", (F.col("__prev").isNull() |
+                                    ((F.unix_micros("ts") -
+                                      F.unix_micros("__prev"))
+                                     > gap_seconds * 1_000_000))
+                          .cast("int"))
+              .withColumn("__sid", F.sum("__new").over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    return (marked.groupBy("user_id", "__sid")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .drop("__sid"))
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with per-user state.
+
+    State = the open session (start/end/count/sum).  Each batch folds
+    new events in event-time order; sessions whose gap elapsed are
+    emitted.  The event-time timeout flushes sessions for users that go
+    quiet (late data past the watermark is dropped by Spark upstream).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+             ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                closed.append((user_id, s, e, n, v))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts")
+            ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+            cur = list(state.get) if state.exists else None
+            for t_us, val in zip(ts_us, rows["value"]):
+                if cur is None:
+                    cur = [t_us, t_us, 0, 0.0]
+                elif t_us - cur[1] > gap_us:
+                    closed.append((user_id, cur[0], cur[1], cur[2],
+                                   cur[3]))
+                    cur = [t_us, t_us, 0, 0.0]
+                cur[1] = max(cur[1], int(t_us))
+                cur[2] += 1
+                cur[3] += float(val)
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [c[0] for c in closed],
+                "session_start": pd.to_datetime([c[1] for c in closed],
+                                                unit="us"),
+                "session_end": pd.to_datetime([c[2] for c in closed],
+                                              unit="us"),
+                "n_events": [c[3] for c in closed],
+                "total_value": [c[4] for c in closed],
+            })
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fold, SESSION_SCHEMA, STATE_SCHEMA, "append",
+                GroupStateTimeout.EventTimeTimeout))

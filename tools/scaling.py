@@ -1,0 +1,125 @@
+"""Scaling measurement: run key operators at 1x and Nx data volume and
+report the time ratio.  Near-linear ratios (<= ~N on a fixed-core box)
+are the evidence that plans stay shuffle/broadcast-sane as data grows —
+the local stand-in for the 100 TB posture.
+
+Usage: python tools/scaling.py [factor]   (default 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cantera_table_spark.session import get_spark  # noqa: E402
+from cantera_table_spark.model import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/cantera_scaling"
+
+
+def scaled(df, factor, id_cols):
+    """Union `factor` shifted copies so ids stay distinct."""
+    parts = []
+    for i in range(factor):
+        p = df
+        for c in id_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn):
+    t = time.monotonic()
+    fn()
+    return round(time.monotonic() - t, 2)
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark("cantera-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    events = load_table(spark, SF_DIR, "events")
+
+    # materialize 1x and Nx inputs so scans are comparable parquet reads
+    datasets = {}
+    for name, df, idc in [("documents", docs, ["doc_id"]),
+                          ("lineitem", lineitem, ["l_orderkey"]),
+                          ("events", events, ["event_id", "user_id"])]:
+        df.write.mode("overwrite").parquet(f"{WORK}/{name}_1x")
+        (scaled(df, factor, idc).repartition(32)
+         .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
+        datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
+                          spark.read.parquet(f"{WORK}/{name}_{factor}x"))
+
+    def tokenize_and_count(d):
+        toks = d.select("doc_id", F.explode(F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""))
+            .alias("keyword"))
+        p = toks.groupBy("keyword", "doc_id").agg(
+            F.count("*").cast("double").alias("score"))
+        a = p.filter(F.col("keyword") == "spark")
+        b = p.filter(F.col("keyword") == "fast").select("doc_id")
+        a.join(b, "doc_id", "left_semi").write.format("noop") \
+            .mode("overwrite").save()
+
+    def minhash(d):
+        from cantera_table_spark.functions.dedup import (
+            minhash_signatures, shingles)
+        minhash_signatures(shingles(d)).write.format("noop") \
+            .mode("overwrite").save()
+
+    def tpch_q1(l):
+        (l.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+         .write.format("noop").mode("overwrite").save())
+
+    def rollup(e):
+        (e.groupBy("event_type", F.date_trunc("day", "ts"))
+         .agg(F.count("*"), F.sum("value"))
+         .write.format("noop").mode("overwrite").save())
+
+    def asof(e):
+        fp = (e.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+        (e.join(fp, "user_id").filter(F.col("ts") < F.col("p_ts"))
+         .write.format("noop").mode("overwrite").save())
+
+    cases = [
+        ("index_build_and_query", "documents", tokenize_and_count),
+        ("minhash_dedup", "documents", minhash),
+        ("tpch_q1", "lineitem", tpch_q1),
+        ("ts_rollup", "events", rollup),
+        ("asof_join", "events", asof),
+    ]
+
+    results = {}
+    for name, ds, fn in cases:
+        d1, dn = datasets[ds]
+        fn(d1)                       # warm (plan compile, JIT)
+        t1 = timed(lambda: fn(d1))
+        tn = timed(lambda: fn(dn))
+        results[name] = {"t_1x": t1, f"t_{factor}x": tn,
+                         "ratio": round(tn / max(t1, 1e-9), 1)}
+        print(name, results[name])
+
+    print(json.dumps({"factor": factor, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
