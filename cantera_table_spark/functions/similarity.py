@@ -26,10 +26,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with double accumulation (sequential left fold —
-    same order as DuckDB's list_cosine_similarity over DOUBLE[])."""
+    same order as the DuckDB oracle's list_reduce over DOUBLE[]).
+    Zero-norm vectors yield NULL (try_divide) instead of an ANSI
+    divide-by-zero error; NULL never passes a threshold filter."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    return F.try_divide(dot(ad, bd), norm(ad) * norm(bd))
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -112,3 +114,76 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — the sub-quadratic path for embedding near-dup
+# (the exact pairing in dedup.embedding_near_dup_pairs is the oracle).
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random +/-1 hyperplanes from md5 bits (no
+    RNG state; reproducible across engines and sessions)."""
+    import hashlib
+    planes = []
+    for j in range(n_bits):
+        row = []
+        for d in range(0, dim, 16):
+            h = hashlib.md5(f"plane:{j}:{d}".encode()).digest()
+            for k in range(min(16, dim - d)):
+                row.append(1.0 if (h[k] & 1) else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id, sig): bit j set when dot(v, plane_j) > 0.  Cosine-similar
+    vectors agree on most bits (SimHash for dense vectors)."""
+    first = emb.select(F.size(vec_col).alias("n")).first()
+    dim = first["n"]
+    planes = _hyperplanes(n_bits, dim)
+    sig = None
+    for j, p in enumerate(planes):
+        pj = F.array(*[F.lit(x) for x in p])
+        d = dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), pj)
+        bit = F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("v"), sig.alias("sig"))
+
+
+def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.8,
+                       n_bits: int = 16, bands: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Banded signature join -> candidate pairs -> exact cosine verify.
+
+    Only vectors sharing a full signature band pair up, so the join
+    shuffles (band, band-bits) keys instead of forming the N^2 cross
+    product; recall vs the exact pairing is tested, not assumed.
+    """
+    rows = n_bits // bands
+    mask = (1 << rows) - 1
+    sigs = hyperplane_signature(emb, n_bits, id_col, vec_col)
+    banded = sigs.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("sig"), b * rows)
+                     .bitwiseAND(F.lit(mask)).alias("bits"))
+            for b in range(bands)])).alias("e")
+    ).select("vec_id", "v", "e.band", "e.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bits") == F.col("b.bits")) &
+                   (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .distinct())
+    return (cand.withColumn("cos", F.round(cosine(F.col("va"),
+                                                  F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

@@ -1002,3 +1002,35 @@ def ev02_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     out = sessionize_batch(e, gap_seconds=1800)
     return out.withColumn("total_value", F.round("total_value", 3))
+
+
+@gate("tx05_tfidf", ORACLE_POSTINGS + """
+, df_ AS (SELECT keyword, count(*) AS df FROM postings GROUP BY 1),
+n_ AS (SELECT count(*) AS n FROM documents)
+SELECT p.keyword, p.doc_id,
+       round(p.score * ln(n_.n / df_.df), 6) AS tfidf
+FROM postings p, n_ JOIN df_ ON df_.keyword = p.keyword
+""")
+def tx05_tfidf(spark, sf_dir):
+    """TF-IDF scoring over the derived postings — the canonical scored
+    inverted index a training pipeline feeds retrieval with."""
+    from cantera_table_spark.model import derive_postings
+    p = derive_postings(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    dfreq = p.groupBy("keyword").agg(F.count("*").alias("df"))
+    return (p.join(dfreq, "keyword")
+            .select("keyword", "doc_id",
+                    F.round(F.col("score") * F.log(F.lit(float(n)) /
+                                                   F.col("df")), 6)
+                    .alias("tfidf")))
+
+
+@gate("sim03_lsh_neardup")
+def sim03_lsh_neardup(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup (scale path; candidate set is
+    signature-banded, exact cosine verify).  Approximate recall vs the
+    exact dd05 pairing is asserted in tests -> rows-only check here."""
+    from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, threshold=0.8)

@@ -1,0 +1,58 @@
+"""Skew mitigation utilities (100 TB posture).
+
+Hot keys — a keyword present in most documents, a user with millions of
+events — overload single reducers.  Three levers, in preference order:
+
+1. AQE skew-join splitting (on by default, session.py) — handles most
+   sort-merge join skew with zero code.
+2. Two-phase salted aggregation (here): pre-aggregate on (key, salt),
+   then combine — bounds any single reducer's input at
+   rows(key)/n_salts.
+3. Broadcast the small side (compiler does this automatically via
+   Catalyst when sizes allow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(df: DataFrame, keys: list[str], value_col: str,
+                     n_salts: int = 32) -> DataFrame:
+    """Two-phase count+sum aggregation: phase 1 on (keys..., salt),
+    phase 2 combines the partials.  Algebraic aggregates only — exactly
+    the ones the posting/timeseries rollups use."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                             F.monotonically_increasing_id()),
+                  F.lit(n_salts)).alias("__salt")
+    partial = (df.withColumn("__salt", salt)
+               .groupBy(*keys, "__salt")
+               .agg(F.count("*").alias("__n"),
+                    F.sum(value_col).alias("__s")))
+    return (partial.groupBy(*keys)
+            .agg(F.sum("__n").alias("n"), F.sum("__s").alias("total")))
+
+
+def salted_semi_join(lhs: DataFrame, rhs_docs: DataFrame,
+                     key: str = "doc_id", n_salts: int = 8) -> DataFrame:
+    """Semi join with an exploded-salt build side: each rhs key is
+    replicated n_salts times so a hot probe key spreads over n_salts
+    reducers instead of one.  Use when the rhs is too big to broadcast
+    AND the probe side is skewed; otherwise the plain semi join wins."""
+    rhs_salted = rhs_docs.select(key).distinct().withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    lhs_salted = lhs.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(n_salts)))
+    return (lhs_salted.join(rhs_salted, [key, "__salt"], "left_semi")
+            .drop("__salt"))
+
+
+def top_heavy_keys(df: DataFrame, key: str, threshold_rows: int
+                   ) -> DataFrame:
+    """Diagnostic: keys whose row count exceeds the per-reducer budget
+    (feed this to decide salting / bucket splits at ingest)."""
+    return (df.groupBy(key).agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > threshold_rows)
+            .orderBy(F.col("n_rows").desc()))

@@ -137,3 +137,33 @@ def test_decode_real_is_marked_stub():
     from cantera_table_spark.functions.multimodal import decode_image_real
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_hyperplane_lsh_recall_on_planted_neardups(spark):
+    import math
+    from cantera_table_spark.functions.dedup import embedding_near_dup_pairs
+    from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
+    # 3 clusters of near-identical vectors + isolated noise vectors,
+    # deterministic construction
+    rows = []
+    vid = 0
+    for c in range(1, 4):   # c=0 would be the all-zero vector
+        base = [math.sin(0.7 * c * (d + 1)) for d in range(32)]
+        for j in range(4):
+            vec = [x + 0.01 * j * ((d % 3) - 1)
+                   for d, x in enumerate(base)]
+            rows.append((vid, vec))
+            vid += 1
+    for n in range(10):
+        rows.append((vid, [math.cos(1.3 * vid * (d + 2))
+                           for d in range(32)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(emb, 0.95).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in lsh_near_dup_pairs(emb, 0.95).collect()}
+    assert exact, "fixture must contain near-dup pairs"
+    assert approx <= exact          # verify step guarantees precision
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"

@@ -103,3 +103,34 @@ def test_correlate_pipeline_shuffle_budget(spark, parquet_catalog):
     # (kind/split/k) print their plans inline once per consumer
     assert len(facts.distinct_shuffle_keys()) <= 8, \
         facts.distinct_shuffle_keys()
+
+
+def test_salted_aggregation_matches_plain(spark):
+    from cantera_table_spark.operators.skew import (salted_count_sum,
+                                                    top_heavy_keys)
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+        .alias("key"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    plain = {(r.key): (r.n, r.total) for r in
+             df.groupBy("key").agg(F.count("*").alias("n"),
+                                   F.sum("v").alias("total")).collect()}
+    salted = {(r.key): (r.n, r.total) for r in
+              salted_count_sum(df, ["key"], "v").collect()}
+    assert salted == plain
+    heavy = [r.key for r in top_heavy_keys(df, "key", 1000).collect()]
+    assert heavy == ["hot"]
+
+
+def test_salted_semi_join_matches_plain(spark):
+    from cantera_table_spark.operators.skew import salted_semi_join
+    lhs = spark.range(5_000).select(
+        (F.col("id") % 50).alias("doc_id"),
+        F.col("id").cast("double").alias("score"))
+    rhs = spark.range(30).select((F.col("id") * 2).alias("doc_id"))
+    plain = sorted((r.doc_id, r.score) for r in
+                   lhs.join(rhs, "doc_id", "left_semi").collect())
+    salted = sorted((r.doc_id, r.score) for r in
+                    salted_semi_join(lhs, rhs).collect())
+    assert salted == plain

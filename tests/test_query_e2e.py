@@ -115,3 +115,18 @@ def test_f32_score_fidelity(spark):
 
     assert score(eng64) == f64
     assert score(eng32) == f32 != f64
+
+
+def test_golden_envelope_pagination(spark, catalog):
+    """SURVEY.md §5(c): golden JSON envelopes for QUERY pagination —
+    byte-stable serialized output across pages."""
+    import json
+    eng = Engine(catalog, unique_postings=True)
+    page1 = eng.execute_script("QUERY (alpha) LIMIT 2;")[0]
+    page2 = eng.execute_script("QUERY (alpha) LIMIT 2 OFFSET 2;")[0]
+    assert json.dumps(page1, sort_keys=True) == (
+        '{"result": [{"_key": "d2", "rank": 9, "title": "two"}, '
+        '{"_key": "d0", "rank": 3, "title": "zero"}], "result-count": 3}')
+    assert json.dumps(page2, sort_keys=True) == (
+        '{"result": [{"_key": "d1", "extra": true, '
+        '"title": "ONE-PATCHED"}], "result-count": 3}')
