@@ -67,8 +67,20 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+_CATALOG_CACHE: dict[tuple[int, str], object] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
-    return Engine(testdata_catalog(spark, sf_dir), unique_postings=True)
+    """Engine over the testdata catalog; the derived postings are
+    memoized and Spark-cached per (session, sf_dir) so a gate run's ~50
+    queries tokenize the corpus once, not once each."""
+    key = (id(spark), sf_dir)
+    cat = _CATALOG_CACHE.get(key)
+    if cat is None:
+        cat = testdata_catalog(spark, sf_dir)
+        cat.indexes = [cat.indexes[0].cache()]
+        _CATALOG_CACHE[key] = cat
+    return Engine(cat, unique_postings=True)
 
 
 def _dsl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
@@ -1034,3 +1046,31 @@ def sim03_lsh_neardup(spark, sf_dir):
     from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_near_dup_pairs(emb, threshold=0.8)
+
+
+@gate("ts08_dsl_date_filter", """
+WITH ts_postings AS (
+  SELECT 'ts:' || event_type AS keyword, user_id AS doc_id,
+         min(epoch_us(ts) // 86400000000)::DOUBLE AS score
+  FROM events GROUP BY 1, 2
+)
+SELECT doc_id, score FROM ts_postings
+WHERE keyword = 'ts:purchase' AND score >= 19725
+""")
+def ts08_dsl_date_filter(spark, sf_dir):
+    """Posting lists double as time series (reference README.md:48-56;
+    'timestamped' keywords carry dates as scores, keywords.h:18-45): the
+    DSL's Date literals become day-numbers (X1) and compare against
+    event-date scores.  2024-01-03 -> day 19725."""
+    e = load_table(spark, sf_dir, "events")
+    ts_postings = (e.groupBy(
+        F.concat(F.lit("ts:"), F.col("event_type")).alias("keyword"),
+        F.col("user_id").alias("doc_id"))
+        .agg(F.min(F.expr("unix_micros(ts) div 86400000000"))
+             .cast("double").alias("score")))
+    cat = testdata_catalog(spark, sf_dir)
+    cat = type(cat)(summaries=cat.summaries, indexes=[ts_postings],
+                    keyword_meta=[("ts:", False, "timestamped")])
+    eng = Engine(cat, unique_postings=True)
+    stmt = parse_script("QUERY (ts:purchase >= 2024-01-03);")[0]
+    return eng.query_df(stmt.query, limit=stmt.limit)

@@ -72,19 +72,28 @@ def _unescape_tsv(col):
 def read_tsv_timeseries(spark: SparkSession, path: str,
                         date_format: str = "yyyy-MM-dd HH:mm:ss",
                         threshold: float | None = None,
+                        with_bands: bool = False,
                         **key_options) -> DataFrame:
     """S7+S9: ``KEY<TAB>DATE<TAB>VALUE`` -> (key, ts, value).
 
     ``threshold`` is F7 (--threshold: drop values below S at load,
-    ca-load.cc:191-199).
+    ca-load.cc:191-199).  ``with_bands`` reads four extra percentile
+    columns (the reference's prediction bands, ca-table.h:102-105):
+    ``KEY<TAB>DATE<TAB>VALUE<TAB>P5<TAB>P25<TAB>P75<TAB>P95`` with
+    empty cells -> NULL.
     """
-    raw = (spark.read.option("sep", "\t")
-           .schema("key string, date string, value double")
-           .csv(path))
-    df = (raw.select(_unescape_tsv(F.col("key")).alias("key"),
-                     F.try_to_timestamp(F.col("date"), F.lit(date_format)).alias("ts"),
-                     "value")
-          .filter(F.col("ts").isNotNull()))
+    schema = "key string, date string, value double"
+    band_cols = ["pct5", "pct25", "pct75", "pct95"]
+    if with_bands:
+        schema += "".join(f", {c} double" for c in band_cols)
+    raw = spark.read.option("sep", "\t").schema(schema).csv(path)
+    cols = [_unescape_tsv(F.col("key")).alias("key"),
+            F.try_to_timestamp(F.col("date"),
+                               F.lit(date_format)).alias("ts"),
+            F.col("value")]
+    if with_bands:
+        cols += [F.col(c) for c in band_cols]
+    df = raw.select(*cols).filter(F.col("ts").isNotNull())
     if threshold is not None:
         df = df.filter(F.col("value") >= threshold)
     return _apply_key_options(df, **key_options)

@@ -161,3 +161,15 @@ def test_keywords_config_loader(tmpdir):
     assert cat.is_ephemeral("rank:42")          # full regex match
     assert not cat.is_ephemeral("rank:42x")     # FullMatch, not search
     assert cat.is_timestamped("ts:visits") and not cat.is_timestamped("x")
+
+
+def test_tsv_timeseries_with_bands(spark, tmpdir):
+    from cantera_table_spark.sources.ingest import read_tsv_timeseries
+    p = os.path.join(tmpdir, "bands.tsv")
+    write_lines(p, [
+        "cpu\t2024-01-01 00:00:00\t5.0\t1.0\t2.0\t8.0\t9.0",
+        "cpu\t2024-01-01 01:00:00\t6.0\t\t\t\t",   # bands absent -> NULL
+    ])
+    df = read_tsv_timeseries(spark, p, with_bands=True)
+    rows = sorted(((r.value, r.pct5, r.pct95) for r in df.collect()))
+    assert rows == [(5.0, 1.0, 9.0), (6.0, None, None)]
