@@ -16,6 +16,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from pyspark.sql import functions as F
+
 from cantera_table_spark.model import Catalog
 from cantera_table_spark.session import get_spark
 from cantera_table_spark.sources import dump
@@ -57,6 +59,13 @@ def main(argv=None) -> int:
     else:
         ts = spark.read.parquet(args.timeseries)
         df = dump.dump_timeseries(ts, time_format=args.time_format)
+
+    # TSV-escape string columns so dump -> load round-trips (reference
+    # escapes every field on export, format.cc:247-268)
+    from cantera_table_spark.sources.ingest import escape_tsv
+    for f_ in df.schema.fields:
+        if f_.dataType.simpleString() == "string":
+            df = df.withColumn(f_.name, escape_tsv(F.col(f_.name)))
 
     if args.output:
         df.write.mode("overwrite").option("sep", "\t").csv(args.output)

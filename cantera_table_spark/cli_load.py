@@ -54,11 +54,9 @@ def main(argv=None) -> int:
         shard_count=args.shard_count, shard_index=args.shard_index)
 
     if args.output_type == "summaries":
-        dfs = [read_tsv_summaries(spark, p, **key_options)
-               for p in args.inputs]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
+        # one read over all inputs: doc_id ranking must span the whole
+        # key set (per-file ranking would collide ids across files)
+        out = read_tsv_summaries(spark, args.inputs, **key_options)
         out.write.mode("overwrite").parquet(args.output)
     elif args.output_type == "index":
         if not args.summaries:
@@ -66,16 +64,17 @@ def main(argv=None) -> int:
         docs = spark.read.parquet(args.summaries)
         dfs = [read_tsv_postings(spark, p, docs, threshold=args.threshold,
                                  **key_options) for p in args.inputs]
+        # merge even for a single input: in-file duplicates must resolve
+        # so the unique-postings promise the engine relies on holds
         merged = merge_tables(dfs, args.merge_mode,
                               key_cols=("keyword", "doc_id"),
-                              value_col="score") if len(dfs) > 1 else dfs[0]
+                              value_col="score")
         write_postings(merged, args.output, n_buckets=args.buckets)
     else:
         dfs = [read_tsv_timeseries(spark, p, date_format=args.date_format,
                                    threshold=args.threshold, **key_options)
                for p in args.inputs]
-        merged = merge_tables(dfs, args.merge_mode) if len(dfs) > 1 \
-            else dfs[0]
+        merged = merge_tables(dfs, args.merge_mode)
         (merged.repartition(args.buckets, "key")
          .sortWithinPartitions("key", "ts")
          .write.mode("overwrite").parquet(args.output))

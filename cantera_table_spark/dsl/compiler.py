@@ -153,13 +153,26 @@ class QueryCompiler:
             name_rows, "keyword string, _header string, _header_key string")
         # Broadcast: the name list is tiny next to the postings table.
         hits = idx.join(F.broadcast(names_df), "keyword")
-        self.extra = (
+        extra = (
             hits.filter(F.col("_header") != "")
             .groupBy("doc_id")
             .agg(F.min(F.struct("_header_key", "_header")).alias("__h"))
             .select("doc_id", F.col("__h._header").alias("_header"),
                     F.col("__h._header_key").alias("_header_key"))
         )
+        # The reference accumulates extra_data across every external
+        # lookup in the query (query.cc:293-299) — merge, don't replace.
+        if self.extra is not None:
+            merged = self.extra.unionByName(extra)
+            extra = (merged
+                     .groupBy("doc_id")
+                     .agg(F.min(F.struct("_header_key", "_header"))
+                          .alias("__h"))
+                     .select("doc_id",
+                             F.col("__h._header").alias("_header"),
+                             F.col("__h._header_key")
+                             .alias("_header_key")))
+        self.extra = extra
         return (hits.select("doc_id").distinct()
                 .withColumn("score", F.lit(0.0)))
 

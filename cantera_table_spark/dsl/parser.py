@@ -257,10 +257,10 @@ class Parser:
         if self.at_kw("PARALLEL"):
             self.next()
             parallel = int(self.expect_number())
-        fields = [self.parse_subquery_list(stop_select=True)]
+        fields = [self.parse_subquery_list()]
         while self.at_sym(","):
             self.next()
-            fields.append(self.parse_subquery_list(stop_select=True))
+            fields.append(self.parse_subquery_list())
         self.expect_kw("FROM")
         q = self._parse_paren_query()
         with_summaries = False
@@ -310,8 +310,10 @@ class Parser:
             return True
         return False
 
-    def parse_subquery_list(self, stop_select: bool = False) -> Node:
-        """subQueryList with the flat left-assoc operator loop."""
+    def parse_subquery_list(self) -> Node:
+        """subQueryList with the flat left-assoc operator loop (stops
+        naturally at ',', FROM, and statement keywords, which are
+        neither operators nor primary starts)."""
         node = self.parse_postfix()
         while True:
             if self.at_kw("OR"):

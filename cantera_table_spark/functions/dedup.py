@@ -47,11 +47,19 @@ def shingles(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     toks = tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # sequence(1, 0) would count DOWN ([1, 0]) and slice(_, 0, n) is a
+    # runtime error, so documents with < n tokens are filtered before
+    # the shingle positions are generated.
     return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.array_distinct(sh)).alias("shingle")))
+                      toks.alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.transform(
+                        F.sequence(F.lit(1),
+                                   F.size("__toks") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"),
+                                                           i, n)))))
+                    .alias("shingle")))
 
 
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:

@@ -863,7 +863,7 @@ SELECT keyword, count(*) AS n_postings FROM idx GROUP BY 1
 def a06_posting_counts(spark, sf_dir):
     """A6: per-key posting counts (ca-dump --count, ca-dump.cc:340-367)."""
     from cantera_table_spark.sources.dump import dump_counts
-    return dump_counts(testdata_catalog(spark, sf_dir))
+    return dump_counts(_engine(spark, sf_dir).catalog)
 
 
 @gate("ts05_prediction_bands", """
@@ -936,7 +936,7 @@ def q17_external_expansion(spark, sf_dir):
     with an injected blob resolver: domain-ish names are extracted from
     the blob ('www.' stripped, <3-char names rejected) and looked up as
     FIELD:name; distinct doc union, scores zeroed."""
-    eng = Engine(testdata_catalog(spark, sf_dir), unique_postings=True,
+    eng = Engine(_engine(spark, sf_dir).catalog, unique_postings=True,
                  blob_fetcher=lambda key:
                  "{Header A} www.src12 en src3\nsrc7 x..")
     stmt = parse_script("QUERY (src-in:blobkey);")[0]
@@ -1068,9 +1068,9 @@ def ts08_dsl_date_filter(spark, sf_dir):
         F.col("user_id").alias("doc_id"))
         .agg(F.min(F.expr("unix_micros(ts) div 86400000000"))
              .cast("double").alias("score")))
-    cat = testdata_catalog(spark, sf_dir)
-    cat = type(cat)(summaries=cat.summaries, indexes=[ts_postings],
-                    keyword_meta=[("ts:", False, "timestamped")])
+    base = _engine(spark, sf_dir).catalog
+    cat = type(base)(summaries=base.summaries, indexes=[ts_postings],
+                     keyword_meta=[("ts:", False, "timestamped")])
     eng = Engine(cat, unique_postings=True)
     stmt = parse_script("QUERY (ts:purchase >= 2024-01-03);")[0]
     return eng.query_df(stmt.query, limit=stmt.limit)

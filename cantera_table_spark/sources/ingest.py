@@ -58,6 +58,16 @@ def _apply_key_options(df: DataFrame, key_col: str = "key",
     return df
 
 
+def escape_tsv(col):
+    """Inverse of ``_unescape_tsv`` for export (reference
+    format.cc:247-268): backslash first, then tab/newline/CR."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\t", r"\\t")
+    return c
+
+
 def _unescape_tsv(col):
     """TSV unescape: ``\\\\``, ``\\n``, ``\\r``, ``\\t``
     (ca-load.cc:238-253, format.cc:247-268).  A NUL sentinel protects
@@ -86,7 +96,7 @@ def read_tsv_timeseries(spark: SparkSession, path: str,
     band_cols = ["pct5", "pct25", "pct75", "pct95"]
     if with_bands:
         schema += "".join(f", {c} double" for c in band_cols)
-    raw = spark.read.option("sep", "\t").schema(schema).csv(path)
+    raw = spark.read.option("sep", "\t").option("quote", "").schema(schema).csv(path)
     cols = [_unescape_tsv(F.col("key")).alias("key"),
             F.try_to_timestamp(F.col("date"),
                                F.lit(date_format)).alias("ts"),
@@ -110,7 +120,7 @@ def read_tsv_postings(spark: SparkSession, path: str, documents: DataFrame,
     quarantine sink is the right posture — divergence documented)."""
     schema = "key string, docname string" + \
              (", score double" if score_col else "")
-    raw = spark.read.option("sep", "\t").schema(schema).csv(path)
+    raw = spark.read.option("sep", "\t").option("quote", "").schema(schema).csv(path)
     df = raw.select(
         _unescape_tsv(F.col("key")).alias("keyword"),
         _unescape_tsv(F.col("docname")).alias("docname"),
@@ -123,14 +133,21 @@ def read_tsv_postings(spark: SparkSession, path: str, documents: DataFrame,
             .select("keyword", "doc_id", "score"))
 
 
-def read_tsv_summaries(spark: SparkSession, path: str,
+def read_tsv_summaries(spark: SparkSession, path: str | list[str],
                        **key_options) -> DataFrame:
     """S7: ``KEY<TAB>JSON`` -> (doc_id, key, doc); doc_id assigned by
-    dense key rank (stable, join-friendly — replaces byte offsets)."""
-    raw = (spark.read.option("sep", "\t")
+    dense key rank (stable, join-friendly — replaces byte offsets).
+
+    ``path`` may be a list: all inputs share ONE id assignment (ranking
+    per input would hand different documents the same doc_id).  Both
+    columns are unescaped — the reference unescapes the whole stream
+    (ca-load.cc:234-253).
+    """
+    raw = (spark.read.option("sep", "\t").option("quote", "")
            .schema("key string, doc string").csv(path))
     df = _apply_key_options(
-        raw.select(_unescape_tsv(F.col("key")).alias("key"), "doc"),
+        raw.select(_unescape_tsv(F.col("key")).alias("key"),
+                   _unescape_tsv(F.col("doc")).alias("doc")),
         **key_options)
     w = Window.orderBy("key")
     # dense_rank over a global sort: acceptable at ingest (one pass);
@@ -165,10 +182,8 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
                .agg(F.min(value_col).alias("__min"),
                     F.max(value_col).alias("__max"),
                     F.first(value_col).alias(value_col)))
-        bad = agg.filter(F.col("__min") != F.col("__max"))
-        n_bad = bad.limit(1).count()
-        if n_bad:
-            row = bad.first()
+        row = agg.filter(F.col("__min") != F.col("__max")).first()
+        if row is not None:
             raise MergeError(
                 f"union merge: conflicting values for key "
                 f"{tuple(row[c] for c in key_cols)}")

@@ -28,7 +28,7 @@ def stream_tsv_timeseries(spark: SparkSession, path: str,
                           ) -> DataFrame:
     """Streaming variant of sources.ingest.read_tsv_timeseries: a file
     source watching ``path`` for new TSV drops."""
-    raw = (spark.readStream.option("sep", "\t")
+    raw = (spark.readStream.option("sep", "\t").option("quote", "")
            .schema("key string, date string, value double")
            .csv(path))
     return (raw.select(_unescape_tsv(F.col("key")).alias("key"),

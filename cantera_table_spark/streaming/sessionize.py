@@ -98,6 +98,10 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                     closed.append((user_id, cur[0], cur[1], cur[2],
                                    cur[3]))
                     cur = [t_us, t_us, 0, 0.0]
+                # a later micro-batch can deliver an event earlier than
+                # the open session's start (within watermark + gap);
+                # the batch oracle reports min(ts), so must we
+                cur[0] = min(cur[0], int(t_us))
                 cur[1] = max(cur[1], int(t_us))
                 cur[2] += 1
                 cur[3] += float(val)
