@@ -50,6 +50,10 @@ def format_select_rows(df, output_format: str) -> list[str]:
                 v = row[c]
                 if isinstance(v, float):
                     vals.append("nan" if math.isnan(v) else f"{v:.9g}")
+                elif c == "doc":
+                    # WITH SUMMARIES: JSON quoted with doubled quotes
+                    # (select.cc:139-147)
+                    vals.append('"' + str(v).replace('"', '""') + '"')
                 else:
                     vals.append(str(v))
             out.append(",".join(vals))

@@ -189,7 +189,12 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
                 f"{tuple(row[c] for c in key_cols)}")
         return agg.drop("__min", "__max")
     if mode == "pick-one":
-        w = Window.partitionBy(*keys).orderBy("__src")
+        # The reference prefers percentile-band-bearing entries over
+        # plain ones, then first-wins (ca-load.cc:482-489, 513-517).
+        order = [F.col("__src").asc()]
+        if "pct5" in allt.columns:
+            order.insert(0, F.col("pct5").isNull().asc())
+        w = Window.partitionBy(*keys).orderBy(*order)
         return (allt.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", "__src"))

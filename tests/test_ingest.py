@@ -173,3 +173,14 @@ def test_tsv_timeseries_with_bands(spark, tmpdir):
     df = read_tsv_timeseries(spark, p, with_bands=True)
     rows = sorted(((r.value, r.pct5, r.pct95) for r in df.collect()))
     assert rows == [(5.0, 1.0, 9.0), (6.0, None, None)]
+
+
+def test_pick_one_prefers_band_bearing_rows(spark):
+    from cantera_table_spark.sources.ingest import merge_tables
+    s = "key string, ts long, value double, pct5 double"
+    t1 = spark.createDataFrame([("k", 1, 2.0, None)], s)
+    t2 = spark.createDataFrame([("k", 1, 5.0, 0.5)], s)
+    # t2's row carries bands -> wins despite lower table priority
+    # (ca-load.cc:482-489, 513-517)
+    out = merge_tables([t1, t2], "pick-one").collect()
+    assert len(out) == 1 and out[0].value == 5.0 and out[0].pct5 == 0.5
