@@ -1074,3 +1074,159 @@ def ts08_dsl_date_filter(spark, sf_dir):
     eng = Engine(cat, unique_postings=True)
     stmt = parse_script("QUERY (ts:purchase >= 2024-01-03);")[0]
     return eng.query_df(stmt.query, limit=stmt.limit)
+
+
+@gate("corr02_event_prediction", """
+WITH user_events AS (
+  SELECT 'ts:' || event_type AS keyword, user_id AS doc_id,
+         min(epoch_us(ts) / 86400000000.0) AS score
+  FROM events GROUP BY 1, 2
+),
+A AS (SELECT doc_id, score FROM user_events
+      WHERE keyword = 'ts:purchase' AND score < 19723.5),
+B0 AS (SELECT doc_id, score FROM user_events
+       WHERE keyword = 'ts:purchase' AND score >= 19723.5),
+B AS (SELECT * FROM B0 WHERE doc_id NOT IN (SELECT doc_id FROM A)),
+-- FilterByTimestamp(keys, A, B): one row per (keyword, doc) when the
+-- doc's earliest key time precedes its earliest set time; score = age
+filtered AS (
+  SELECT k.keyword, k.doc_id,
+         coalesce(a.score, b.score) - k.score AS score
+  FROM (SELECT keyword, doc_id, min(score) AS score
+        FROM user_events WHERE keyword NOT IN ('ts:purchase')
+        GROUP BY 1, 2) k
+  LEFT JOIN A a ON a.doc_id = k.doc_id
+  LEFT JOIN B b ON b.doc_id = k.doc_id
+  WHERE coalesce(a.score, b.score) IS NOT NULL
+    AND k.score < coalesce(a.score, b.score)
+),
+params AS (
+  SELECT ln(((SELECT count(*) FROM A) + 1.0) /
+            ((SELECT count(*) FROM B) + 1.0)) AS prior,
+         greatest((SELECT count(*) FROM A) // 20, 1) AS lim_a,
+         greatest((SELECT count(*) FROM B) // 20, 1) AS lim_b
+),
+kw_ok AS (
+  SELECT keyword FROM filtered GROUP BY 1
+  HAVING count(*) >= (SELECT least(lim_a, lim_b) FROM params)
+),
+k AS (
+  SELECT f.keyword, f.doc_id, f.score,
+         CASE WHEN a.doc_id IS NOT NULL THEN 1
+              WHEN b.doc_id IS NOT NULL THEN -1 END AS cls
+  FROM filtered f JOIN kw_ok USING (keyword)
+  LEFT JOIN A a ON a.doc_id = f.doc_id
+  LEFT JOIN B b ON b.doc_id = f.doc_id
+),
+kind AS (
+  SELECT keyword, max(abs(score)) > 0 AS continuous,
+         count(cls) AS n_classes
+  FROM k GROUP BY 1
+),
+classes AS (
+  SELECT k.* FROM k JOIN kind USING (keyword)
+  WHERE kind.continuous
+    AND kind.n_classes >= (SELECT least(lim_a, lim_b) FROM params)
+    AND k.cls IS NOT NULL
+),
+cum0 AS (
+  SELECT keyword, score,
+    count(*) FILTER (WHERE cls >= 0) OVER w AS cum_a,
+    count(*) FILTER (WHERE cls <= 0) OVER w AS cum_b,
+    count(*) OVER w AS cum_ab,
+    count(*) FILTER (WHERE cls >= 0) OVER wt AS tot_a,
+    count(*) FILTER (WHERE cls <= 0) OVER wt AS tot_b,
+    count(*) OVER wt AS tot_ab
+  FROM classes
+  WINDOW w AS (PARTITION BY keyword ORDER BY score
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY keyword)
+),
+cum AS (SELECT DISTINCT * FROM cum0),
+cand AS (
+  SELECT *,
+    CASE WHEN cum_a >= lim_a OR cum_b >= lim_b
+         THEN abs(ln((cum_a + 1.0) / (cum_ab - cum_a + 1.0)) - prior)
+         ELSE 0.0 END AS l_gain,
+    CASE WHEN (tot_a - cum_a) >= lim_a OR (tot_b - cum_b) >= lim_b
+         THEN abs(ln((tot_a - cum_a + 1.0) /
+                     ((tot_ab - cum_ab) - (tot_a - cum_a) + 1.0)) - prior)
+         ELSE 0.0 END AS r_gain
+  FROM cum, params
+),
+cand2 AS (
+  SELECT *, greatest(l_gain, r_gain) AS gain,
+    lead(score) OVER (PARTITION BY keyword ORDER BY score) AS next_score,
+    row_number() OVER (PARTITION BY keyword ORDER BY score) AS pos,
+    count(*) OVER (PARTITION BY keyword) AS npos
+  FROM cand
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY keyword
+                                 ORDER BY gain DESC, score ASC) AS rk
+    FROM cand2) t
+  WHERE rk = 1
+),
+split AS (
+  SELECT keyword,
+         (pos > 1 AND pos < npos AND gain >= ln(1.05)) AS use_split,
+         score AS mid, next_score
+  FROM best
+),
+tasks AS (
+  SELECT keyword, NULL::DOUBLE AS lo, NULL::DOUBLE AS hi FROM kind
+    WHERE NOT continuous
+  UNION ALL SELECT keyword, NULL, NULL FROM split WHERE NOT use_split
+  UNION ALL SELECT keyword, NULL, mid FROM split WHERE use_split
+  UNION ALL SELECT keyword, next_score, NULL FROM split WHERE use_split
+),
+counted AS (
+  SELECT t.keyword, t.lo, t.hi,
+    count(DISTINCT CASE WHEN cls = 1 THEN k.doc_id END) AS match_count_a,
+    count(DISTINCT CASE WHEN cls = -1 THEN k.doc_id END) AS match_count_b
+  FROM k JOIN tasks t ON t.keyword = k.keyword
+  WHERE (t.lo IS NULL OR k.score >= t.lo)
+    AND (t.hi IS NULL OR k.score <= t.hi)
+  GROUP BY 1, 2, 3
+)
+SELECT round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior, 3)
+         AS log_odds,
+       match_count_a, match_count_b, keyword,
+       lo AS min_score, hi AS max_score
+FROM counted, params
+WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
+  AND abs(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior)
+      >= ln(0.55 / 0.45)
+""")
+def corr02_event_prediction(spark, sf_dir):
+    """A11 + A8-A10: event-prediction CORRELATE over timestamped
+    keywords — which earlier event types predict a later purchase vs a
+    later error (FilterByTimestamp sets-variant, correlate.cc:400-462,
+    feeding the full mining pipeline).
+
+    User-level time-series postings: keyword 'ts:<event_type>', doc =
+    user, score = day of the user's first such event.  Query A =
+    ts:purchase, B = ts:error; both primaries are timestamped so
+    features are as-of filtered (only strictly-earlier events count,
+    scored by age).  ts:purchase itself is excluded from the feature
+    space (its postings ARE set A — self-features are degenerate).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_postings = (e.groupBy(
+        F.concat(F.lit("ts:"), F.col("event_type")).alias("keyword"),
+        F.col("user_id").alias("doc_id"))
+        .agg(F.min(F.unix_micros("ts") / F.lit(86400000000.0))
+             .alias("score")))
+    purchase = ts_postings.filter(F.col("keyword") == "ts:purchase")
+    set_a = (purchase.filter(F.col("score") < 19723.5)
+             .select("doc_id", "score"))
+    set_b = (purchase.filter(F.col("score") >= 19723.5)
+             .select("doc_id", "score"))
+
+    from cantera_table_spark.operators.correlate import (
+        correlate_sets, filter_by_timestamp_sets)
+    keys = ts_postings.filter(F.col("keyword") != "ts:purchase")
+    b_disjoint = set_b.join(set_a.select("doc_id"), "doc_id", "left_anti")
+    filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint)
+    return correlate_sets(filtered, set_a, set_b)
