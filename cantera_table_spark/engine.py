@@ -37,7 +37,18 @@ class Engine:
         # session parameters (reference SET statement, statement.cc:35-48;
         # default CSV per output.cc:32)
         self.output_format = "csv"
+        # cached intermediates registered by CORRELATE runs; release
+        # with release_caches() after consuming their results
+        self._correlate_caches: list = []
         self.time_format = "%Y-%m-%d %H:%M:%S"
+
+    def release_caches(self) -> None:
+        """Unpersist intermediates cached by CORRELATE statements (call
+        after consuming their result DataFrames in long-lived
+        sessions)."""
+        for df in self._correlate_caches:
+            df.unpersist()
+        self._correlate_caches.clear()
 
     def _compiler(self) -> QueryCompiler:
         return QueryCompiler(self.catalog,

@@ -74,7 +74,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     """Engine over the testdata catalog; the derived postings are
     memoized and Spark-cached per (session, sf_dir) so a gate run's ~50
     queries tokenize the corpus once, not once each."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a new session can reuse a stopped
+    # session's object address and would inherit dead cached plans
+    key = (spark.sparkContext.applicationId, sf_dir)
     cat = _CATALOG_CACHE.get(key)
     if cat is None:
         cat = testdata_catalog(spark, sf_dir)

@@ -38,7 +38,7 @@ _NEG_INF = float("-inf")
 
 
 def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
-                   ) -> DataFrame:
+                   caches: list | None = None) -> DataFrame:
     """Core pipeline given resolved doc sets.
 
     postings: (keyword, doc_id, score) — the feature space.
@@ -47,7 +47,15 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
 
     Returns (log_odds, match_count_a, match_count_b, keyword, min_score,
     max_score) with null min/max for unbounded ends.
+
+    Intermediates (the class-joined postings and the tiny per-keyword
+    kind/split tables) are Spark-cached because several downstream
+    branches reuse them; pass ``caches`` (a list) to receive the cached
+    DataFrames so a long-lived session can ``unpersist()`` them after
+    consuming the result (Engine.release_caches does this).
     """
+    if caches is None:
+        caches = []
     a = set_a.select("doc_id").distinct()
     b = set_b.select("doc_id").distinct().join(a, "doc_id", "left_anti")
 
@@ -77,6 +85,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
                      .when(F.col("__in_b") == 1, F.lit(-1)))
          .select("keyword", "doc_id", "score", "cls"))
     k = k.cache()
+    caches.append(k)
 
     # --- split search on continuous keywords --------------------------
     # boolean feature <=> every score is zero (correlate.cc:211-217)
@@ -86,6 +95,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     kind = k.groupBy("keyword").agg(
         (F.max(F.abs(F.col("score"))) > 0.0).alias("__continuous"),
         F.count(F.col("cls")).alias("__n_classes")).cache()
+    caches.append(kind)
 
     classes = k.filter(F.col("cls").isNotNull()).join(
         kind.filter(F.col("__continuous") &
@@ -150,6 +160,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
              .select("keyword", "__use_split",
                      F.col("score").alias("__mid"),
                      F.col("__next").alias("__next_score"))).cache()
+    caches.append(split)
 
     # --- assemble range tasks -----------------------------------------
     # whole-range: boolean keywords + continuous without a useful split;
@@ -220,7 +231,10 @@ def filter_by_timestamp_now(keys: DataFrame, set_a: DataFrame,
                             now_days: float) -> DataFrame:
     """FilterByTimestamp(keys, adj, now) (correlate.cc:360-398): docs in
     the set keep one age-delta row; docs outside keep every row scored
-    ``now - score``."""
+    ``now - score`` — but only docs *below the set's last offset*: the
+    reference merge loop exits when the adj cursor is exhausted and
+    erases every remaining key row, so unmatched docs beyond max(adj
+    doc_id) are dropped.  Transcribed faithfully, quirk included."""
     amin = set_a.groupBy("doc_id").agg(F.min("score").alias("a_score"))
     kmin = keys.groupBy("keyword", "doc_id").agg(
         F.min("score").alias("k_score"))
@@ -228,7 +242,10 @@ def filter_by_timestamp_now(keys: DataFrame, set_a: DataFrame,
                .filter(F.col("k_score") < F.col("a_score"))
                .select("keyword", "doc_id",
                        (F.col("a_score") - F.col("k_score")).alias("score")))
+    max_a = amin.agg(F.max("doc_id").alias("__max_a"))
     unmatched = (keys.join(amin.select("doc_id"), "doc_id", "left_anti")
+                 .crossJoin(F.broadcast(max_a))
+                 .filter(F.col("doc_id") < F.col("__max_a"))
                  .select("keyword", "doc_id",
                          (F.lit(now_days) - F.col("score")).alias("score")))
     return matched.unionByName(unmatched)
@@ -261,9 +278,11 @@ def correlate(engine, query_a, query_b) -> DataFrame:
     def kind_match_col(meta, kind):
         """Column expression for keyword-kind matching (JVM-side — a
         Python UDF here would both unpickle-crash on the captured
-        catalog and drop the filter out of codegen)."""
+        catalog and drop the filter out of codegen).  Regex patterns are
+        anchored to FULL matches, mirroring Catalog._match_kind and the
+        reference's RE2::FullMatch (keywords.cc:66-92)."""
         conds = [
-            F.col("keyword").rlike(pat) if is_re
+            F.col("keyword").rlike(f"^(?:{pat})$") if is_re
             else F.col("keyword").startswith(pat)
             for pat, is_re, k in meta if k == kind
         ]
@@ -281,14 +300,16 @@ def correlate(engine, query_a, query_b) -> DataFrame:
         # values change daily so they leak the future (correlate.cc:536).
         postings = postings.filter(
             ~kind_match_col(cat.keyword_meta, "ephemeral"))
-        ts_keys = postings.filter(
-            kind_match_col(cat.keyword_meta, "timestamped"))
-        plain = postings.join(ts_keys.select("keyword").distinct(),
-                              "keyword", "left_anti")
+        ts_match = kind_match_col(cat.keyword_meta, "timestamped")
+        ts_keys = postings.filter(ts_match)
+        # negating the same deterministic predicate splits the index
+        # without the distinct + anti-join shuffle an id-set join costs
+        plain = postings.filter(~ts_match)
         if b_ts:
             ts_filtered = filter_by_timestamp_sets(ts_keys, set_a, set_b)
         else:
             ts_filtered = filter_by_timestamp_now(
                 ts_keys, set_a, _time.time() / 86400.0)
         postings = plain.unionByName(ts_filtered)
-    return correlate_sets(postings, set_a, set_b)
+    return correlate_sets(postings, set_a, set_b,
+                          caches=engine._correlate_caches)

@@ -175,7 +175,10 @@ def sample(df: DataFrame, n: int, seed: int = 1234) -> DataFrame:
     """
     rank = F.pmod(F.col(_DOC) * F.lit(2654435761) + F.lit(seed),
                   F.lit(4294967296))
-    return (df.orderBy(rank.asc(), F.col(_DOC).asc()).limit(n)
+    # score joins the tiebreak so duplicate rows of one doc at the limit
+    # boundary cut deterministically too
+    return (df.orderBy(rank.asc(), F.col(_DOC).asc(),
+                       F.col(_SCORE).asc()).limit(n)
             .select(_DOC, _SCORE))
 
 

@@ -89,9 +89,50 @@ def test_filter_by_timestamp_sets(spark):
 
 def test_filter_by_timestamp_now(spark):
     keys = spark.createDataFrame(
-        [("k", 1, 5.0), ("k", 2, 9.0), ("k", 9, 100.0)], P_SCHEMA)
+        [("k", 0, 50.0), ("k", 1, 5.0), ("k", 2, 9.0), ("k", 9, 100.0)],
+        P_SCHEMA)
     a = spark.createDataFrame([(1, 8.0), (2, 7.0)], S_SCHEMA)
     out = rows(filter_by_timestamp_now(keys, a, now_days=1000.0))
-    # doc 1 kept (8-5=3); doc 2 dropped (9 >= 7); doc 9 unmatched ->
-    # now - score = 900
-    assert out == [("k", 1, 3.0), ("k", 9, 900.0)]
+    # doc 0 unmatched and below max(A doc)=2 -> kept, now - 50 = 950;
+    # doc 1 kept (8-5=3); doc 2 dropped (9 >= 7); doc 9 unmatched but
+    # BEYOND the set's last offset -> dropped (the reference merge loop
+    # erases remaining keys once the adj cursor is exhausted,
+    # correlate.cc:395-398)
+    assert out == [("k", 0, 950.0), ("k", 1, 3.0)]
+
+
+def test_statement_path_timestamped_with_ephemeral_skip(spark):
+    """Drive CORRELATE through Engine.execute_script with a timestamped
+    primary keyword: ephemeral features must be excluded, the as-of
+    filter must apply, and release_caches() must clear the registered
+    intermediates (statement entry path, correlate.cc:482-573)."""
+    from cantera_table_spark.engine import Engine
+    from cantera_table_spark.model import Catalog
+
+    postings = spark.createDataFrame(
+        # ts:label — the timestamped A/B sets (scores are days)
+        [("ts:label_a", d, 100.0) for d in range(10)] +
+        [("ts:label_b", d, 100.0) for d in range(10, 20)] +
+        # a timestamped feature: early events for A docs only
+        [("ts:sig", d, 90.0) for d in range(8)] +
+        # an ephemeral feature that would otherwise be fully predictive
+        [("alexa:rank", d, 1.0) for d in range(10)] +
+        # a plain boolean feature on B docs
+        [("plain", d, 0.0) for d in range(10, 19)],
+        "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame([(d, f"d{d}", "{}") for d in range(20)],
+                                 "doc_id long, key string, doc string")
+    cat = Catalog(summaries=[docs], indexes=[postings],
+                  keyword_meta=[("ts:", False, "timestamped"),
+                                ("alexa:", False, "ephemeral")])
+    eng = Engine(cat, unique_postings=True)
+    df = eng.execute_script(
+        "CORRELATE QUERY (ts:label_a), (ts:label_b);")[0]
+    got = {r.keyword: (r.match_count_a, r.match_count_b)
+           for r in df.collect()}
+    assert "alexa:rank" not in got          # ephemeral skipped
+    assert got["ts:sig"] == (8, 0)          # as-of: 90 < 100 kept, aged
+    assert got["plain"] == (0, 9)
+    assert eng._correlate_caches            # intermediates registered
+    eng.release_caches()
+    assert not eng._correlate_caches
