@@ -167,3 +167,47 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
+                       max_iters: int = 20) -> DataFrame:
+    """Connected components over verified duplicate pairs: every doc
+    gets the minimum doc_id reachable through the pair graph as its
+    ``canonical_id`` (singletons map to themselves).
+
+    Min-label propagation: each iteration joins current labels across
+    the (symmetrized) edges and keeps the minimum — O(diameter)
+    iterations, each one shuffle; duplicate clusters are shallow in
+    practice so this converges in a handful of rounds.  The driver only
+    sees a changed-row count per iteration.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct())
+    labels = ids.select(F.col("doc_id"),
+                        F.col("doc_id").alias("canonical_id"))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(
+            labels.select(F.col("doc_id").alias("src"),
+                          F.col("canonical_id").alias("src_lab")), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_lab").alias("nb_lab")))
+        updated = (labels.join(neighbor_min, "doc_id", "left")
+                   .select("doc_id",
+                           F.least(F.col("canonical_id"),
+                                   F.coalesce(F.col("nb_lab"),
+                                              F.col("canonical_id")))
+                           .alias("canonical_id")))
+        updated = updated.cache()
+        changed = (updated.join(
+            labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+            .filter(F.col("canonical_id") != F.col("old")).limit(1)
+            .count())
+        if labels.is_cached:
+            labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels

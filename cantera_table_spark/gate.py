@@ -1232,3 +1232,44 @@ def corr02_event_prediction(spark, sf_dir):
     b_disjoint = set_b.join(set_a.select("doc_id"), "doc_id", "left_anti")
     filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint)
     return correlate_sets(filtered, set_a, set_b)
+
+
+@gate("dd06_dedup_clusters", ORACLE_SHINGLES + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n / (sa.sz + sb.sz - n) >= 0.12
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  WITH RECURSIVE reach(doc_id, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+  )
+  SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1
+)
+SELECT doc_id, canonical_id FROM cc
+""")
+def dd06_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup dedup decision: shingle -> Jaccard-verified
+    pairs -> connected components; every doc maps to the minimum doc_id
+    of its duplicate cluster (min-label propagation vs the oracle's
+    recursive CTE)."""
+    from cantera_table_spark.functions.dedup import (duplicate_clusters,
+                                                     jaccard_pairs,
+                                                     shingles)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    pairs = jaccard_pairs(sh, min_jaccard=0.12).select("doc_a", "doc_b")
+    return duplicate_clusters(docs.select("doc_id"), pairs)

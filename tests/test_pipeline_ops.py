@@ -167,3 +167,14 @@ def test_hyperplane_lsh_recall_on_planted_neardups(spark):
     assert approx <= exact          # verify step guarantees precision
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_duplicate_clusters_transitivity(spark):
+    from cantera_table_spark.functions.dedup import duplicate_clusters
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 1-3-5-7 (transitive), pair 2-6, singletons 0 and 4
+    pairs = spark.createDataFrame(
+        [(3, 5), (1, 3), (5, 7), (2, 6)], "doc_a long, doc_b long")
+    out = {r.doc_id: r.canonical_id
+           for r in duplicate_clusters(ids, pairs).collect()}
+    assert out == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
