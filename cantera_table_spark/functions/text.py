@@ -105,3 +105,33 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         toks, F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + F.length(x)) % FINGERPRINT_MOD)
     return df.withColumn("fingerprint", fp)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 10, max_punct_ratio: float = 0.2,
+                   min_alpha_ratio: float = 0.6,
+                   min_type_token_ratio: float = 0.1) -> DataFrame:
+    """Training-corpus quality gate: keep documents passing all
+    heuristic thresholds (the filter stage a pretraining pipeline runs
+    after dedup).  Pure column predicates over with_text_stats — one
+    scan, no shuffle."""
+    stats = with_text_stats(df, text_col)
+    return (stats.filter(
+        (F.col("n_tokens") >= min_tokens) &
+        (F.col("punct_ratio") <= max_punct_ratio) &
+        (F.col("alpha_ratio") >= min_alpha_ratio) &
+        (F.col("type_token_ratio") >= min_type_token_ratio)))
+
+
+def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary statistics: per token, document frequency
+    and total term frequency with a dense frequency rank (Zipf check /
+    stop-word candidates)."""
+    from pyspark.sql import Window
+    tok = df.select(F.col("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    agg = (tok.groupBy("tok")
+           .agg(F.countDistinct("doc_id").alias("doc_freq"),
+                F.count("*").alias("term_freq")))
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("tok").asc())
+    return agg.withColumn("rank", F.row_number().over(w))

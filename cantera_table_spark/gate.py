@@ -1273,3 +1273,49 @@ def dd06_dedup_clusters(spark, sf_dir):
     sh = shingles(docs)
     pairs = jaccard_pairs(sh, min_jaccard=0.12).select("doc_a", "doc_b")
     return duplicate_clusters(docs.select("doc_id"), pairs)
+
+
+@gate("tx06_quality_filter", """
+WITH arrs AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id FROM arrs
+WHERE len(toks) >= 40
+  AND length(regexp_replace(text, concat('[^.,;:!?', chr(39),
+      '"()\\[\\]-]'), '', 'g')) / greatest(length(text), 1) <= 0.2
+  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(length(text), 1) >= 0.6
+  AND len(list_distinct(toks)) / greatest(len(toks), 1) >= 0.1
+""")
+def tx06_quality_filter(spark, sf_dir):
+    """Corpus quality gate: threshold filters over the text-quality
+    stats (the post-dedup filter stage of a pretraining pipeline)."""
+    from cantera_table_spark.functions.text import quality_filter
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d, min_tokens=40).select("doc_id")
+
+
+@gate("tx07_corpus_stats", """
+WITH tok AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+),
+agg AS (
+  SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+  FROM tok GROUP BY 1
+)
+SELECT tok, doc_freq, term_freq,
+       row_number() OVER (ORDER BY term_freq DESC, tok ASC) AS rank
+FROM agg
+""")
+def tx07_corpus_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: doc/term frequency + dense
+    frequency rank per token."""
+    from cantera_table_spark.functions.text import corpus_token_stats
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_token_stats(d)
