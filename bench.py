@@ -65,15 +65,13 @@ def main() -> None:
 
     # -- phase 1: ingest (build the index tables, reference ca-load) ----
     t0 = time.monotonic()
+    from cantera_table_spark.sources.ingest import write_postings
+    n_buckets = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     postings = derive_postings(spark, sf_dir).unionByName(
         derive_label_postings(spark, sf_dir))
-    # sortWithinPartitions(keyword) -> parquet row-group min/max stats
-    # make leaf lookups prune; at 100 TB this becomes
-    # partitionBy(keyword-bucket) + per-bucket sort.
-    (postings.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                          "keyword")
-     .sortWithinPartitions("keyword", "doc_id")
-     .write.mode("overwrite").parquet(f"{work}/postings"))
+    # bucket-partitioned + (keyword, doc_id)-sorted: leaf lookups prune
+    # to one bucket directory, row-group stats prune inside it
+    write_postings(postings, f"{work}/postings", n_buckets=n_buckets)
     derive_documents(spark, sf_dir).write.mode("overwrite").parquet(
         f"{work}/documents")
     timings["ingest"] = time.monotonic() - t0
@@ -98,6 +96,7 @@ def main() -> None:
     catalog = Catalog(
         summaries=[spark.read.parquet(f"{work}/documents")],
         indexes=[spark.read.parquet(f"{work}/postings")],
+        postings_buckets=n_buckets,
     )
     engine = Engine(catalog, unique_postings=True)
 

@@ -67,6 +67,14 @@ class QueryCompiler:
         """
         key = unquote(token)
         idx = self.catalog.index()
+        rows = idx.filter(F.col("keyword") == key)
+        n = self.catalog.postings_buckets
+        if n and "bucket" in idx.columns:
+            # directory-partition pruning: the bucket of a literal key
+            # is itself a literal, so only one partition is scanned
+            rows = rows.filter(
+                F.col("bucket") == F.pmod(F.xxhash64(F.lit(key)),
+                                          F.lit(n)))
         score = F.col("score")
         if self.f32:
             # Reference scores are float32 (ca-table.h:100).  Fidelity
@@ -74,8 +82,7 @@ class QueryCompiler:
             # comparisons see exactly the values the reference stores
             # (SURVEY.md §7 hard-item 3); computation stays in float64.
             score = score.cast("float").cast("double")
-        return (idx.filter(F.col("keyword") == key)
-                .select("doc_id", score.alias("score")))
+        return rows.select("doc_id", score.alias("score"))
 
     def _lookup_prefix(self, token: str) -> DataFrame:
         """S2 ``in-KEY:PARAM`` (query.cc:306-352): keys with prefix KEY

@@ -88,6 +88,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, k: int = 16
     """Band the signature into ``bands`` contiguous groups of k/bands
     rows and join on (band, band-hash): docs sharing any full band
     become candidate pairs (a < b).  Only colliding keys shuffle."""
+    if k % bands:
+        raise ValueError(f"k={k} must divide evenly into bands={bands}")
     rows = k // bands
     banded = (sigs.withColumn("band", (F.col("h_idx") / rows).cast("int"))
               .groupBy("doc_id", "band")

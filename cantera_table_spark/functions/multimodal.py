@@ -60,7 +60,9 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            data = pdf["data"]
+            # data is nullable in MEDIA_SCHEMA — decode NULL payloads to
+            # empty-payload rows instead of crashing the task
+            data = pdf["data"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": data.map(len).astype("int32"),
@@ -81,7 +83,7 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                b = bytes(data)
+                b = bytes(data) if data is not None else b""
                 for i in range(0, len(b), every_n_bytes):
                     ids.append(mid)
                     idxs.append(i // every_n_bytes)

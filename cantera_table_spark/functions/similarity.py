@@ -140,9 +140,17 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """(id, sig): bit j set when dot(v, plane_j) > 0.  Cosine-similar
-    vectors agree on most bits (SimHash for dense vectors)."""
+    vectors agree on most bits (SimHash for dense vectors).
+
+    The dimension comes from the first row; vectors of any other length
+    are rejected (zip_with would silently NULL-pad them into signature
+    0, colliding every short vector into one bucket)."""
     first = emb.select(F.size(vec_col).alias("n")).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"vec_id long, v array<double>, sig long")
     dim = first["n"]
+    emb = emb.filter(F.size(vec_col) == dim)
     planes = _hyperplanes(n_bits, dim)
     sig = None
     for j, p in enumerate(planes):
@@ -164,6 +172,10 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.8,
     shuffles (band, band-bits) keys instead of forming the N^2 cross
     product; recall vs the exact pairing is tested, not assumed.
     """
+    if n_bits % bands:
+        raise ValueError(
+            f"n_bits={n_bits} must divide evenly into bands={bands} "
+            f"(trailing bits would be silently ignored)")
     rows = n_bits // bands
     mask = (1 << rows) - 1
     sigs = hyperplane_signature(emb, n_bits, id_col, vec_col)

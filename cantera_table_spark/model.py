@@ -88,6 +88,10 @@ class Catalog:
     # list of (pattern, is_regex, kind) with kind in
     # {"timestamped", "ephemeral"}.
     keyword_meta: list[tuple[str, bool, str]] = field(default_factory=list)
+    # When the index tables were written by sources.ingest.write_postings
+    # with a bucket partition column, the bucket count enables partition
+    # pruning on leaf lookups (compiler._lookup_plain).
+    postings_buckets: int | None = None
 
     def index(self) -> DataFrame:
         if not self.indexes:
@@ -235,10 +239,13 @@ def derive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary table: key = 'doc<id>.example.com', doc = JSON body of the
     metadata columns (FIXTURES.md §1 shape)."""
     d = load_table(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    # lpad TRUNCATES strings longer than the pad width, which would
+    # collide doc_id >= 1e6 with smaller ids — pad only short ids
+    padded = F.when(F.length(ids) > 6, ids).otherwise(F.lpad(ids, 6, "0"))
     return d.select(
         "doc_id",
-        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 6, "0"),
-                 F.lit(".example.com")).alias("key"),
+        F.concat(F.lit("doc"), padded, F.lit(".example.com")).alias("key"),
         F.to_json(F.struct("lang", "source", "n_chars")).alias("doc"),
     )
 

@@ -50,6 +50,8 @@ def format_select_rows(df, output_format: str) -> list[str]:
                 v = row[c]
                 if isinstance(v, float):
                     vals.append("nan" if math.isnan(v) else f"{v:.9g}")
+                elif v is None:
+                    vals.append("")   # missing summary -> empty field
                 elif c == "doc":
                     # WITH SUMMARIES: JSON quoted with doubled quotes
                     # (select.cc:139-147)
@@ -92,6 +94,7 @@ def run_script(engine: Engine, text: str, out=sys.stdout) -> None:
         elif isinstance(stmt, ast.CorrelateStmt):
             for line in format_correlate_rows(result):
                 print(line, file=out)
+            engine.release_caches()   # rows are materialized above
         elif isinstance(stmt, ast.ParseStmt):
             print(result, file=out)
         # SET -> no output (statement.cc:35-48)

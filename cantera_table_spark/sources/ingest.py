@@ -149,6 +149,13 @@ def read_tsv_summaries(spark: SparkSession, path: str | list[str],
         raw.select(_unescape_tsv(F.col("key")).alias("key"),
                    _unescape_tsv(F.col("doc")).alias("doc")),
         **key_options)
+    # Duplicate input keys would share a dense-rank doc_id while keeping
+    # both rows, multiplying every downstream doc_id join — keep one row
+    # per key deterministically (min doc body wins; use merge modes to
+    # combine duplicates intentionally).
+    w_dup = Window.partitionBy("key").orderBy("doc")
+    df = (df.withColumn("__rn", F.row_number().over(w_dup))
+          .filter(F.col("__rn") == 1).drop("__rn"))
     w = Window.orderBy("key")
     # dense_rank over a global sort: acceptable at ingest (one pass);
     # at 100 TB use zipWithIndex-per-partition + offset or a monotonic id
@@ -181,13 +188,19 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
         agg = (allt.groupBy(*keys)
                .agg(F.min(value_col).alias("__min"),
                     F.max(value_col).alias("__max"),
+                    F.count("*").alias("__n"),
+                    F.count(value_col).alias("__nn"),
                     F.first(value_col).alias(value_col)))
-        row = agg.filter(F.col("__min") != F.col("__max")).first()
+        # min/max skip NULLs, so a NULL-vs-value mix needs its own
+        # check (count(col) < count(*) with any non-null present)
+        conflict = (F.col("__min") != F.col("__max")) | \
+                   ((F.col("__nn") > 0) & (F.col("__nn") < F.col("__n")))
+        row = agg.filter(conflict).first()
         if row is not None:
             raise MergeError(
                 f"union merge: conflicting values for key "
                 f"{tuple(row[c] for c in key_cols)}")
-        return agg.drop("__min", "__max")
+        return agg.drop("__min", "__max", "__n", "__nn")
     if mode == "pick-one":
         # The reference prefers percentile-band-bearing entries over
         # plain ones, then first-wins (ca-load.cc:482-489, 513-517).
@@ -203,13 +216,18 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
 
 def write_postings(postings: DataFrame, path: str,
                    n_buckets: int | None = None) -> None:
-    """S11/S12: sorted table write.  Keyword-hash partitioning + in-file
-    (keyword, doc_id) sort gives leaf lookups partition pruning plus
-    row-group stats pruning — the Parquet analogue of the reference's
-    block index + hash index (table-backend-writeonce.cc:488-636,
-    1209-1298)."""
+    """S11/S12: sorted table write with REAL partition pruning.
+
+    A ``bucket = pmod(xxhash64(keyword), n)`` directory-partition column
+    is materialized so a leaf lookup that also filters on the bucket
+    (compiler._lookup_plain does, when Catalog.postings_buckets is set)
+    opens one directory instead of every file; (keyword, doc_id) sort
+    within files adds row-group stats pruning — the Parquet analogue of
+    the reference's block index + hash index
+    (table-backend-writeonce.cc:488-636, 1209-1298)."""
     n = n_buckets or 32
     (postings
-     .repartition(n, "keyword")
+     .withColumn("bucket", F.pmod(F.xxhash64("keyword"), F.lit(n)))
+     .repartition(n, "bucket")
      .sortWithinPartitions("keyword", "doc_id")
-     .write.mode("overwrite").parquet(path))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))

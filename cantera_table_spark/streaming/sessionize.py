@@ -92,17 +92,23 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
             cur = list(state.get) if state.exists else None
             for t_us, val in zip(ts_us, rows["value"]):
+                t_us = int(t_us)
                 if cur is None:
                     cur = [t_us, t_us, 0, 0.0]
                 elif t_us - cur[1] > gap_us:
                     closed.append((user_id, cur[0], cur[1], cur[2],
                                    cur[3]))
                     cur = [t_us, t_us, 0, 0.0]
-                # a later micro-batch can deliver an event earlier than
-                # the open session's start (within watermark + gap);
-                # the batch oracle reports min(ts), so must we
-                cur[0] = min(cur[0], int(t_us))
-                cur[1] = max(cur[1], int(t_us))
+                elif cur[0] - t_us > gap_us:
+                    # late event more than a gap BEFORE the open
+                    # session: the batch oracle would have made it its
+                    # own session — emit it closed, keep the open one
+                    closed.append((user_id, t_us, t_us, 1, float(val)))
+                    continue
+                # a late-but-within-gap event extends the session
+                # backwards (the batch oracle reports min(ts))
+                cur[0] = min(cur[0], t_us)
+                cur[1] = max(cur[1], t_us)
                 cur[2] += 1
                 cur[3] += float(val)
             state.update(tuple(cur))

@@ -184,3 +184,26 @@ def test_pick_one_prefers_band_bearing_rows(spark):
     # (ca-load.cc:482-489, 513-517)
     out = merge_tables([t1, t2], "pick-one").collect()
     assert len(out) == 1 and out[0].value == 5.0 and out[0].pct5 == 0.5
+
+
+def test_union_merge_null_conflict(spark):
+    from cantera_table_spark.sources.ingest import MergeError, merge_tables
+    s = "key string, ts long, value double"
+    t1 = spark.createDataFrame([("k", 1, None)], s)
+    t2 = spark.createDataFrame([("k", 1, 5.0)], s)
+    with pytest.raises(MergeError):
+        merge_tables([t1, t2], "union").collect()
+    # all-NULL duplicates agree
+    t3 = spark.createDataFrame([("k", 1, None)], s)
+    out = merge_tables([t1, t3], "union").collect()
+    assert len(out) == 1 and out[0].value is None
+
+
+def test_summaries_duplicate_keys_keep_one(spark, tmpdir):
+    from cantera_table_spark.sources.ingest import read_tsv_summaries
+    p = os.path.join(tmpdir, "dup.tsv")
+    write_lines(p, ['k\t{"a":2}', 'k\t{"a":1}', 'z\t{"b":1}'])
+    df = read_tsv_summaries(spark, p)
+    rows = sorted((r.doc_id, r.key, r.doc) for r in df.collect())
+    # one row per key, deterministic (min doc body), dense ids
+    assert rows == [(0, "k", '{"a":1}'), (1, "z", '{"b":1}')]

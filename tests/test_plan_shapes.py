@@ -134,3 +134,33 @@ def test_salted_semi_join_matches_plain(spark):
     salted = sorted((r.doc_id, r.score) for r in
                     salted_semi_join(lhs, rhs).collect())
     assert salted == plain
+
+
+def test_bucketed_postings_partition_pruning(spark, tmp_path_factory):
+    """write_postings' bucket layout + the compiler's literal-bucket
+    filter must produce real PartitionFilters on leaf lookups."""
+    from cantera_table_spark.sources.ingest import write_postings
+    d = str(tmp_path_factory.mktemp("bucketed"))
+    postings = spark.range(10_000).select(
+        F.concat(F.lit("kw"), (F.col("id") % 40).cast("string"))
+        .alias("keyword"),
+        (F.col("id") % 500).alias("doc_id"),
+        F.lit(1.0).alias("score"))
+    write_postings(postings, f"{d}/p", n_buckets=16)
+    cat = Catalog(summaries=[], indexes=[spark.read.parquet(f"{d}/p")],
+                  postings_buckets=16)
+    facts = plan_facts(q(spark, cat, "QUERY (kw7);"))
+    assert "PartitionFilters: [" in facts.text
+    # the partition filter must be non-empty (bucket = <literal hash>)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]+)\]", facts.text)
+    assert pf and "bucket" in pf.group(1), facts.text
+    # and results must be identical to an unbucketed catalog
+    cat_nb = Catalog(summaries=[],
+                     indexes=[spark.read.parquet(f"{d}/p")
+                              .drop("bucket")])
+    a = sorted((r.doc_id, r.score)
+               for r in q(spark, cat, "QUERY (kw7);").collect())
+    b = sorted((r.doc_id, r.score)
+               for r in q(spark, cat_nb, "QUERY (kw7);").collect())
+    assert a == b and len(a) == 250
