@@ -59,6 +59,7 @@ def decode_media(media: DataFrame) -> DataFrame:
     a real decoder would use; only the math inside is the fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in it:
             # data is nullable in MEDIA_SCHEMA — decode NULL payloads to
             # empty-payload rows instead of crashing the task
@@ -68,7 +69,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "n_bytes": data.map(len).astype("int32"),
                 "header_hex": data.map(lambda b: bytes(b[:4]).hex()),
                 "byte_checksum": data.map(
-                    lambda b: sum(b) % 2_147_483_648).astype("int64"),
+                    lambda b: int(np.frombuffer(b, dtype=np.uint8)
+                                  .sum(dtype=np.int64)) % 2_147_483_648
+                ).astype("int64"),
             })
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
