@@ -199,3 +199,35 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.8,
                                                   F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def ivf_train(emb: DataFrame, k: int = 8, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """Lloyd-refined IVF centroids: seed with the k lowest-id vectors,
+    then alternate assign / recompute-mean for ``iters`` rounds.
+
+    Each round is one distributed assignment pass plus a per-(cluster,
+    dimension) average; only the k x dim centroid matrix (driver-small
+    by definition) is collected between rounds.  Refined centroids give
+    materially better bucket balance than raw seeds, which is what
+    bounds IVF probe cost at scale.
+    """
+    centroids = seed_centroids(emb, n=k, id_col=id_col, vec_col=vec_col)
+    spark = emb.sparkSession
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col=id_col,
+                              vec_col=vec_col)
+        dims = (assigned.select(
+            "cluster", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m")))
+        rows = dims.collect()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        data = [(int(c), [vals[i] for i in range(len(vals))])
+                for c, vals in sorted(by_cluster.items())]
+        centroids = spark.createDataFrame(
+            data, "centroid_id long, cv array<double>")
+    return centroids

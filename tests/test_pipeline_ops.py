@@ -178,3 +178,23 @@ def test_duplicate_clusters_transitivity(spark):
     out = {r.doc_id: r.canonical_id
            for r in duplicate_clusters(ids, pairs).collect()}
     assert out == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+
+
+def test_ivf_trained_centroids_recall_not_worse(spark):
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, ivf_train, seed_centroids)
+    e = emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+
+    def recall(cents):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(ivf_assign(e, cents), cents, q,
+                                    k=5, nprobe=2).collect()}
+        return len(approx & exact) / len(exact)
+
+    r_seed = recall(seed_centroids(e, n=8))
+    r_kmeans = recall(ivf_train(e, k=8, iters=2))
+    assert r_kmeans >= r_seed - 0.05, (r_seed, r_kmeans)
+    assert r_kmeans >= 0.4
