@@ -83,11 +83,19 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
         F.expr(f"stack({k}, {stack}) AS (h_idx, sig)"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4, k: int = 16
-                        ) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     """Band the signature into ``bands`` contiguous groups of k/bands
     rows and join on (band, band-hash): docs sharing any full band
-    become candidate pairs (a < b).  Only colliding keys shuffle."""
+    become candidate pairs (a < b).  Only colliding keys shuffle.
+
+    k is derived from the signatures themselves (max h_idx + 1) so it
+    cannot silently disagree with the minhash_signatures call that
+    produced them."""
+    first = sigs.agg(F.max("h_idx").alias("m")).first()
+    if first is None or first["m"] is None:
+        return sigs.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long")
+    k = int(first["m"]) + 1
     if k % bands:
         raise ValueError(f"k={k} must divide evenly into bands={bands}")
     rows = k // bands
@@ -110,10 +118,22 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
                   candidates: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing at least one shingle
     (optionally restricted to LSH candidates): (doc_a, doc_b, jaccard).
+
+    When ``candidates`` are given, the restriction applies BEFORE the
+    pairwise self-join (shingles prune to candidate docs first, then
+    the produced pairs semi-join the candidate pairs) — that is the
+    point of LSH: the quadratic hot-shingle blow-up never materializes.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_sh = sh
+    if candidates is not None:
+        cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
+                     .unionByName(candidates.select(
+                         F.col("doc_b").alias("doc_id")))
+                     .distinct())
+        pair_sh = sh.join(cand_docs, "doc_id", "left_semi")
+    a = pair_sh.alias("a")
+    b = pair_sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
                     (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),

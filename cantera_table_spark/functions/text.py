@@ -77,7 +77,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: ratio of tokens in each language's
     stopword list; argmax wins, 'und' (undetermined) when all ratios are
-    zero.  Deterministic tie-break: language name ascending."""
+    zero.  Deterministic tie-break: the lexicographically GREATEST
+    language name wins (struct array_max ordering; the gate oracle
+    mirrors it with ORDER BY ratio DESC, lang DESC)."""
     toks = tokens(F.col(text_col))
     n_tok = F.greatest(F.size(toks), F.lit(1))
     ratios = []
@@ -125,8 +127,14 @@ def quality_filter(df: DataFrame, text_col: str = "text",
 
 def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level vocabulary statistics: per token, document frequency
-    and total term frequency with a dense frequency rank (Zipf check /
-    stop-word candidates)."""
+    and total term frequency with a unique frequency rank (ties broken
+    by token; Zipf check / stop-word candidates).
+
+    The global rank is an unpartitioned window — the whole vocabulary
+    funnels through one task.  That is fine for vocabulary-sized output
+    (millions of rows, orders of magnitude below the corpus); for
+    larger outputs rank a top-N slice or bucket by frequency band
+    first."""
     from pyspark.sql import Window
     tok = df.select(F.col("doc_id"),
                     F.explode(tokens(F.col(text_col))).alias("tok"))

@@ -30,9 +30,11 @@ def with_bands(ts: DataFrame, key_col: str = "key",
                value_col: str = "value") -> DataFrame:
     """Attach the series-level bands to every posting — the shape the
     reference stores (nullable band columns per row) and dumps
-    (ca-dump.cc:148-216)."""
+    (ca-dump.cc:148-216).  No broadcast hint: the bands table is one
+    row per series key, unbounded at scale — Catalyst/AQE broadcasts
+    it automatically when (and only when) it is actually small."""
     bands = prediction_bands(ts, key_col, value_col)
-    return ts.join(F.broadcast(bands), key_col)
+    return ts.join(bands, key_col)
 
 
 def band_outliers(ts: DataFrame, key_col: str = "key",

@@ -19,12 +19,20 @@ from pyspark.sql import functions as F
 
 
 def salted_count_sum(df: DataFrame, keys: list[str], value_col: str,
-                     n_salts: int = 32) -> DataFrame:
+                     n_salts: int = 32,
+                     salt_cols: list[str] | None = None) -> DataFrame:
     """Two-phase count+sum aggregation: phase 1 on (keys..., salt),
     phase 2 combines the partials.  Algebraic aggregates only — exactly
-    the ones the posting/timeseries rollups use."""
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
-                             F.monotonically_increasing_id()),
+    the ones the posting/timeseries rollups use.
+
+    The salt must be DETERMINISTIC per row (a random or row-position
+    salt re-executes differently after a shuffle-fetch failure and
+    silently corrupts the two-phase totals — the SPARK-23243 class of
+    bug), so it hashes row content: ``salt_cols`` (default: the value
+    column).  Degenerate case: a hot key whose salt_cols are constant
+    gains no spread — pass higher-cardinality columns there."""
+    salt_cols = salt_cols if salt_cols is not None else [value_col]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                   F.lit(n_salts)).alias("__salt")
     partial = (df.withColumn("__salt", salt)
                .groupBy(*keys, "__salt")

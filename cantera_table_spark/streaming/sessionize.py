@@ -91,26 +91,39 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             rows = rows.sort_values("ts")
             ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
             cur = list(state.get) if state.exists else None
+            # late session under construction: events more than a gap
+            # BEFORE the open session fold among themselves (batch-
+            # oracle agreement within the batch; lates split across
+            # batches still emit separately — documented divergence,
+            # holding them would need unbounded state)
+            late = None
             for t_us, val in zip(ts_us, rows["value"]):
                 t_us = int(t_us)
+                if cur is not None and cur[0] - t_us > gap_us:
+                    if late is not None and t_us - late[1] > gap_us:
+                        closed.append((user_id, *late))
+                        late = None
+                    if late is None:
+                        late = [t_us, t_us, 1, float(val)]
+                    else:
+                        late[1] = max(late[1], t_us)
+                        late[2] += 1
+                        late[3] += float(val)
+                    continue
                 if cur is None:
                     cur = [t_us, t_us, 0, 0.0]
                 elif t_us - cur[1] > gap_us:
                     closed.append((user_id, cur[0], cur[1], cur[2],
                                    cur[3]))
                     cur = [t_us, t_us, 0, 0.0]
-                elif cur[0] - t_us > gap_us:
-                    # late event more than a gap BEFORE the open
-                    # session: the batch oracle would have made it its
-                    # own session — emit it closed, keep the open one
-                    closed.append((user_id, t_us, t_us, 1, float(val)))
-                    continue
                 # a late-but-within-gap event extends the session
                 # backwards (the batch oracle reports min(ts))
                 cur[0] = min(cur[0], t_us)
                 cur[1] = max(cur[1], t_us)
                 cur[2] += 1
                 cur[3] += float(val)
+            if late is not None:
+                closed.append((user_id, *late))
             state.update(tuple(cur))
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
         if closed:

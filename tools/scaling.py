@@ -67,9 +67,9 @@ def main():
                           spark.read.parquet(f"{WORK}/{name}_{factor}x"))
 
     def tokenize_and_count(d):
-        toks = d.select("doc_id", F.explode(F.filter(
-            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""))
-            .alias("keyword"))
+        from cantera_table_spark.functions.text import tokens
+        toks = d.select("doc_id",
+                        F.explode(tokens(F.col("text"))).alias("keyword"))
         p = toks.groupBy("keyword", "doc_id").agg(
             F.count("*").cast("double").alias("score"))
         a = p.filter(F.col("keyword") == "spark")
@@ -110,7 +110,8 @@ def main():
     results = {}
     for name, ds, fn in cases:
         d1, dn = datasets[ds]
-        fn(d1)                       # warm (plan compile, JIT)
+        fn(d1)                       # warm both (plan compile, JIT) so
+        fn(dn)                       # the ratio compares steady states
         t1 = timed(lambda: fn(d1))
         tn = timed(lambda: fn(dn))
         results[name] = {"t_1x": t1, f"t_{factor}x": tn,
