@@ -200,6 +200,50 @@ class Engine:
             key = len(thresholds) - key
         return {"_header": header, "_header_key": header_sort_key(key)}
 
+    def export_results(self, query: ast.Node) -> DataFrame:
+        """Distributed full-result export: one JSON object string per
+        matching document, assembled executor-side with the reference's
+        concatenation scheme (query.cc:862-890: '_key' + brace-stripped
+        summary body + override body appended — later keys win at the
+        client).  Unlike query_stmt (which collects a top-k page), this
+        never touches the driver, so exporting millions of results is a
+        plain distributed write: engine.export_results(q).write.text(...).
+        """
+        comp = self._compiler()
+        result = comp.process_query(query, use_max=True)
+        docs = self.catalog.summary()
+        joined = result.join(docs, "doc_id", "left")
+        # to_json(named_struct('_key', key)) = {"_key":"..."} with full
+        # JSON escaping; strip its closing brace, append the
+        # brace-stripped summary body, then overrides, then close.
+        doc_body = F.when(
+            F.col("doc").isNull() | (F.col("doc") == ""), F.lit("")
+        ).otherwise(F.concat(
+            F.lit(","),
+            F.when(F.col("doc").startswith("{"),
+                   F.expr("substring(doc, 2, length(doc) - 2)"))
+            .otherwise(F.col("doc"))))
+        ov = self.catalog.override()
+        if ov is not None:
+            joined = joined.join(
+                ov.withColumnRenamed("doc", "__ov_doc"), "key", "left")
+            ov_body = F.when(
+                F.col("__ov_doc").isNull(), F.lit("")
+            ).otherwise(F.concat(
+                F.lit(","),
+                F.when(F.col("__ov_doc").startswith("{"),
+                       F.expr("substring(__ov_doc, 2, "
+                              "length(__ov_doc) - 2)"))
+                .otherwise(F.col("__ov_doc"))))
+        else:
+            ov_body = F.lit("")
+        json_col = F.concat(
+            F.expr("substring(" +
+                   "to_json(named_struct('_key', key)), 1, " +
+                   "length(to_json(named_struct('_key', key))) - 1)"),
+            doc_body, ov_body, F.lit("}"))
+        return joined.select("doc_id", json_col.alias("result_json"))
+
     # ------------------------------------------------------------------
     # SELECT — feature matrix (select.cc:80-154)
     # ------------------------------------------------------------------

@@ -142,3 +142,19 @@ def test_register_views_sql_surface(spark, catalog):
         "ORDER BY d.key").collect()
     assert [(r.key, r.n) for r in out] == [("d0", 1), ("d1", 1), ("d2", 1)]
     assert spark.sql("SELECT count(*) FROM overrides").collect()[0][0] == 1
+
+
+def test_export_results_distributed_json(spark, catalog):
+    """Distributed full-result export must agree with the collected
+    envelope objects (same keys, same merged fields) without any
+    driver-side assembly."""
+    import json
+    from cantera_table_spark.dsl.parser import parse_query
+    eng = Engine(catalog, unique_postings=True)
+    out = {r.doc_id: json.loads(r.result_json)
+           for r in eng.export_results(parse_query("alpha")).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["_key"] == "d0" and out[0]["title"] == "zero"
+    # override patch for d1 appended after the base body -> later key
+    # wins when parsed (reference client contract)
+    assert out[1]["title"] == "ONE-PATCHED" and out[1]["extra"] is True
