@@ -114,12 +114,26 @@ def format_query(q: Node) -> str:
         if q.op == "sample":
             return f"RANDOM_SAMPLE({format_query(q.lhs)}, {int(q.value)})"
         if q.op == "range":
-            return f"{format_query(q.lhs)}[{_num(q.value)},{_num(q.value2)}]"
+            return f"{_atom(q.lhs)}[{_num(q.value)},{_num(q.value2)}]"
         sym = {"eq": "=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}[q.op]
         if q.rhs is not None:
             return f"({format_query(q.lhs)} {sym} {format_query(q.rhs)})"
-        return f"{format_query(q.lhs)}{sym}{_num(q.value)}"
+        return f"{_atom(q.lhs)}{sym}{_num(q.value)}"
     raise TypeError(f"unknown node {q!r}")
+
+
+def _atom(q: Node) -> str:
+    """Format a postfix-comparison operand; non-atomic forms get parens
+    so the echo re-parses to the same tree (postfix binds tighter than
+    prefix ``~`` and the binary operators)."""
+    text = format_query(q)
+    self_delimited = (
+        isinstance(q, (Leaf, KeyLookup))
+        or (isinstance(q, Unary) and q.op in ("max", "min"))
+        or (isinstance(q, Binary) and q.op == "sample")
+        or text.startswith("(")
+    )
+    return text if self_delimited else f"({text})"
 
 
 def _num(v: float) -> str:

@@ -207,3 +207,14 @@ def test_summaries_duplicate_keys_keep_one(spark, tmpdir):
     rows = sorted((r.doc_id, r.key, r.doc) for r in df.collect())
     # one row per key, deterministic (min doc body), dense ids
     assert rows == [(0, "k", '{"a":1}'), (1, "z", '{"b":1}')]
+
+
+def test_tsv_postings_with_scores(spark, tmpdir):
+    from cantera_table_spark.sources.ingest import read_tsv_postings
+    docs = spark.createDataFrame(
+        [(0, "d-a"), (1, "d-b")], "doc_id long, key string")
+    p = os.path.join(tmpdir, "scored.tsv")
+    write_lines(p, ["kw\td-a\t2.5", "kw\td-b\t0.1"])
+    df = read_tsv_postings(spark, p, docs, score_col=True, threshold=1.0)
+    rows = [(r.keyword, r.doc_id, r.score) for r in df.collect()]
+    assert rows == [("kw", 0, 2.5)]   # threshold drops the 0.1 posting

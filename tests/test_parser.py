@@ -128,3 +128,47 @@ def test_identifier_charset():
 def test_statement_query_requires_parens():
     with pytest.raises(ParseError):
         parse_script("QUERY a;")
+
+
+# -- AST round-trip property: format_query output is fully parenthesized
+# and must re-parse to the identical AST ------------------------------
+
+def _ast_strategy():
+    from hypothesis import strategies as st
+
+    idents = st.sampled_from(["alpha", "beta", "cat:term", "x9", "a.b-c"])
+    leaves = idents.map(Leaf)
+    numbers = st.sampled_from([0.0, 1.0, -3.0, 2.5, 14610.0])
+
+    def extend(children):
+        unary = st.builds(
+            Unary, st.sampled_from(["max", "min", "negate"]), children)
+        binary = st.builds(
+            lambda op, l, r: Binary(op, l, rhs=r),
+            st.sampled_from(["and", "or", "subtract", "orderby"]),
+            children, children)
+        cmp_lit = st.builds(
+            lambda op, l, v: Binary(op, l, value=v),
+            st.sampled_from(["eq", "gt", "ge", "lt", "le"]),
+            children, numbers)
+        rng = st.builds(
+            lambda l, a, b: Binary("range", l, value=a, value2=b),
+            children, numbers, numbers)
+        sample = st.builds(
+            lambda l: Binary("sample", l, value=5.0), children)
+        return st.one_of(unary, binary, cmp_lit, rng, sample)
+
+    return st.recursive(leaves, extend, max_leaves=8)
+
+
+def test_format_parse_roundtrip_property():
+    from hypothesis import given, settings
+
+    @settings(max_examples=200, deadline=None)
+    @given(q=_ast_strategy())
+    def check(q):
+        text = format_query(q)
+        reparsed = parse_query(text)
+        assert reparsed == q, f"{text!r}: {reparsed} != {q}"
+
+    check()
