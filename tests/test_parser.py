@@ -172,3 +172,20 @@ def test_format_parse_roundtrip_property():
         assert reparsed == q, f"{text!r}: {reparsed} != {q}"
 
     check()
+
+
+def test_tokenizer_fuzz_never_crashes():
+    """Arbitrary input must either parse or raise ParseError — never an
+    unhandled exception (the reference's flex lexer has the same
+    contract: unknown bytes become single-char tokens)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(s=st.text(max_size=60))
+    def check(s):
+        try:
+            parse_query(s)
+        except ParseError:
+            pass
+
+    check()

@@ -158,3 +158,22 @@ def test_export_results_distributed_json(spark, catalog):
     # override patch for d1 appended after the base body -> later key
     # wins when parsed (reference client contract)
     assert out[1]["title"] == "ONE-PATCHED" and out[1]["extra"] is True
+
+
+def test_concurrent_statement_execution(spark, catalog):
+    """Four threads sharing one Engine must get independent, correct
+    results (Spark job submission is thread-safe; the engine holds no
+    per-query mutable state)."""
+    from concurrent.futures import ThreadPoolExecutor
+    eng = Engine(catalog, unique_postings=True)
+    scripts = ["QUERY KEYS FOR (alpha) LIMIT 3;",
+               "QUERY KEYS FOR (beta) LIMIT 3;",
+               "QUERY KEYS FOR (alpha - beta) LIMIT 3;",
+               "QUERY KEYS FOR (alpha AND beta) LIMIT 3;"]
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(
+            lambda s: eng.execute_script(s)[0], scripts))
+    assert results[0] == ["d2", "d0", "d1"]
+    assert results[1] == ["d1", "d2"]
+    assert results[2] == ["d0"]
+    assert results[3] == ["d2", "d1"]
