@@ -231,3 +231,71 @@ def ivf_train(emb: DataFrame, k: int = 8, iters: int = 3,
         centroids = spark.createDataFrame(
             data, "centroid_id long, cv array<double>")
     return centroids
+
+
+def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
+                            k: int = 5, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched exact top-k: the query matrix broadcasts to every
+    executor and each Arrow batch scores against it with one numpy
+    matmul — the throughput path for wide embeddings, where per-element
+    JVM folds (brute_force_topk) pay per-dimension expression overhead.
+
+    Results match brute_force_topk up to float summation order (both
+    exact cosine; scores rounded to 6 like the JVM path).  Per-batch
+    partial top-k keeps executor->driver traffic at
+    O(batches * queries * k), and the final global top-k is a tiny
+    window over the partials.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(F.col(id_col).alias("qid"),
+                            F.col(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int")
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.nan       # zero-norm queries -> no matches
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm, k))
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        ids, mat, norms, kk = bc.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = np.nan
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = c_ids != ids[j]
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-col[cand],
+                                      kind="stable")[:kk]]
+                out_q.extend([ids[j]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_c.extend(np.round(col[top], 6).tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cos": out_c})
+
+    partials = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

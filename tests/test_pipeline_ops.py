@@ -198,3 +198,21 @@ def test_ivf_trained_centroids_recall_not_worse(spark):
     r_kmeans = recall(ivf_train(e, k=8, iters=2))
     assert r_kmeans >= r_seed - 0.05, (r_seed, r_kmeans)
     assert r_kmeans >= 0.4
+
+
+def test_pandas_topk_matches_jvm_topk(spark):
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas)
+    e = emb(spark)
+    q = e.filter(F.col("vec_id") < 8)
+    jvm = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+           for r in brute_force_topk(e, q, k=5).collect()}
+    pnd = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+           for r in brute_force_topk_pandas(e, q, k=5).collect()}
+    assert set(jvm) == set(pnd)
+    for key in jvm:
+        n_j, c_j = jvm[key]
+        n_p, c_p = pnd[key]
+        assert abs(c_j - c_p) < 2e-6
+        # neighbor may differ only on a rounded-cos tie
+        assert n_j == n_p or abs(c_j - c_p) < 2e-6
