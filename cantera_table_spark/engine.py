@@ -216,25 +216,27 @@ class Engine:
         # to_json(named_struct('_key', key)) = {"_key":"..."} with full
         # JSON escaping; strip its closing brace, append the
         # brace-stripped summary body, then overrides, then close.
-        doc_body = F.when(
-            F.col("doc").isNull() | (F.col("doc") == ""), F.lit("")
-        ).otherwise(F.concat(
-            F.lit(","),
-            F.when(F.col("doc").startswith("{"),
-                   F.expr("substring(doc, 2, length(doc) - 2)"))
-            .otherwise(F.col("doc"))))
+        def body_of(col_name: str):
+            """Brace-stripped JSON body prefixed with a comma, or ''
+            when the column is NULL/empty/'{}' — an unconditional comma
+            before an empty body would emit invalid trailing-comma
+            JSON."""
+            c = F.col(col_name)
+            stripped = F.when(
+                c.startswith("{"),
+                F.expr(f"substring({col_name}, 2, "
+                       f"length({col_name}) - 2)")).otherwise(c)
+            return F.when(
+                c.isNull() | (F.length(F.coalesce(stripped, F.lit("")))
+                              == 0),
+                F.lit("")).otherwise(F.concat(F.lit(","), stripped))
+
+        doc_body = body_of("doc")
         ov = self.catalog.override()
         if ov is not None:
             joined = joined.join(
                 ov.withColumnRenamed("doc", "__ov_doc"), "key", "left")
-            ov_body = F.when(
-                F.col("__ov_doc").isNull(), F.lit("")
-            ).otherwise(F.concat(
-                F.lit(","),
-                F.when(F.col("__ov_doc").startswith("{"),
-                       F.expr("substring(__ov_doc, 2, "
-                              "length(__ov_doc) - 2)"))
-                .otherwise(F.col("__ov_doc"))))
+            ov_body = body_of("__ov_doc")
         else:
             ov_body = F.lit("")
         json_col = F.concat(

@@ -83,19 +83,22 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
         F.expr(f"stack({k}, {stack}) AS (h_idx, sig)"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        k: int | None = None) -> DataFrame:
     """Band the signature into ``bands`` contiguous groups of k/bands
     rows and join on (band, band-hash): docs sharing any full band
     become candidate pairs (a < b).  Only colliding keys shuffle.
 
-    k is derived from the signatures themselves (max h_idx + 1) so it
-    cannot silently disagree with the minhash_signatures call that
-    produced them."""
-    first = sigs.agg(F.max("h_idx").alias("m")).first()
-    if first is None or first["m"] is None:
-        return sigs.sparkSession.createDataFrame(
-            [], "doc_a long, doc_b long")
-    k = int(first["m"]) + 1
+    Pass the same ``k`` given to minhash_signatures to keep plan
+    construction lazy; with k=None it is derived from the signatures
+    (max h_idx + 1), which costs one eager aggregation pass over the
+    signature pipeline — correct but avoid it on large inputs."""
+    if k is None:
+        first = sigs.agg(F.max("h_idx").alias("m")).first()
+        if first is None or first["m"] is None:
+            return sigs.sparkSession.createDataFrame(
+                [], "doc_a long, doc_b long")
+        k = int(first["m"]) + 1
     if k % bands:
         raise ValueError(f"k={k} must divide evenly into bands={bands}")
     rows = k // bands
@@ -201,7 +204,12 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     the (symmetrized) edges and keeps the minimum — O(diameter)
     iterations, each one shuffle; duplicate clusters are shallow in
     practice so this converges in a handful of rounds.  The driver only
-    sees a changed-row count per iteration.
+    sees a changed-row count per iteration.  Non-convergence within
+    ``max_iters`` (a component with diameter > max_iters) raises
+    instead of silently returning partial labels.  The returned
+    DataFrame is Spark-cached (its lineage is the whole iteration
+    chain); callers in long-lived sessions should ``unpersist()`` it
+    after materializing.
     """
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
@@ -231,5 +239,7 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
             labels.unpersist()
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} iterations "
+        f"(a duplicate chain longer than max_iters); raise max_iters")

@@ -281,7 +281,11 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids)):
                 col = sims[:, j]
-                mask = c_ids != ids[j]
+                # drop self-matches AND NaN scores (zero-norm vectors);
+                # Spark would otherwise sort NaN as the LARGEST value
+                # and rank them first — the JVM path's try_divide NULLs
+                # sort last, so NaN rows must never be emitted
+                mask = (c_ids != ids[j]) & ~np.isnan(col)
                 cand = np.where(mask)[0]
                 if not len(cand):
                     continue

@@ -28,10 +28,15 @@ def salted_count_sum(df: DataFrame, keys: list[str], value_col: str,
     The salt must be DETERMINISTIC per row (a random or row-position
     salt re-executes differently after a shuffle-fetch failure and
     silently corrupts the two-phase totals — the SPARK-23243 class of
-    bug), so it hashes row content: ``salt_cols`` (default: the value
-    column).  Degenerate case: a hot key whose salt_cols are constant
-    gains no spread — pass higher-cardinality columns there."""
-    salt_cols = salt_cols if salt_cols is not None else [value_col]
+    bug), so it hashes row content: ``salt_cols`` (default: every
+    non-key column, maximizing spread).  Degenerate case: a hot key
+    whose entire rows are identical gains no spread — no deterministic
+    salt can split indistinguishable rows; pre-aggregate upstream or
+    add a distinguishing column."""
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c not in keys]
+        if not salt_cols:
+            salt_cols = [value_col]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                   F.lit(n_salts)).alias("__salt")
     partial = (df.withColumn("__salt", salt)

@@ -153,7 +153,9 @@ def read_tsv_summaries(spark: SparkSession, path: str | list[str],
     # both rows, multiplying every downstream doc_id join — keep one row
     # per key deterministically (min doc body wins; use merge modes to
     # combine duplicates intentionally).
-    w_dup = Window.partitionBy("key").orderBy("doc")
+    w_dup = Window.partitionBy("key").orderBy(
+        F.col("doc").asc_nulls_last())  # a NULL body must never beat a
+    #                                     real summary for the same key
     df = (df.withColumn("__rn", F.row_number().over(w_dup))
           .filter(F.col("__rn") == 1).drop("__rn"))
     w = Window.orderBy("key")

@@ -90,40 +90,38 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             rows = pd.concat(list(pdfs))
             rows = rows.sort_values("ts")
             ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
-            cur = list(state.get) if state.exists else None
-            # late session under construction: events more than a gap
-            # BEFORE the open session fold among themselves (batch-
-            # oracle agreement within the batch; lates split across
-            # batches still emit separately — documented divergence,
-            # holding them would need unbounded state)
-            late = None
+            # Fold the batch's own events into session intervals, then
+            # interval-merge with the open state session — identical to
+            # the batch oracle over (state events + batch events) as
+            # long as all of a session's events share a batch horizon
+            # (lates split across batches still emit separately;
+            # holding them would need unbounded state — documented
+            # divergence).
+            sessions: list[list] = []
             for t_us, val in zip(ts_us, rows["value"]):
                 t_us = int(t_us)
-                if cur is not None and cur[0] - t_us > gap_us:
-                    if late is not None and t_us - late[1] > gap_us:
-                        closed.append((user_id, *late))
-                        late = None
-                    if late is None:
-                        late = [t_us, t_us, 1, float(val)]
+                if sessions and t_us - sessions[-1][1] <= gap_us:
+                    s = sessions[-1]
+                    s[1] = max(s[1], t_us)
+                    s[2] += 1
+                    s[3] += float(val)
+                else:
+                    sessions.append([t_us, t_us, 1, float(val)])
+            if state.exists:
+                sessions.append(list(state.get))
+                sessions.sort(key=lambda s: s[0])
+                merged: list[list] = []
+                for s in sessions:
+                    if merged and s[0] - merged[-1][1] <= gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
                     else:
-                        late[1] = max(late[1], t_us)
-                        late[2] += 1
-                        late[3] += float(val)
-                    continue
-                if cur is None:
-                    cur = [t_us, t_us, 0, 0.0]
-                elif t_us - cur[1] > gap_us:
-                    closed.append((user_id, cur[0], cur[1], cur[2],
-                                   cur[3]))
-                    cur = [t_us, t_us, 0, 0.0]
-                # a late-but-within-gap event extends the session
-                # backwards (the batch oracle reports min(ts))
-                cur[0] = min(cur[0], t_us)
-                cur[1] = max(cur[1], t_us)
-                cur[2] += 1
-                cur[3] += float(val)
-            if late is not None:
-                closed.append((user_id, *late))
+                        merged.append(s)
+                sessions = merged
+            cur = sessions[-1]
+            closed.extend((user_id, *s) for s in sessions[:-1])
             state.update(tuple(cur))
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
         if closed:
