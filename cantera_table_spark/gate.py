@@ -667,7 +667,8 @@ bits AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+         AS simhash
 FROM bits GROUP BY 1
 """)
 def dd04_simhash(spark, sf_dir):

@@ -200,7 +200,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` is set (session.py); the
     column then arrives as LongType nanoseconds and is converted back to
     a timestamp here (integer µs division — exact).
+
+    The conf is (re-)set here rather than only at session creation so the
+    read works on any caller-supplied SparkSession (e.g. the driver's bare
+    session); it is runtime-settable and idempotent.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name in ("ts", "l_shipdate", "o_orderdate") and \
