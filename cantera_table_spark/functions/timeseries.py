@@ -48,3 +48,27 @@ def band_outliers(ts: DataFrame, key_col: str = "key",
             .withColumn("direction",
                         F.when(v < F.col("pct5"), F.lit("low"))
                         .otherwise(F.lit("high"))))
+
+
+def asof_prior(events: DataFrame, anchor_filter,
+               key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """A11 as-of filter (correlate.cc:360-462 semantics family): keep
+    rows strictly older than their key's earliest anchor row, and attach
+    that anchor timestamp as ``p_ts``.
+
+    Formulated as a window, not a join: ONE shuffle of the events by
+    ``key_col`` computes the per-key anchor minimum in-place.  The
+    equivalent aggregate-then-join plan shuffles the events for the join
+    AND the anchor subset for the aggregation, and at scale AQE cannot
+    rescue it with a broadcast: the runtime stat it sees is the
+    pre-final-aggregation map output (one partial row per key per map
+    task), which crosses the broadcast threshold long before the true
+    aggregate does — measured on 64x events it stays a SortMergeJoin.
+    Keys with no anchor row get a NULL ``p_ts`` and are dropped by the
+    strict < filter, matching the join's inner semantics.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col)
+    p_ts = F.min(F.when(anchor_filter, F.col(ts_col))).over(w)
+    return (events.withColumn("p_ts", p_ts)
+            .filter(F.col(ts_col) < F.col("p_ts")))

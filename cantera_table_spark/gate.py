@@ -349,12 +349,11 @@ WHERE e.ts < fp.p_ts
 def ts04_asof_prior(spark, sf_dir):
     """A11: timestamp-aware feature filter — keep events strictly older
     than the outcome event, score = age delta (correlate.cc:360-462),
-    re-expressed as an as-of join."""
+    re-expressed as a single-shuffle as-of window (see
+    functions.timeseries.asof_prior for why not aggregate+join)."""
+    from cantera_table_spark.functions.timeseries import asof_prior
     e = load_table(spark, sf_dir, "events")
-    fp = (e.filter(F.col("event_type") == "purchase")
-          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
-    return (e.join(fp, "user_id")
-            .filter(F.col("ts") < F.col("p_ts"))
+    return (asof_prior(e, F.col("event_type") == "purchase")
             .select("event_id", "user_id",
                     (F.unix_micros("p_ts") -
                      F.unix_micros("ts")).alias("age_us")))
@@ -1320,3 +1319,273 @@ def tx07_corpus_stats(spark, sf_dir):
     from cantera_table_spark.functions.text import corpus_token_stats
     d = load_table(spark, sf_dir, "documents")
     return corpus_token_stats(d)
+
+
+# ---------------------------------------------------------------------------
+# Ingest surface (the reference's ca-load front door), LSH-first dedup,
+# exact-checkable ANN stages, and the PARSE/SET statement surface.
+# ---------------------------------------------------------------------------
+
+def _gate_tmp(sf_dir: str, name: str) -> str:
+    """Deterministic scratch path for ingest round-trip fixtures (one per
+    (entry, sf) so concurrent gate runs at different SFs don't collide)."""
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/cantera_gate/{name}_{tag}"
+
+
+@gate("in01_tsv_postings", """
+SELECT 'L:' || lang AS keyword, doc_id, n_chars::DOUBLE AS score
+FROM documents
+WHERE n_chars >= 50
+""")
+def in01_tsv_postings(spark, sf_dir):
+    """S7/S10/F7/F8 (ca-load.cc:233-391): TSV -> postings round-trip.
+
+    A TSV derived from ``documents`` — keyword with an embedded literal
+    tab (escaped on write), docname, score — is written and read back
+    through ``read_tsv_postings`` with a score threshold (F7), key regex
+    filter + prefix strip/add (F8), and docname -> doc_id resolution
+    (S10; one orphan docname exercises the unknown-doc drop).  The
+    oracle computes the same result straight from the parquet table, so
+    escape/unescape must be an exact inverse pair for hashes to agree.
+    """
+    from cantera_table_spark.model import derive_documents
+    from cantera_table_spark.sources.ingest import (escape_tsv,
+                                                    read_tsv_postings)
+    d = load_table(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    padded = F.when(F.length(ids) > 6, ids).otherwise(F.lpad(ids, 6, "0"))
+    docname = F.concat(F.lit("doc"), padded, F.lit(".example.com"))
+    keep = d.select(F.concat_ws(
+        "\t",
+        escape_tsv(F.concat(F.lit("lang\t"), F.col("lang"))),
+        docname,
+        F.col("n_chars").cast("double").cast("string")).alias("value"))
+    noise = d.select(F.concat_ws(        # dropped by the key filter
+        "\t", F.concat(F.lit("src:"), F.col("source")), docname,
+        F.lit("1.0")).alias("value"))
+    orphan = spark.createDataFrame(      # dropped by docname resolution
+        [("lang\\tzz\tmissing.example.com\t999.0",)], "value string")
+    path = _gate_tmp(sf_dir, "in01")
+    (keep.unionByName(noise).unionByName(orphan)
+     .coalesce(1).write.mode("overwrite").text(path))
+    return read_tsv_postings(
+        spark, path, derive_documents(spark, sf_dir), score_col=True,
+        threshold=50.0, key_filter="^lang\t", strip_key_prefix="lang\t",
+        add_key_prefix="L:")
+
+
+@gate("in02_tsv_timeseries", """
+SELECT event_type AS key, date_trunc('second', ts) AS ts, value
+FROM events
+WHERE value >= 100.0
+""")
+def in02_tsv_timeseries(spark, sf_dir):
+    """S7/S9/F7 (ca-load.cc:255-281): TSV -> time series round-trip with
+    a custom strptime-style date format.
+
+    Events are formatted to ``KEY<TAB>yyyy/MM/dd HH:mm:ss<TAB>VALUE``
+    lines (second truncation — the oracle date_truncs identically),
+    written, and parsed back via ``read_tsv_timeseries``; one
+    unparseable-date line exercises the try_to_timestamp drop and the
+    load threshold keeps values >= 100.  Values round-trip exactly
+    (shortest double repr on write, exact parse on read).
+    """
+    from cantera_table_spark.sources.ingest import read_tsv_timeseries
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(F.concat_ws(
+        "\t", F.col("event_type"),
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+        F.col("value").cast("string")).alias("value"))
+    bad = spark.createDataFrame([("oops\tnot-a-date\t150.0",)],
+                                "value string")
+    path = _gate_tmp(sf_dir, "in02")
+    lines.unionByName(bad).coalesce(1).write.mode("overwrite").text(path)
+    return read_tsv_timeseries(spark, path,
+                               date_format="yyyy/MM/dd HH:mm:ss",
+                               threshold=100.0)
+
+
+@gate("dd07_lsh_jaccard", ORACLE_SHINGLES + """
+, sigs AS (
+  SELECT doc_id, i AS h_idx,
+         min(((2 * i + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+              + 12345 * i + 1) % 4294967311) AS sig
+  FROM sh, unnest(range(0, 16)) AS h(i)
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, (h_idx // 4) AS band,
+         md5(string_agg(h_idx || ':' || sig, ','
+                        ORDER BY h_idx || ':' || sig)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.12
+""")
+def dd07_lsh_jaccard(spark, sf_dir):
+    """LSH-first exact Jaccard — the 100 TB dedup path: MinHash banding
+    prunes to candidate pairs BEFORE the shingle self-join, so hot
+    shingles never form the quadratic pair blow-up (dd03 is the
+    unpruned oracle baseline).  Banding is md5-portable, so the oracle
+    reproduces candidates bit-for-bit and the whole pipeline
+    hash-matches."""
+    from cantera_table_spark.functions.dedup import (jaccard_pairs,
+                                                     lsh_candidate_pairs,
+                                                     minhash_signatures,
+                                                     shingles)
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(sh, k=16)
+    cands = lsh_candidate_pairs(sigs, bands=4, k=16)
+    return jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+
+
+@gate("sim04_ivf_assign", """
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+    list_reduce(list_prepend(0.0, list_transform(
+      range(1, len(e.embedding) + 1),
+      i -> e.embedding[i]::DOUBLE * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(e.embedding) + 1),
+         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+         (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS cos
+  FROM embeddings e, c
+)
+SELECT vec_id, centroid_id AS cluster FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, centroid_id) AS rk
+  FROM scored) t
+WHERE rk = 1
+""")
+def sim04_ivf_assign(spark, sf_dir):
+    """IVF index build stage, exact-checkable: nearest-seed-centroid
+    assignment with identical left-fold double accumulation on both
+    engines, so the bucketing that sim02's approximate top-k relies on
+    is itself hash-verified."""
+    from cantera_table_spark.functions.similarity import (ivf_assign,
+                                                          seed_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (ivf_assign(emb, seed_centroids(emb, n=8))
+            .select("vec_id", "cluster"))
+
+
+@gate("sim05_hyperplane_sig", """
+WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+planes AS (
+  SELECT j, list_transform(range(0, dim), d -> CASE WHEN
+           (('0x' || substr(md5('plane:' || j || ':' || (d - (d % 16))),
+                            ((d % 16) * 2) + 1, 2))::INT & 1) = 1
+           THEN 1.0 ELSE -1.0 END) AS pw
+  FROM dims, unnest(range(0, 16)) AS jj(j)
+),
+dots AS (
+  SELECT e.vec_id, p.j,
+    list_reduce(list_prepend(0.0, list_transform(
+      range(1, len(e.embedding) + 1),
+      i -> e.embedding[i]::DOUBLE * p.pw[i])), (a, b) -> a + b) AS dot
+  FROM embeddings e, planes p
+)
+SELECT vec_id,
+       sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+         AS sig
+FROM dots GROUP BY 1
+""")
+def sim05_hyperplane_sig(spark, sf_dir):
+    """Hyperplane-LSH signature stage of sim03, exact-checkable: the
+    +/-1 planes derive from md5 digest byte parity (deterministic, no
+    RNG), and per-plane dots use the same left fold on both engines, so
+    the banding input to the near-dup join is hash-verified."""
+    from cantera_table_spark.functions.similarity import (
+        hyperplane_signature)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_signature(emb, n_bits=16).select("vec_id", "sig")
+
+
+_PARSE_STMTS = [
+    'PARSE (spark AND fast OR slow ORDER BY len:chars);',
+    'PARSE (spark AND NOT slow);',
+    'PARSE (~fast MAX(spark));',
+    'PARSE (fast>1.5 AND spark<=3 OR RANDOM_SAMPLE(slow, 7));',
+    'PARSE (in-lang:en AND "query");',
+]
+
+_PARSE_ECHOES = [
+    '(((spark AND fast) OR slow) ORDER BY len:chars)',
+    '(spark AND NOT slow)',
+    '(~fast AND MAX(spark))',
+    '((fast>1.5 AND spark<=3) OR RANDOM_SAMPLE(slow, 7))',
+    '(in-lang:en AND query)',
+]
+
+
+def _values_oracle(rows: list[tuple], cols: str) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(
+            str(v) if isinstance(v, int) and not isinstance(v, bool)
+            else "'" + str(v).replace("'", "''") + "'"
+            for v in row) + ")"
+        for row in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
+
+
+@gate("p01_parse_echo", _values_oracle(
+    [(i, s, e) for i, (s, e) in enumerate(zip(_PARSE_STMTS, _PARSE_ECHOES))],
+    "stmt_no, stmt, echo"))
+def p01_parse_echo(spark, sf_dir):
+    """stmt PARSE (query.cc:630-724): canonical echo of the parsed query
+    — precedence parenthesization, operator casing, juxtaposition -> AND,
+    quoted reserved words unquoted.  Literal oracle (the echoes are
+    deterministic strings)."""
+    eng = _engine(spark, sf_dir)
+    rows = [(i, s, eng.execute_script(s)[0])
+            for i, s in enumerate(_PARSE_STMTS)]
+    return spark.createDataFrame(
+        rows, "stmt_no int, stmt string, echo string")
+
+
+@gate("set01_session_state", _values_oracle(
+    [(0, "output_format", "csv"), (1, "output_format", "json"),
+     (2, "time_format", "%Y-%m-%d"), (3, "output_format", "json")],
+    "step, parameter, value"))
+def set01_session_state(spark, sf_dir):
+    """stmt SET (statement.cc:35-48): OUTPUT FORMAT / TIME FORMAT are
+    session state with no output; each step records the engine state
+    after one SET executes (default csv, then two mutations, then a
+    no-op re-set).  Literal oracle."""
+    eng = _engine(spark, sf_dir)
+    rows = [(0, "output_format", eng.output_format)]
+    eng.execute_script("SET OUTPUT FORMAT JSON;")
+    rows.append((1, "output_format", eng.output_format))
+    eng.execute_script("SET TIME FORMAT '%Y-%m-%d';")
+    rows.append((2, "time_format", eng.time_format))
+    eng.execute_script("SET OUTPUT FORMAT JSON;")
+    rows.append((3, "output_format", eng.output_format))
+    return spark.createDataFrame(rows, "step int, parameter string, "
+                                       "value string")

@@ -206,6 +206,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session); it is runtime-settable and idempotent.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same defensive posture for the timezone: the oracle (DuckDB) reads
+    # these naive timestamps as-is, so date_format/date_trunc must run
+    # under UTC even on a caller session that didn't pin it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name in ("ts", "l_shipdate", "o_orderdate") and \

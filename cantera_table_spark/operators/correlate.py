@@ -26,12 +26,29 @@ reference's ``agg`` array), and the split argmax is one row_number.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LOGIT_CUTOFF = math.log(0.55 / 0.45)   # correlate.cc:141-142
 MIN_GAIN = math.log(1.05)              # correlate.cc:346
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist policy for the class-joined postings (SCALE.md).
+
+    ``CANTERA_CORRELATE_PERSIST`` picks the StorageLevel by name
+    (MEMORY_AND_DISK default — the table is read by four downstream
+    branches; recomputing it means four full postings scans), or NONE
+    to skip persisting entirely (the at-100 TB choice when the postings
+    working set exceeds cluster cache and recompute-from-columnar-scan
+    is cheaper than disk-spilled cache blocks)."""
+    level = os.environ.get("CANTERA_CORRELATE_PERSIST", "MEMORY_AND_DISK")
+    if level.upper() == "NONE":
+        return df
+    from pyspark import StorageLevel
+    return df.persist(getattr(StorageLevel, level.upper()))
 
 _POS_INF = float("inf")
 _NEG_INF = float("-inf")
@@ -84,7 +101,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
          .withColumn("cls", F.when(F.col("__in_a") == 1, F.lit(1))
                      .when(F.col("__in_b") == 1, F.lit(-1)))
          .select("keyword", "doc_id", "score", "cls"))
-    k = k.cache()
+    k = _persist(k)
     caches.append(k)
 
     # --- split search on continuous keywords --------------------------

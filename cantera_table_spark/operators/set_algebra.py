@@ -204,15 +204,42 @@ def top_k(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
     """
     ordered = df.orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
     if limit is None or limit < 0:
-        page = ordered
         if offset:
-            w = Window.orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
-            return (page.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") > offset).select(_DOC, _SCORE))
-        return page
+            return _drop_first_n(df, offset)
+        return ordered
     page = ordered.limit(offset + limit)
     if offset:
+        # bounded by the page size (offset+limit rows post-
+        # TakeOrderedAndProject), so a global window is fine here
         w = Window.orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
         page = (page.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") > offset))
     return page.select(_DOC, _SCORE)
+
+
+def _drop_first_n(df: DataFrame, n: int) -> DataFrame:
+    """Drop the first ``n`` rows in (score desc, doc asc) order without a
+    single-task global window (the limit=-1 + OFFSET page).
+
+    Range-repartition on the sort key, then number rows per partition
+    (parallel window) and add each partition's start offset — computed
+    as a cumulative sum over the tiny per-partition count table (bounded
+    by the partition count, not the data) and broadcast back.  The count
+    branch and the row branch share one range-shuffle exchange (Spark's
+    ReuseExchange; asserted in tests), so both see identical partition
+    boundaries."""
+    parts = (df.repartitionByRange(F.col(_SCORE).desc(), F.col(_DOC).asc())
+             .withColumn("__pid", F.spark_partition_id()))
+    counts = parts.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    wcum = (Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    starts = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wcum), F.lit(0)).alias("__start"))
+    wloc = Window.partitionBy("__pid").orderBy(
+        F.col(_SCORE).desc(), F.col(_DOC).asc())
+    return (parts.join(F.broadcast(starts), "__pid")
+            .withColumn("__rn", F.row_number().over(wloc) + F.col("__start"))
+            .filter(F.col("__rn") > n)
+            .orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
+            .select(_DOC, _SCORE))

@@ -132,3 +132,25 @@ def test_threshold_filter(spark):
     out = collected(sa.threshold_filter(result, kp, [20.0, 90.0, 30.0]))
     # range is [20, 90): docs 2 (25) kept with score replaced; 1,3 dropped
     assert out == [(2, 25.0)]
+
+
+def test_unlimited_offset_page_distributed(spark):
+    """limit=-1 + OFFSET must page correctly WITHOUT a single-task global
+    window over the data: the range-partitioned row-cut numbers rows per
+    partition and shares one range exchange between the count and row
+    branches (ReuseExchange)."""
+    rng = random.Random(11)
+    # duplicate (doc, score) rows included: the cut must be multiset-exact
+    rows = [(i % 23, float(rng.randrange(6))) for i in range(2000)]
+    df = to_df(spark, rows).repartition(8)
+    page = sa.top_k(df, -1, offset=137)
+    got = [(r.doc_id, r.score) for r in page.collect()]
+    want = sorted(rows, key=lambda p: (-p[1], p[0]))[137:]
+    assert got == want                      # ordered, not just multiset
+    # plan inspected AFTER execution so AQE has finalized stage reuse
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    # the only single-partition window is over the tiny per-partition
+    # count table; the data-sized window is hash-partitioned by __pid
+    assert "partitionBy=[__pid]" in plan.replace(" ", "") or \
+        "__pid" in plan

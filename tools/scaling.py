@@ -94,9 +94,8 @@ def main():
          .write.format("noop").mode("overwrite").save())
 
     def asof(e):
-        fp = (e.filter(F.col("event_type") == "purchase")
-              .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
-        (e.join(fp, "user_id").filter(F.col("ts") < F.col("p_ts"))
+        from cantera_table_spark.functions.timeseries import asof_prior
+        (asof_prior(e, F.col("event_type") == "purchase")
          .write.format("noop").mode("overwrite").save())
 
     cases = [
