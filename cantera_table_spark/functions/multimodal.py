@@ -2,16 +2,25 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas UDFs over ``mapInPandas``.  The decode step itself
-is STUBBED (image/audio libraries are not in this container): the
-deterministic fake below extracts real byte-level features so the
-Spark-side plumbing — schema, batch shape, partitioning — is exercised
-and oracle-checkable; ``decode_image_real`` marks where a codec plugs
-in.
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+Two decode tiers:
+
+- REAL codecs for container formats parseable with stdlib + numpy:
+  uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp`` /
+  ``resize_bmp_nearest``) and PCM WAV (``decode_wav`` / ``encode_wav``
+  / audio frame sampling).  These run the full parse-pixels /
+  parse-samples path — not byte fakes.
+- ``decode_media``: format-agnostic byte-level features (length,
+  header, checksum) for payloads whose codecs need native libraries
+  not present in this container (JPEG/PNG/H.264 — the
+  ``decode_image_real`` plug-point raises NotImplementedError for
+  those, clearly marked).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,10 +45,195 @@ DECODED_SCHEMA = T.StructType([
 
 
 def decode_image_real(data: bytes):  # pragma: no cover - container stub
-    """Plug a real codec (PIL / libvips / ffmpeg) in here."""
+    """Plug a compressed-format codec (PIL / libvips / ffmpeg) in here.
+
+    Uncompressed BMP decodes for real via ``decode_bmp``; this
+    plug-point covers JPEG/PNG/video, whose codecs are native libraries
+    not present in this container."""
     raise NotImplementedError(
-        "image/audio codecs are not available in this container; "
-        "decode_media uses the deterministic byte-level fake instead")
+        "compressed image/video codecs are not available in this "
+        "container; BMP/WAV decode for real (decode_bmp/decode_wav), "
+        "other formats fall back to decode_media byte features")
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: uncompressed 24-bit BMP and PCM WAV (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels_bgr: bytes, width: int, height: int) -> bytes:
+    """Build an uncompressed 24-bit BI_RGB BMP from a raw BGR pixel
+    buffer laid out in file order (bottom-up rows).  Rows are padded to
+    4-byte multiples per the format."""
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for r in range(height):
+        row = pixels_bgr[r * row_bytes:(r + 1) * row_bytes]
+        rows.append(row + b"\x00" * (row_bytes - len(row)) + b"\x00" * pad)
+    pix = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pix), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0,
+                           14 + 40)
+    return file_hdr + info + pix
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP: dimensions + per-channel pixel
+    means.  Raises ValueError on anything that is not a BI_RGB 24bpp
+    BMP (the honest boundary: compressed formats need native codecs)."""
+    import numpy as np
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    (hdr_sz, width, height, planes, bpp, compression) = \
+        struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={compression})")
+    top_down = height < 0
+    h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = []
+    for r in range(h):
+        start = pix_off + r * stride
+        row = np.frombuffer(data, dtype=np.uint8, count=row_bytes,
+                            offset=start).reshape(width, 3)
+        rows.append(row)
+    if not top_down:
+        rows.reverse()               # bottom-up file order -> image order
+    img = np.stack(rows) if rows else np.zeros((0, width, 3), np.uint8)
+    means = img.reshape(-1, 3).mean(axis=0) if img.size else [0.0] * 3
+    return {"width": width, "height": h,
+            "mean_b": float(means[0]), "mean_g": float(means[1]),
+            "mean_r": float(means[2])}
+
+
+def resize_bmp_nearest(data: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbour resize of a 24-bit BMP, re-encoded as BMP —
+    the distributed thumbnailing kernel (pure numpy indexing)."""
+    import numpy as np
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    (_, width, height, _, bpp, compression) = \
+        struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP")
+    h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    img = np.zeros((h, width, 3), np.uint8)
+    for r in range(h):
+        img[r] = np.frombuffer(data, np.uint8, count=row_bytes,
+                               offset=pix_off + r * stride) \
+            .reshape(width, 3)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * width) // new_w
+    out = img[ys][:, xs]             # file-order rows stay file-order
+    return encode_bmp(out.tobytes(), new_w, new_h)
+
+
+def encode_wav(samples_i16, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample sequence (stdlib
+    ``wave`` writer)."""
+    import io
+    import wave
+    import numpy as np
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a PCM WAV (stdlib ``wave``): channel/rate/frame metadata
+    plus mean absolute amplitude of the int16 samples."""
+    import io
+    import wave
+    import numpy as np
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        n_ch, sampwidth, rate, n_frames = (w.getnchannels(),
+                                           w.getsampwidth(),
+                                           w.getframerate(),
+                                           w.getnframes())
+        if sampwidth != 2:
+            raise ValueError(f"only 16-bit PCM supported "
+                             f"(sampwidth={sampwidth})")
+        raw = w.readframes(n_frames)
+    samples = np.frombuffer(raw, dtype="<i2")
+    mean_abs = float(np.abs(samples.astype(np.int64)).mean()) \
+        if samples.size else 0.0
+    return {"n_channels": n_ch, "sample_rate": rate,
+            "n_frames": n_frames, "mean_abs": mean_abs}
+
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+])
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("mean_abs", T.DoubleType(), True),
+])
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Real BMP decode over Arrow batches: (media_id, width, height,
+    per-channel pixel means).  Means are left unrounded: the channel
+    sum is integer-exact in float64 and a single correctly-rounded
+    division matches SQL ``avg`` bit-for-bit, whereas decimal rounding
+    would reopen Python-banker's vs SQL-half-up tie skew.  Undecodable
+    payloads yield NULL feature columns (quarantine posture — a bad
+    payload must not kill a 100 TB job)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = decode_bmp(bytes(data) if data is not None else b"")
+                    rows.append((mid, d["width"], d["height"],
+                                 d["mean_b"], d["mean_g"], d["mean_r"]))
+                except (ValueError, struct.error):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
+
+    return media.mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real PCM WAV decode over Arrow batches: (media_id, n_channels,
+    sample_rate, n_frames, mean_abs).  mean_abs is unrounded (exact —
+    see decode_images).  Undecodable payloads yield NULL feature
+    columns."""
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = decode_wav(bytes(data) if data is not None else b"")
+                    rows.append((mid, d["n_channels"], d["sample_rate"],
+                                 d["n_frames"], d["mean_abs"]))
+                except (ValueError, EOFError, wave.Error, struct.error):
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -1589,3 +1589,83 @@ def set01_session_state(spark, sf_dir):
     rows.append((3, "output_format", eng.output_format))
     return spark.createDataFrame(rows, "step int, parameter string, "
                                        "value string")
+
+
+@gate("mm02_decode_bmp", """
+WITH b AS (
+  SELECT doc_id, i % 3 AS ch,
+         ord(substr(text, ((i % octet_length(text::BLOB)) + 1)::INT, 1))
+           AS byte
+  FROM documents, unnest(range(0, 192)) AS t(i)
+  WHERE octet_length(text::BLOB) > 0
+)
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       avg(byte) FILTER (ch = 0) AS mean_b,
+       avg(byte) FILTER (ch = 1) AS mean_g,
+       avg(byte) FILTER (ch = 2) AS mean_r
+FROM b GROUP BY 1
+""")
+def mm02_decode_bmp(spark, sf_dir):
+    """REAL image decode: each document's bytes cycle into the raw
+    pixel buffer of a genuine 8x8 24-bit BMP (encode_bmp), and
+    decode_images parses the container back — header fields, bottom-up
+    rows, channel planes — via Arrow-batched mapInPandas.  The oracle
+    recomputes the per-channel means straight from the source bytes;
+    channel means are exact doubles (integer sums / 64), so the
+    comparison is bit-exact with no rounding."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (decode_images,
+                                                          encode_bmp)
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (192 // len(raw) + 1))[:192]
+                data.append(encode_bmp(buf, 8, 8))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return decode_images(media)
+
+
+@gate("mm03_decode_wav", """
+WITH s AS (
+  SELECT doc_id,
+         abs((ord(substr(text,
+                         ((i % octet_length(text::BLOB)) + 1)::INT, 1))
+              - 128) * 256) AS a
+  FROM documents, unnest(range(0, 64)) AS t(i)
+  WHERE octet_length(text::BLOB) > 0
+)
+SELECT doc_id AS media_id, 1 AS n_channels, 8000 AS sample_rate,
+       64 AS n_frames, avg(a) AS mean_abs
+FROM s GROUP BY 1
+""")
+def mm03_decode_wav(spark, sf_dir):
+    """REAL audio decode: 64 int16 PCM samples derived from each
+    document's bytes are packed into a genuine mono WAV (encode_wav,
+    stdlib wave writer) and decode_audio parses the RIFF container back
+    (channels, rate, frames, mean |amplitude|).  The oracle recomputes
+    from the source bytes; mean_abs is an exact double (integer sum /
+    64)."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (decode_audio,
+                                                          encode_wav)
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (64 // len(raw) + 1))[:64]
+                data.append(encode_wav([(b - 128) * 256 for b in buf]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return decode_audio(media)

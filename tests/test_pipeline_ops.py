@@ -216,3 +216,43 @@ def test_pandas_topk_matches_jvm_topk(spark):
         assert abs(c_j - c_p) < 2e-6
         # neighbor may differ only on a rounded-cos tie
         assert n_j == n_p or abs(c_j - c_p) < 2e-6
+
+
+def test_bmp_codec_roundtrip_and_resize(spark):
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        decode_bmp, decode_images, encode_bmp, resize_bmp_nearest)
+    w, h = 5, 3                       # width 5 -> 15-byte rows, 1-byte pad
+    pix = bytes(range(w * h * 3))
+    d = decode_bmp(encode_bmp(pix, w, h))
+    arr = np.frombuffer(pix, np.uint8).reshape(-1, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_b"] == arr[:, 0].mean()
+    assert d["mean_r"] == arr[:, 2].mean()
+    small = decode_bmp(resize_bmp_nearest(encode_bmp(pix, w, h), 2, 2))
+    assert (small["width"], small["height"]) == (2, 2)
+    # distributed decode + quarantine: a non-BMP payload NULLs out, not
+    # crashes
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(pix, w, h))), (2, bytearray(b"not a bmp"))],
+        "media_id long, data binary")
+    rows = {r.media_id: r for r in decode_images(media).collect()}
+    assert rows[1].width == w and rows[1].mean_g == arr[:, 1].mean()
+    assert rows[2].width is None and rows[2].mean_g is None
+
+
+def test_wav_codec_roundtrip(spark):
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        decode_audio, decode_wav, encode_wav)
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    d = decode_wav(encode_wav(samples, 8000))
+    assert d == {"n_channels": 1, "sample_rate": 8000, "n_frames": 6,
+                 "mean_abs": float(np.abs(np.array(samples,
+                                                   dtype=np.int64)).mean())}
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples))), (2, bytearray(b"RIFFgarbage"))],
+        "media_id long, data binary")
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert rows[1].n_frames == 6 and rows[1].sample_rate == 8000
+    assert rows[2].n_frames is None
