@@ -130,16 +130,17 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     and total term frequency with a unique frequency rank (ties broken
     by token; Zipf check / stop-word candidates).
 
-    The global rank is an unpartitioned window — the whole vocabulary
-    funnels through one task.  That is fine for vocabulary-sized output
-    (millions of rows, orders of magnitude below the corpus); for
-    larger outputs rank a top-N slice or bucket by frequency band
-    first."""
-    from pyspark.sql import Window
+    The rank is computed distributed (range partition + per-partition
+    numbering + start offsets, operators.ordering.global_row_number):
+    the (term_freq, tok) order is total, so the numbering is unique and
+    deterministic, and no single task ever sorts the whole vocabulary —
+    web-scale vocabularies (shingled / byte-level tokens) exceed
+    single-task memory."""
     tok = df.select(F.col("doc_id"),
                     F.explode(tokens(F.col(text_col))).alias("tok"))
     agg = (tok.groupBy("tok")
            .agg(F.countDistinct("doc_id").alias("doc_freq"),
                 F.count("*").alias("term_freq")))
-    w = Window.orderBy(F.col("term_freq").desc(), F.col("tok").asc())
-    return agg.withColumn("rank", F.row_number().over(w))
+    from cantera_table_spark.operators.ordering import global_row_number
+    return (global_row_number(agg, F.col("term_freq").desc(),
+                              F.col("tok").asc(), col_name="rank"))

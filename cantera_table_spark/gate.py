@@ -1669,3 +1669,32 @@ def mm03_decode_wav(spark, sf_dir):
 
     media = d.mapInPandas(synth, "media_id long, data binary")
     return decode_audio(media)
+
+
+@gate("dp01_dump_index", ORACLE_POSTINGS + """
+SELECT p.keyword,
+       'doc' || lpad(doc_id::VARCHAR, 6, '0') || '.example.com' AS doc_key,
+       p.score
+FROM idx p WHERE p.keyword LIKE 'lang:%'
+""")
+def dp01_dump_index(spark, sf_dir):
+    """S6/J7 (ca-dump.cc:96-129): full-scan dump of the index joined to
+    document names, with the prefix seek filter — the ca-dump surface,
+    previously pytest-only."""
+    from cantera_table_spark.sources.dump import dump_index_with_summaries
+    return dump_index_with_summaries(_engine(spark, sf_dir).catalog,
+                                     key_filter="^lang:")
+
+
+@gate("dp02_dump_timeseries", """
+SELECT event_type AS key, strftime(ts, '%Y/%m/%d %H:%M') AS time, value
+FROM events
+""")
+def dp02_dump_timeseries(spark, sf_dir):
+    """S6/X3 (ca-dump.cc:148-216): time-series dump under a custom
+    strftime-style format (minute truncation exercises real
+    formatting, not just default rendering)."""
+    from cantera_table_spark.model import derive_timeseries
+    from cantera_table_spark.sources.dump import dump_timeseries
+    return dump_timeseries(derive_timeseries(spark, sf_dir),
+                           time_format="yyyy/MM/dd HH:mm")

@@ -219,27 +219,11 @@ def top_k(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
 
 def _drop_first_n(df: DataFrame, n: int) -> DataFrame:
     """Drop the first ``n`` rows in (score desc, doc asc) order without a
-    single-task global window (the limit=-1 + OFFSET page).
-
-    Range-repartition on the sort key, then number rows per partition
-    (parallel window) and add each partition's start offset — computed
-    as a cumulative sum over the tiny per-partition count table (bounded
-    by the partition count, not the data) and broadcast back.  The count
-    branch and the row branch share one range-shuffle exchange (Spark's
-    ReuseExchange; asserted in tests), so both see identical partition
-    boundaries."""
-    parts = (df.repartitionByRange(F.col(_SCORE).desc(), F.col(_DOC).asc())
-             .withColumn("__pid", F.spark_partition_id()))
-    counts = parts.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    wcum = (Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    starts = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(wcum), F.lit(0)).alias("__start"))
-    wloc = Window.partitionBy("__pid").orderBy(
-        F.col(_SCORE).desc(), F.col(_DOC).asc())
-    return (parts.join(F.broadcast(starts), "__pid")
-            .withColumn("__rn", F.row_number().over(wloc) + F.col("__start"))
-            .filter(F.col("__rn") > n)
+    single-task global window (the limit=-1 + OFFSET page) — see
+    operators.ordering.global_row_number for the mechanism."""
+    from cantera_table_spark.operators.ordering import global_row_number
+    numbered = global_row_number(df, F.col(_SCORE).desc(),
+                                 F.col(_DOC).asc())
+    return (numbered.filter(F.col("__rn") > n)
             .orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
             .select(_DOC, _SCORE))

@@ -158,12 +158,14 @@ def read_tsv_summaries(spark: SparkSession, path: str | list[str],
     #                                     real summary for the same key
     df = (df.withColumn("__rn", F.row_number().over(w_dup))
           .filter(F.col("__rn") == 1).drop("__rn"))
-    w = Window.orderBy("key")
-    # dense_rank over a global sort: acceptable at ingest (one pass);
-    # at 100 TB use zipWithIndex-per-partition + offset or a monotonic id
-    # plus a mapping table.
-    return df.withColumn("doc_id", F.dense_rank().over(w) - 1) \
-             .select("doc_id", "key", "doc")
+    # keys are unique after the dedup above, so dense rank == global row
+    # number; computed distributed (range partition + per-partition
+    # numbering + start offsets) instead of a single-task global window —
+    # this is the summary front door and must survive 100 TB
+    from cantera_table_spark.operators.ordering import global_row_number
+    return (global_row_number(df, F.col("key").asc())
+            .withColumn("doc_id", F.col("__rn") - 1)
+            .select("doc_id", "key", "doc"))
 
 
 def merge_tables(tables: list[DataFrame], mode: str = "union",

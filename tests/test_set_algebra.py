@@ -151,6 +151,5 @@ def test_unlimited_offset_page_distributed(spark):
     plan = page._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     # the only single-partition window is over the tiny per-partition
-    # count table; the data-sized window is hash-partitioned by __pid
-    assert "partitionBy=[__pid]" in plan.replace(" ", "") or \
-        "__pid" in plan
+    # count table; the data-sized window is hash-partitioned by __gpid
+    assert "__gpid" in plan
