@@ -1235,10 +1235,30 @@ def corr02_event_prediction(spark, sf_dir):
 
 
 @gate("dd06_dedup_clusters", ORACLE_SHINGLES + """
-, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+, sigs AS (
+  SELECT doc_id, i AS h_idx,
+         min(((2 * i + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+              + 12345 * i + 1) % 4294967311) AS sig
+  FROM sh, unnest(range(0, 16)) AS h(i)
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, (h_idx // 4) AS band,
+         md5(string_agg(h_idx || ':' || sig, ','
+                        ORDER BY h_idx || ':' || sig)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -1262,16 +1282,23 @@ cc AS (
 SELECT doc_id, canonical_id FROM cc
 """)
 def dd06_dedup_clusters(spark, sf_dir):
-    """End-to-end near-dup dedup decision: shingle -> Jaccard-verified
-    pairs -> connected components; every doc maps to the minimum doc_id
-    of its duplicate cluster (min-label propagation vs the oracle's
-    recursive CTE)."""
+    """End-to-end near-dup dedup decision on the SCALE path: MinHash
+    banding -> candidate pairs -> exact Jaccard verify -> connected
+    components; every doc maps to the minimum doc_id of its duplicate
+    cluster (min-label propagation vs the oracle's recursive CTE, with
+    the banding mirrored in SQL so the pruning is verified, not
+    assumed)."""
     from cantera_table_spark.functions.dedup import (duplicate_clusters,
                                                      jaccard_pairs,
+                                                     lsh_candidate_pairs,
+                                                     minhash_signatures,
                                                      shingles)
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    pairs = jaccard_pairs(sh, min_jaccard=0.12).select("doc_a", "doc_b")
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
+                                bands=4, k=16)
+    pairs = (jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+             .select("doc_a", "doc_b"))
     return duplicate_clusters(docs.select("doc_id"), pairs)
 
 
