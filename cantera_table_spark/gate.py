@@ -1725,3 +1725,38 @@ def dp02_dump_timeseries(spark, sf_dir):
     from cantera_table_spark.sources.dump import dump_timeseries
     return dump_timeseries(derive_timeseries(spark, sf_dir),
                            time_format="yyyy/MM/dd HH:mm")
+
+
+@gate("sk01_salted_rollup", ORACLE_POSTINGS + """
+SELECT keyword, count(*) AS n, round(sum(score), 3) AS total
+FROM idx GROUP BY 1
+""")
+def sk01_salted_rollup(spark, sf_dir):
+    """Skew lever 2 (operators/skew.py): two-phase salted count+sum
+    over the whole index must equal the plain aggregate — the oracle IS
+    the plain aggregate, so the salting's algebraic correctness is
+    driver-verified (hot keys split across n_salts reducers, partials
+    recombined)."""
+    from cantera_table_spark.operators.skew import salted_count_sum
+    idx = _engine(spark, sf_dir).catalog.index()
+    out = salted_count_sum(idx, ["keyword"], "score", n_salts=8)
+    return out.select("keyword", "n",
+                      F.round("total", 3).alias("total"))
+
+
+@gate("x02_export_results", ORACLE_POSTINGS + """
+SELECT p.doc_id,
+       '{"_key":"doc' || lpad(p.doc_id::VARCHAR, 6, '0')
+       || '.example.com","lang":"' || d.lang || '","source":"'
+       || d.source || '","n_chars":' || d.n_chars || '}' AS result_json
+FROM idx p JOIN documents d ON d.doc_id = p.doc_id
+WHERE p.keyword = 'slow'
+""")
+def x02_export_results(spark, sf_dir):
+    """Distributed full-result JSON export (query.cc:862-890
+    concatenation scheme): every matching doc becomes one JSON line
+    assembled executor-side — the path for exporting millions of
+    results without driver collection; the oracle rebuilds the exact
+    strings."""
+    eng = _engine(spark, sf_dir)
+    return eng.export_results(parse_query("slow"))

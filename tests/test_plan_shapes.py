@@ -164,3 +164,43 @@ def test_bucketed_postings_partition_pruning(spark, tmp_path_factory):
     b = sorted((r.doc_id, r.score)
                for r in q(spark, cat_nb, "QUERY (kw7);").collect())
     assert a == b and len(a) == 250
+
+
+def test_summary_ingest_id_assignment_is_distributed(spark, tmp_path_factory):
+    """read_tsv_summaries doc_id assignment must not funnel the whole
+    table through a single-task global sort: the numbering window is
+    partitioned (by the range-partition id) and a range exchange is
+    present instead of SinglePartition."""
+    from cantera_table_spark.sources.ingest import read_tsv_summaries
+    d = str(tmp_path_factory.mktemp("tsv"))
+    with open(f"{d}/s.tsv", "w") as f:
+        for i in range(500):
+            f.write(f"k{i:04d}\t{{\"v\":{i}}}\n")
+    out = read_tsv_summaries(spark, f"{d}/s.tsv")
+    rows = {r.key: r.doc_id for r in out.collect()}
+    assert rows["k0000"] == 0 and rows["k0499"] == 499
+    facts = plan_facts(out)
+    assert "rangepartitioning" in facts.text.replace(" ", "").lower()
+    # the data-sized window partitions by the physical partition id
+    assert "__gpid" in facts.text
+
+
+def test_asof_prior_is_single_shuffle(spark):
+    """asof_prior = one hash shuffle (the per-key window); no join, no
+    second aggregation exchange."""
+    from cantera_table_spark.functions.timeseries import asof_prior
+    e = spark.range(1000).select(
+        (F.col("id") % 37).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.when(F.col("id") % 11 == 0, "purchase").otherwise("view")
+        .alias("event_type"))
+    out = asof_prior(e, F.col("event_type") == "purchase")
+    facts = plan_facts(out)
+    assert facts.n_shuffles == 1
+    assert "Join" not in facts.text
+    # correctness spot: every kept row precedes its user's first purchase
+    first_p = {r.user_id: r.m for r in
+               e.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id").agg(F.min("ts").alias("m")).collect()}
+    for r in out.collect():
+        assert r.ts < first_p[r.user_id]
