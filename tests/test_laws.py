@@ -81,3 +81,68 @@ def test_sample_is_deterministic_subset(spark, a):
     assert s1 == s2
     assert len(s1) == min(5, len(a))
     assert {d for d, _ in s1} <= {d for d, _ in a}
+
+
+# ---------------------------------------------------------------------------
+# Codec laws (pure functions — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 9), h=st.integers(1, 7), data=st.binary(max_size=64))
+def test_bmp_roundtrip_means_law(w, h, data):
+    """encode->decode preserves dimensions and exact channel means for
+    any size (odd widths exercise row padding) and any byte content."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (decode_bmp,
+                                                          encode_bmp)
+    n = w * h * 3
+    buf = (bytes(data) * (n // max(len(data), 1) + 1))[:n] if data \
+        else bytes(n)
+    d = decode_bmp(encode_bmp(buf, w, h))
+    arr = np.frombuffer(buf, np.uint8).reshape(-1, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_b"] == arr[:, 0].mean()
+    assert d["mean_g"] == arr[:, 1].mean()
+    assert d["mean_r"] == arr[:, 2].mean()
+
+
+@settings(max_examples=25, deadline=None)
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1,
+                        max_size=200),
+       rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_law(samples, rate):
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (decode_wav,
+                                                          encode_wav)
+    d = decode_wav(encode_wav(samples, rate))
+    assert d["n_channels"] == 1 and d["sample_rate"] == rate
+    assert d["n_frames"] == len(samples)
+    assert d["mean_abs"] == float(
+        np.abs(np.array(samples, dtype=np.int64)).mean())
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 50),
+                               st.floats(0, 10, allow_nan=False)),
+                     min_size=0, max_size=120))
+def test_global_row_number_law(spark, rows):
+    """global_row_number == the single-task row_number for any input
+    (including duplicates and empty), under a total order."""
+    from cantera_table_spark.operators.ordering import global_row_number
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "doc_id long, score double") \
+        if rows else spark.createDataFrame([], "doc_id long, score double")
+    got = sorted((r.doc_id, r.score, r["__rn"]) for r in global_row_number(
+        df, F.col("score").desc(), F.col("doc_id").asc()).collect())
+    expect_order = sorted(rows, key=lambda p: (-p[1], p[0]))
+    # equal (doc,score) rows may number arbitrarily among themselves —
+    # compare the multiset of (row, rank-bucket) via sorted sequences
+    got_ranks = [g[2] for g in sorted(
+        got, key=lambda g: (-g[1], g[0], g[2]))]
+    assert got_ranks == list(range(1, len(rows) + 1))
+    # strict check on rows with unique keys
+    uniq = {k for k in rows if rows.count(k) == 1}
+    pos = {k: i + 1 for i, k in enumerate(expect_order)}
+    for (d, s, rn) in got:
+        if (d, s) in uniq:
+            assert rn == pos[(d, s)]
