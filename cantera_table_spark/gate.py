@@ -798,6 +798,34 @@ scored AS (
 """
 
 
+# Hyperplane-LSH signatures (sim03/sim05): +/-1 planes from md5 digest
+# byte parity, per-plane dots as the same left fold Spark uses -> the
+# signatures are bit-identical across engines.
+ORACLE_HYPERSIG = """
+WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+planes AS (
+  SELECT j, list_transform(range(0, dim), d -> CASE WHEN
+           (('0x' || substr(md5('plane:' || j || ':' || (d - (d % 16))),
+                            ((d % 16) * 2) + 1, 2))::INT & 1) = 1
+           THEN 1.0 ELSE -1.0 END) AS pw
+  FROM dims, unnest(range(0, 16)) AS jj(j)
+),
+dots AS (
+  SELECT e.vec_id, p.j,
+    list_reduce(list_prepend(0.0, list_transform(
+      range(1, len(e.embedding) + 1),
+      i -> e.embedding[i]::DOUBLE * p.pw[i])), (a, b) -> a + b) AS dot
+  FROM embeddings e, planes p
+),
+hsigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+           AS sig
+  FROM dots GROUP BY 1
+)
+"""
+
+
 @gate("sim01_brute_topk", ORACLE_COSINE + """
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -813,11 +841,76 @@ def sim01_brute_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@gate("sim02_ivf_topk")
+@gate("sim02_ivf_topk", """
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id, e.v,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+      i -> v[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS acos
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cluster, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rk
+    FROM assign_scored) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+probe_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+      i -> qv[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS ccos
+  FROM q, c
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, centroid_id) AS rk
+    FROM probe_scored) t
+  WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+        i -> qv[i] * v[i])), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))),
+      6) AS cos
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= 5
+""")
 def sim02_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (scale path): bucket by nearest seed
-    centroid, probe 2 buckets.  Approximate by construction -> rows-only
-    check; recall vs sim01 is asserted in tests/test_similarity.py."""
+    centroid, probe 2 buckets.  Every stage is deterministic (seeded
+    centroids, bit-identical left-fold cosines), so the oracle replays
+    the full assign -> probe -> exact-rank pipeline in SQL — the
+    approximation is vs exhaustive search (recall floor in
+    tests/test_similarity.py), not vs the oracle."""
     from cantera_table_spark.functions.similarity import (
         ivf_assign, ivf_topk, seed_centroids)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1040,14 +1133,45 @@ def tx05_tfidf(spark, sf_dir):
                     .alias("tfidf")))
 
 
-@gate("sim03_lsh_neardup")
+@gate("sim03_lsh_neardup", ORACLE_HYPERSIG + """
+, banded AS (
+  SELECT h.vec_id, e.embedding::DOUBLE[] AS v, b.band,
+         (h.sig >> (b.band * 4)) & 15 AS bits
+  FROM hsigs h JOIN embeddings e ON e.vec_id = h.vec_id,
+       unnest(range(0, 4)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.v AS va, b.v AS vb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bits = b.bits
+              AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, len(va) + 1),
+        i -> va[i] * vb[i])), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(va) + 1), i -> va[i] * va[i])), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(vb) + 1), i -> vb[i] * vb[i])), (a, b) -> a + b))),
+      6) AS cos
+  FROM cand
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
+""")
 def sim03_lsh_neardup(spark, sf_dir):
-    """Hyperplane-LSH embedding near-dup (scale path; candidate set is
-    signature-banded, exact cosine verify).  Approximate recall vs the
-    exact dd05 pairing is asserted in tests -> rows-only check here."""
+    """Hyperplane-LSH embedding near-dup (scale path): signature-banded
+    candidates, exact cosine verify.  The banding and cosines are
+    deterministic md5/left-fold constructions, so the oracle replays
+    the whole pipeline in SQL; approximation (recall vs the exhaustive
+    dd05 pairing) is asserted in tests.  Threshold 0.3 (not the 0.8
+    production default) so the synthetic fixture — random vectors, no
+    true near-dups — yields a non-vacuous result set."""
     from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(emb, threshold=0.8)
+    return lsh_near_dup_pairs(emb, threshold=0.3)
 
 
 @gate("ts08_dsl_date_filter", """
@@ -1523,26 +1647,8 @@ def sim04_ivf_assign(spark, sf_dir):
             .select("vec_id", "cluster"))
 
 
-@gate("sim05_hyperplane_sig", """
-WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
-planes AS (
-  SELECT j, list_transform(range(0, dim), d -> CASE WHEN
-           (('0x' || substr(md5('plane:' || j || ':' || (d - (d % 16))),
-                            ((d % 16) * 2) + 1, 2))::INT & 1) = 1
-           THEN 1.0 ELSE -1.0 END) AS pw
-  FROM dims, unnest(range(0, 16)) AS jj(j)
-),
-dots AS (
-  SELECT e.vec_id, p.j,
-    list_reduce(list_prepend(0.0, list_transform(
-      range(1, len(e.embedding) + 1),
-      i -> e.embedding[i]::DOUBLE * p.pw[i])), (a, b) -> a + b) AS dot
-  FROM embeddings e, planes p
-)
-SELECT vec_id,
-       sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
-         AS sig
-FROM dots GROUP BY 1
+@gate("sim05_hyperplane_sig", ORACLE_HYPERSIG + """
+SELECT vec_id, sig FROM hsigs
 """)
 def sim05_hyperplane_sig(spark, sf_dir):
     """Hyperplane-LSH signature stage of sim03, exact-checkable: the
