@@ -1866,3 +1866,47 @@ def x02_export_results(spark, sf_dir):
     strings."""
     eng = _engine(spark, sf_dir)
     return eng.export_results(parse_query("slow"))
+
+
+@gate("mm04_thumbnail", """
+WITH px AS (
+  SELECT doc_id, ch.ch,
+         ord(substr(text,
+             (((((rr.r * 2) * 8 + cc.c * 2) * 3 + ch.ch)
+               % octet_length(text::BLOB)) + 1)::INT, 1)) AS byte
+  FROM documents,
+       unnest(range(0, 4)) AS rr(r),
+       unnest(range(0, 4)) AS cc(c),
+       unnest(range(0, 3)) AS ch(ch)
+  WHERE octet_length(text::BLOB) > 0
+)
+SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+       avg(byte) FILTER (ch = 0) AS mean_b,
+       avg(byte) FILTER (ch = 1) AS mean_g,
+       avg(byte) FILTER (ch = 2) AS mean_r
+FROM px GROUP BY 1
+""")
+def mm04_thumbnail(spark, sf_dir):
+    """Distributed thumbnailing: synthesize an 8x8 BMP per document,
+    nearest-neighbour resize to 4x4 (resize_bmp_nearest: real pixel
+    indexing, re-encoded BMP), decode the thumbnail.  The oracle
+    samples the same pixel grid (rows/cols 0,2,4,6 of the cycled byte
+    buffer) straight from the source bytes — resize + both codec passes
+    are verified value-exact."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (
+        decode_images, encode_bmp, resize_bmp_nearest)
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (192 // len(raw) + 1))[:192]
+                data.append(resize_bmp_nearest(encode_bmp(buf, 8, 8), 4, 4))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return decode_images(media)
