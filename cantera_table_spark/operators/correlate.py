@@ -119,23 +119,30 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
                     (F.col("__n_classes") >= min_limit))
         .select("keyword"), "keyword")
 
+    # Collapse ties BEFORE the cumulative scan: the reference's ``agg``
+    # array is keyed by distinct score (correlate.cc:282-300), so the
+    # per-row window only ever re-derived what a (keyword, score)
+    # pre-aggregate computes directly.  The groupBy gets map-side
+    # combine, and the window's sort input shrinks by the tie factor —
+    # at pretraining scale score ties (e.g. integer-valued features)
+    # dominate, so this is the difference between sorting the postings
+    # and sorting the value histogram.
+    per_score = (classes.groupBy("keyword", "score")
+                 .agg(F.count(F.when(F.col("cls") >= 0, 1)).alias("__n_a"),
+                      F.count(F.when(F.col("cls") <= 0, 1)).alias("__n_b"),
+                      F.count("*").alias("__n_ab")))
     w_cum = (Window.partitionBy("keyword").orderBy("score")
-             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_tot = Window.partitionBy("keyword")
-    cum = (classes
-           .withColumn("cum_a", F.count(F.when(F.col("cls") >= 0, 1))
-                       .over(w_cum))
-           .withColumn("cum_b", F.count(F.when(F.col("cls") <= 0, 1))
-                       .over(w_cum))
-           .withColumn("cum_ab", F.count("*").over(w_cum))
-           .withColumn("tot_a", F.count(F.when(F.col("cls") >= 0, 1))
-                       .over(w_tot))
-           .withColumn("tot_b", F.count(F.when(F.col("cls") <= 0, 1))
-                       .over(w_tot))
-           .withColumn("tot_ab", F.count("*").over(w_tot))
+    cum = (per_score
+           .withColumn("cum_a", F.sum("__n_a").over(w_cum))
+           .withColumn("cum_b", F.sum("__n_b").over(w_cum))
+           .withColumn("cum_ab", F.sum("__n_ab").over(w_cum))
+           .withColumn("tot_a", F.sum("__n_a").over(w_tot))
+           .withColumn("tot_b", F.sum("__n_b").over(w_tot))
+           .withColumn("tot_ab", F.sum("__n_ab").over(w_tot))
            .select("keyword", "score", "cum_a", "cum_b", "cum_ab",
-                   "tot_a", "tot_b", "tot_ab")
-           .dropDuplicates(["keyword", "score"]))
+                   "tot_a", "tot_b", "tot_ab"))
 
     def abs_logit(ca, cab):
         # log(P/(1-P)) with P=(ca+1)/(cab+2) simplifies to the form below;
