@@ -112,7 +112,12 @@ def decode_bmp(data: bytes) -> dict:
 
 def resize_bmp_nearest(data: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbour resize of a 24-bit BMP, re-encoded as BMP —
-    the distributed thumbnailing kernel (pure numpy indexing)."""
+    the distributed thumbnailing kernel (pure numpy indexing).
+
+    Handles both row orders: bottom-up (height > 0) rows pass through
+    in file order; top-down (height < 0) rows are flipped before the
+    bottom-up re-encode so the thumbnail is never vertically mirrored
+    (decode_bmp round-trips both)."""
     import numpy as np
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -121,6 +126,7 @@ def resize_bmp_nearest(data: bytes, new_w: int, new_h: int) -> bytes:
         struct.unpack_from("<IiiHHI", data, 14)
     if bpp != 24 or compression != 0:
         raise ValueError("unsupported BMP")
+    top_down = height < 0
     h = abs(height)
     row_bytes = width * 3
     stride = row_bytes + ((-row_bytes) % 4)
@@ -131,8 +137,12 @@ def resize_bmp_nearest(data: bytes, new_w: int, new_h: int) -> bytes:
             .reshape(width, 3)
     ys = (np.arange(new_h) * h) // new_h
     xs = (np.arange(new_w) * width) // new_w
-    out = img[ys][:, xs]             # file-order rows stay file-order
-    return encode_bmp(out.tobytes(), new_w, new_h)
+    out = img[ys][:, xs]
+    if top_down:
+        # sampled rows are in image order; the positive-height encoding
+        # below is bottom-up, so flip to keep image orientation
+        out = out[::-1]
+    return encode_bmp(np.ascontiguousarray(out).tobytes(), new_w, new_h)
 
 
 def encode_wav(samples_i16, sample_rate: int = 8000) -> bytes:

@@ -142,5 +142,10 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
            .agg(F.countDistinct("doc_id").alias("doc_freq"),
                 F.count("*").alias("term_freq")))
     from cantera_table_spark.operators.ordering import global_row_number
+    # stable=True: the groupBy output is nondeterministically ordered, so
+    # the numbering must not depend on ReuseExchange (ordering.py module
+    # docstring) — the vocabulary table is post-aggregation and small
+    # relative to the corpus, so the checkpoint copy is cheap.
     return (global_row_number(agg, F.col("term_freq").desc(),
-                              F.col("tok").asc(), col_name="rank"))
+                              F.col("tok").asc(), col_name="rank",
+                              stable=True))

@@ -207,7 +207,7 @@ def q10_prefix_scan(spark, sf_dir):
 
 @gate("q11_summary_key", ORACLE_POSTINGS + """
 SELECT doc_id, 0.0::DOUBLE AS score FROM documents
-WHERE 'doc' || lpad(doc_id::VARCHAR, 6, '0') || '.example.com'
+WHERE 'doc' || (CASE WHEN length(doc_id::VARCHAR) > 6 THEN doc_id::VARCHAR ELSE lpad(doc_id::VARCHAR, 6, '0') END) || '.example.com'
       = 'doc000042.example.com'
 """)
 def q11_summary_key(spark, sf_dir):
@@ -257,7 +257,7 @@ def q14_random_sample(spark, sf_dir):
 
 @gate("q15_select_matrix", ORACLE_POSTINGS + """
 SELECT sel.doc_id,
-       'doc' || lpad(sel.doc_id::VARCHAR, 6, '0') || '.example.com' AS key,
+       'doc' || (CASE WHEN length(sel.doc_id::VARCHAR) > 6 THEN sel.doc_id::VARCHAR ELSE lpad(sel.doc_id::VARCHAR, 6, '0') END) || '.example.com' AS key,
        coalesce(ps.score, 'NaN'::DOUBLE) AS f_spark,
        CASE WHEN d.lang = 'en' THEN 1.0 ELSE 'NaN'::DOUBLE END AS f_en,
        coalesce(d.n_chars::DOUBLE, 'NaN'::DOUBLE) AS f_len
@@ -933,14 +933,16 @@ def dd05_embedding_neardup(spark, sf_dir):
 
 
 @gate("mm01_decode_media", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id AS media_id,
-       octet_length(text::BLOB)::INTEGER AS n_bytes,
-       lower(hex(substr(text, 1, 4))) AS header_hex,
+       n::INTEGER AS n_bytes,
+       lower(substr(hx, 1, 8)) AS header_hex,
        (list_reduce(list_prepend(0::BIGINT, list_transform(
-          range(1, octet_length(text::BLOB) + 1),
-          i -> ord(substr(text, i, 1))::BIGINT)),
+          range(1, n + 1),
+          i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT)),
           (a, b) -> a + b)) % 2147483648 AS byte_checksum
-FROM documents
+FROM h
 """)
 def mm01_decode_media(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads 'decoded' by an
@@ -1057,7 +1059,7 @@ def ts07_union_merge(spark, sf_dir):
 
 @gate("q18_override_patch", ORACLE_POSTINGS + """
 SELECT d.doc_id,
-       'doc' || lpad(d.doc_id::VARCHAR, 6, '0') || '.example.com' AS key,
+       'doc' || (CASE WHEN length(d.doc_id::VARCHAR) > 6 THEN d.doc_id::VARCHAR ELSE lpad(d.doc_id::VARCHAR, 6, '0') END) || '.example.com' AS key,
        CASE WHEN d.doc_id % 10 = 0 THEN 'OVERRIDDEN' ELSE d.source END
          AS source_final
 FROM (SELECT DISTINCT doc_id FROM idx WHERE keyword = 'spark') r
@@ -1725,12 +1727,13 @@ def set01_session_state(spark, sf_dir):
 
 
 @gate("mm02_decode_bmp", """
-WITH b AS (
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (
   SELECT doc_id, i % 3 AS ch,
-         ord(substr(text, ((i % octet_length(text::BLOB)) + 1)::INT, 1))
-           AS byte
-  FROM documents, unnest(range(0, 192)) AS t(i)
-  WHERE octet_length(text::BLOB) > 0
+         ('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT AS byte
+  FROM h, unnest(range(0, 192)) AS t(i)
 )
 SELECT doc_id AS media_id, 8 AS width, 8 AS height,
        avg(byte) FILTER (ch = 0) AS mean_b,
@@ -1766,13 +1769,14 @@ def mm02_decode_bmp(spark, sf_dir):
 
 
 @gate("mm03_decode_wav", """
-WITH s AS (
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+s AS (
   SELECT doc_id,
-         abs((ord(substr(text,
-                         ((i % octet_length(text::BLOB)) + 1)::INT, 1))
+         abs((('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT
               - 128) * 256) AS a
-  FROM documents, unnest(range(0, 64)) AS t(i)
-  WHERE octet_length(text::BLOB) > 0
+  FROM h, unnest(range(0, 64)) AS t(i)
 )
 SELECT doc_id AS media_id, 1 AS n_channels, 8000 AS sample_rate,
        64 AS n_frames, avg(a) AS mean_abs
@@ -1806,7 +1810,7 @@ def mm03_decode_wav(spark, sf_dir):
 
 @gate("dp01_dump_index", ORACLE_POSTINGS + """
 SELECT p.keyword,
-       'doc' || lpad(doc_id::VARCHAR, 6, '0') || '.example.com' AS doc_key,
+       'doc' || (CASE WHEN length(doc_id::VARCHAR) > 6 THEN doc_id::VARCHAR ELSE lpad(doc_id::VARCHAR, 6, '0') END) || '.example.com' AS doc_key,
        p.score
 FROM idx p WHERE p.keyword LIKE 'lang:%'
 """)
@@ -1852,7 +1856,7 @@ def sk01_salted_rollup(spark, sf_dir):
 
 @gate("x02_export_results", ORACLE_POSTINGS + """
 SELECT p.doc_id,
-       '{"_key":"doc' || lpad(p.doc_id::VARCHAR, 6, '0')
+       '{"_key":"doc' || (CASE WHEN length(p.doc_id::VARCHAR) > 6 THEN p.doc_id::VARCHAR ELSE lpad(p.doc_id::VARCHAR, 6, '0') END)
        || '.example.com","lang":"' || d.lang || '","source":"'
        || d.source || '","n_chars":' || d.n_chars || '}' AS result_json
 FROM idx p JOIN documents d ON d.doc_id = p.doc_id
@@ -1869,16 +1873,18 @@ def x02_export_results(spark, sf_dir):
 
 
 @gate("mm04_thumbnail", """
-WITH px AS (
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+px AS (
   SELECT doc_id, ch.ch,
-         ord(substr(text,
-             (((((rr.r * 2) * 8 + cc.c * 2) * 3 + ch.ch)
-               % octet_length(text::BLOB)) + 1)::INT, 1)) AS byte
-  FROM documents,
+         ('0x' || substr(hx,
+             (2 * ((((rr.r * 2) * 8 + cc.c * 2) * 3 + ch.ch) % n)
+              + 1)::INT, 2))::INT AS byte
+  FROM h,
        unnest(range(0, 4)) AS rr(r),
        unnest(range(0, 4)) AS cc(c),
        unnest(range(0, 3)) AS ch(ch)
-  WHERE octet_length(text::BLOB) > 0
 )
 SELECT doc_id AS media_id, 4 AS width, 4 AS height,
        avg(byte) FILTER (ch = 0) AS mean_b,

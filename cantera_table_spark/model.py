@@ -208,7 +208,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # same defensive posture for the timezone: the oracle (DuckDB) reads
     # these naive timestamps as-is, so date_format/date_trunc must run
-    # under UTC even on a caller session that didn't pin it
+    # under UTC even on a caller session that didn't pin it.  This is a
+    # session-global mutation — warn loudly when it overwrites a
+    # conflicting caller choice instead of silently changing the
+    # semantics of the caller's unrelated queries.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC", "Etc/UTC", "Z"):
+        import warnings
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC for oracle "
+            f"parity, overriding the session's existing {prev_tz!r}; "
+            f"timestamp rendering in other queries on this session will "
+            f"change", stacklevel=2)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:

@@ -18,6 +18,16 @@ The count branch and the row branch reference the same range exchange;
 Spark's ReuseExchange collapses them to one physical shuffle, so both
 see identical partition boundaries (asserted in
 tests/test_set_algebra.py).
+
+HARD INVARIANT: the default (``stable=False``) is only correct while
+that ReusedExchange holds — if the two branches ever re-executed the
+exchange separately over a nondeterministically-ordered input (e.g.
+the output of an aggregation), range sampling could pick different
+boundaries per branch and the numbering would be silently wrong.  The
+plan-shape test pins the reuse; callers whose input is downstream of
+an aggregation or other nondeterministic op should pass
+``stable=True``, which localCheckpoints the partitioned input so both
+branches read one materialization regardless of plan shape.
 """
 
 from __future__ import annotations
@@ -27,12 +37,20 @@ from pyspark.sql import functions as F
 
 
 def global_row_number(df: DataFrame, *order: Column,
-                      col_name: str = "__rn") -> DataFrame:
+                      col_name: str = "__rn",
+                      stable: bool = False) -> DataFrame:
     """Append 1-based global row numbers in ``order`` without a
     single-task sort.  Rows with equal keys number arbitrarily but
-    stably within the run (they land in one range partition)."""
+    stably within the run (they land in one range partition).
+
+    ``stable=True`` materializes the range-partitioned input
+    (localCheckpoint) before the count/row branches split, trading one
+    executor-storage copy for independence from ReuseExchange (see
+    module docstring)."""
     parts = (df.repartitionByRange(*order)
              .withColumn("__gpid", F.spark_partition_id()))
+    if stable:
+        parts = parts.localCheckpoint(eager=False)
     counts = parts.groupBy("__gpid").agg(F.count("*").alias("__cnt"))
     wcum = (Window.orderBy("__gpid")
             .rowsBetween(Window.unboundedPreceding, -1))

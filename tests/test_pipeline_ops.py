@@ -241,6 +241,81 @@ def test_bmp_codec_roundtrip_and_resize(spark):
     assert rows[2].width is None and rows[2].mean_g is None
 
 
+def test_mm_oracles_index_bytes_not_chars(spark, tmp_path):
+    """The mm gate oracles must cycle over UTF-8 BYTES exactly like the
+    Spark side's t.encode('utf-8') (ADVICE r2: character-positioned
+    substr/ord diverges on any non-ASCII text).  Run gate query and
+    DuckDB oracle over a tiny non-ASCII documents fixture and demand a
+    value-exact match."""
+    import duckdb
+    import math
+
+    from cantera_table_spark import gate as G
+    docs = spark.createDataFrame(
+        [(0, "héllo wörld"), (1, "日本語テキスト"), (2, "plain ascii"),
+         (3, "éé"), (4, "mixed: ascii + ünïcode")],
+        "doc_id long, text string")
+    docs = docs.withColumn("lang", F.lit("xx")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("mm01_decode_media", "mm02_decode_bmp",
+                 "mm03_decode_wav", "mm04_thumbnail"):
+        sdf = qs[name](spark, sf_dir)
+        got = {tuple(r)[0]: tuple(r)[1:] for r in sdf.collect()}
+        want = {tuple(r)[0]: tuple(r)[1:]
+                for r in con.execute(oracles[name]).fetchall()}
+        assert set(got) == set(want), name
+        for k in want:
+            for a, b in zip(got[k], want[k]):
+                if isinstance(a, float):
+                    assert math.isclose(a, b, rel_tol=0, abs_tol=0), \
+                        (name, k, a, b)
+                else:
+                    assert a == b, (name, k, a, b)
+    con.close()
+
+
+def test_resize_handles_top_down_bmp():
+    """A negative-height (top-down) BMP must resize without vertical
+    mirroring: resize 4x4 -> 2x2 of a half-black/half-white image keeps
+    black on top (ADVICE r2: resize ignored the top-down flag)."""
+    import struct as _struct
+
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        decode_bmp, encode_bmp, resize_bmp_nearest)
+    w, h = 4, 4
+    img = np.zeros((h, w, 3), np.uint8)        # image order, top row first
+    img[:2] = 0                                 # top half black
+    img[2:] = 255                               # bottom half white
+    # bottom-up file buffer = image rows reversed
+    bottom_up = encode_bmp(img[::-1].tobytes(), w, h)
+    # top-down variant: same image, rows in image order, height negated
+    top_down = bytearray(encode_bmp(img.tobytes(), w, h))
+    _struct.pack_into("<i", top_down, 18 + 4, -h)
+    for payload in (bottom_up, bytes(top_down)):
+        thumb = resize_bmp_nearest(payload, 2, 2)
+        d = decode_bmp(thumb)
+        assert (d["width"], d["height"]) == (2, 2)
+        # decode the thumbnail's pixel grid directly: row 0 (image
+        # order) must be black, row 1 white — identical for both source
+        # orientations
+        pix_off = _struct.unpack_from("<I", thumb, 10)[0]
+        stride = 2 * 3 + ((-(2 * 3)) % 4)      # rows pad to 4 bytes
+        grid = np.stack([
+            np.frombuffer(thumb, np.uint8, count=2 * 3,
+                          offset=pix_off + r * stride).reshape(2, 3)
+            for r in range(2)])[::-1]          # bottom-up -> image order
+        assert grid[0].max() == 0 and grid[1].min() == 255
+
+
 def test_wav_codec_roundtrip(spark):
     import numpy as np
     from cantera_table_spark.functions.multimodal import (
