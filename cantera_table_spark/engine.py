@@ -29,11 +29,22 @@ from cantera_table_spark.operators import set_algebra as sa
 class Engine:
     def __init__(self, catalog: Catalog, unique_postings: bool = False,
                  blob_fetcher: Callable[[str], str] | None = None,
-                 f32_scores: bool = False):
+                 f32_scores: bool = False, count_mode: str = "exact"):
         self.catalog = catalog
         self.unique_postings = unique_postings
         self.blob_fetcher = blob_fetcher
         self.f32_scores = f32_scores
+        if count_mode not in ("exact", "approx", "none"):
+            raise ValueError(f"count_mode must be exact|approx|none, "
+                             f"got {count_mode!r}")
+        # result-count policy for QUERY envelopes (SURVEY §4): "exact"
+        # (reference-faithful, query.cc:933 — materializes the full
+        # result once to count it), "approx" (Bernoulli-sample estimate
+        # — one sampled count job instead of a full materialization), or
+        # "none" (omit result-count; the page is the only job, the
+        # at-100 TB interactive default).
+        self.count_mode = count_mode
+        self.approx_count_fraction = 0.05
         # session parameters (reference SET statement, statement.cc:35-48;
         # default CSV per output.cc:32)
         self.output_format = "csv"
@@ -116,10 +127,21 @@ class Engine:
             result = sa.threshold_filter(result, kp, thresholds.values)
         return sa.top_k(result, limit, offset)
 
-    def query_stmt(self, stmt: ast.QueryStmt):
+    def query_stmt(self, stmt: ast.QueryStmt, count_mode: str | None = None):
         """Full QUERY executor: returns the JSON envelope as a dict
         (``{"result-count": N, "result": [...]}`` — query.cc:933-941) or,
-        for KEYS FOR, a list of keys."""
+        for KEYS FOR, a list of keys.
+
+        ``count_mode`` (default: the engine's) picks the result-count
+        policy: "exact" caches and counts the full result (reference
+        behavior); "approx" estimates it from a Bernoulli sample
+        (documented divergence — the count job reads the result once at
+        ``approx_count_fraction`` instead of materializing it); "none"
+        omits ``result-count`` and runs the page as the only job."""
+        mode = count_mode or self.count_mode
+        if mode not in ("exact", "approx", "none"):
+            raise ValueError(f"count_mode must be exact|approx|none, "
+                             f"got {mode!r}")
         comp = self._compiler()
         result = comp.process_query(stmt.query, use_max=True)
 
@@ -135,12 +157,19 @@ class Engine:
             kp = comp._lookup_leaf(key)
             result = sa.threshold_filter(result, kp, thr_values)
 
-        result = result.cache()
+        total = None
+        if mode == "exact":
+            result = result.cache()
         try:
-            total = result.count()
-            if stmt.offset >= total:
-                # Reference prints a bare "[]" in this case (query.cc:796-799)
-                return []
+            if mode == "exact":
+                total = result.count()
+                if stmt.offset >= total:
+                    # Reference prints a bare "[]" here (query.cc:796-799)
+                    return []
+            elif mode == "approx":
+                frac = self.approx_count_fraction
+                total = int(round(
+                    result.sample(False, frac, seed=0).count() / frac))
             page_df = sa.top_k(result, stmt.limit, stmt.offset)
             docs = self.catalog.summary()
             page = (page_df.join(docs, "doc_id", "left")
@@ -158,7 +187,16 @@ class Engine:
                                  F.col("doc_id").asc()))
             rows = page.collect()
         finally:
-            result.unpersist()
+            if mode == "exact":
+                result.unpersist()
+        if mode != "exact" and stmt.offset > 0 and not rows:
+            # approx/none learn "offset beyond the result" from the
+            # empty page itself; same bare-[] form as exact
+            return []
+        if mode == "approx":
+            # reconcile the sample estimate with what the page proved:
+            # at least offset + len(page) rows exist
+            total = max(total, stmt.offset + len(rows))
 
         if stmt.keys_only:
             return [r["key"] for r in rows]
@@ -177,6 +215,8 @@ class Engine:
                 obj.update(self._threshold_header(
                     r["score"], thr_values, use_date_headers, reverse))
             results.append(obj)
+        if total is None:
+            return {"result": results}
         return {"result-count": total, "result": results}
 
     @staticmethod

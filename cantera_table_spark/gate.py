@@ -1084,6 +1084,88 @@ def q18_override_patch(spark, sf_dir):
                        F.coalesce(patch, base).alias("source_final"))
 
 
+@gate("q19_keys_for", ORACLE_POSTINGS + """
+SELECT 'doc' || (CASE WHEN length(p.doc_id::VARCHAR) > 6
+                 THEN p.doc_id::VARCHAR
+                 ELSE lpad(p.doc_id::VARCHAR, 6, '0') END)
+       || '.example.com' AS key
+FROM (SELECT a.doc_id
+      FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+      JOIN documents d ON d.doc_id = a.doc_id
+      ORDER BY d.n_chars DESC, a.doc_id ASC
+      LIMIT 15 OFFSET 3) p
+""")
+def q19_keys_for(spark, sf_dir):
+    """QUERY KEYS FOR — the keys-only statement variant (query.cc:
+    908-918 prints bare key strings instead of JSON objects).  Runs the
+    full statement path (parse -> compile -> threshold -> page ->
+    summary join -> keys projection); ORDER BY len:chars gives a total
+    (score desc, doc_id asc) order, so the page is deterministic."""
+    eng = _engine(spark, sf_dir)
+    keys = eng.execute_script(
+        "QUERY KEYS FOR (spark ORDER BY len:chars) LIMIT 15 OFFSET 3;")[0]
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+@gate("f32_01_score_fidelity", """
+SELECT doc_id,
+       CAST(CAST(n_chars * 1000.0 / 7.0 AS REAL) AS DOUBLE) AS score
+FROM documents
+WHERE CAST(CAST(n_chars * 1000.0 / 7.0 AS REAL) AS DOUBLE) > 30000.0
+""")
+def f32_01_score_fidelity(spark, sf_dir):
+    """SURVEY §7 hard-item 3: reference scores are float32
+    (ca-table.h:100).  Under ``f32_scores=True`` every leaf score is
+    quantized through float32 on read (dsl/compiler.py), so score
+    comparisons see exactly the values the reference stores.  The
+    fixture score n_chars*1000/7 is non-representable in float32 at
+    magnitude ~7e4 (f32 step ~0.008), so the quantization is visible
+    far above any float-rounding tolerance; the oracle replays it by
+    casting through REAL."""
+    from cantera_table_spark.model import Catalog, derive_documents
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(F.lit("len7").alias("keyword"), "doc_id",
+                        (F.col("n_chars") * 1000.0 / 7.0).alias("score"))
+    cat = Catalog(summaries=[derive_documents(spark, sf_dir)],
+                  indexes=[postings])
+    eng = Engine(cat, unique_postings=True, f32_scores=True)
+    return eng.query_df(parse_query("len7>30000.0"), limit=-1)
+
+
+@gate("cat01_multi_table", ORACLE_POSTINGS + """
+SELECT 'doc' || (CASE WHEN length(p.doc_id::VARCHAR) > 6
+                 THEN p.doc_id::VARCHAR
+                 ELSE lpad(p.doc_id::VARCHAR, 6, '0') END)
+       || '.example.com' AS key
+FROM (SELECT a.doc_id
+      FROM (SELECT * FROM idx WHERE keyword = 'spark') a
+      JOIN (SELECT DISTINCT doc_id FROM idx
+            WHERE keyword = 'fast') f ON f.doc_id = a.doc_id
+      JOIN documents d ON d.doc_id = a.doc_id
+      ORDER BY d.n_chars DESC, a.doc_id ASC
+      LIMIT 25) p
+""")
+def cat01_multi_table(spark, sf_dir):
+    """Multi-table catalog (reference schema.cc:60-118: a database is a
+    LIST of summary/index member tables).  The index and summary tables
+    are each split in two by doc_id parity and registered as separate
+    catalog members; Catalog.index()/summary() union them, and a full
+    statement (AND + ORDER BY rescore + page + summary key join) over
+    the split catalog must equal the single-table oracle — the
+    multi-table address space is lossless."""
+    from cantera_table_spark.model import Catalog
+    cat0 = _engine(spark, sf_dir).catalog
+    idx, docs = cat0.index(), cat0.summary()
+    even, odd = (F.col("doc_id") % 2 == 0), (F.col("doc_id") % 2 == 1)
+    cat = Catalog(summaries=[docs.filter(even), docs.filter(odd)],
+                  indexes=[idx.filter(even), idx.filter(odd)],
+                  keyword_meta=cat0.keyword_meta)
+    eng = Engine(cat, unique_postings=True)
+    keys = eng.execute_script(
+        "QUERY KEYS FOR (spark AND fast ORDER BY len:chars) LIMIT 25;")[0]
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
 @gate("ev02_sessionize", """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -1558,6 +1640,43 @@ def in02_tsv_timeseries(spark, sf_dir):
     return read_tsv_timeseries(spark, path,
                                date_format="yyyy/MM/dd HH:mm:ss",
                                threshold=100.0)
+
+
+@gate("st01_stream_ingest", """
+SELECT event_type AS key, date_trunc('second', ts) AS ts, value
+FROM events
+""")
+def st01_stream_ingest(spark, sf_dir):
+    """Streaming ingest edge end-to-end (reference stdin ingest,
+    ca-load.cc:895-907, re-expressed as a Structured Streaming file
+    source): events are formatted to TSV drops, ``stream_tsv_timeseries``
+    parses them (same unescape + try_to_timestamp as batch in02, one
+    unparseable-date line exercises the drop), and
+    ``start_parquet_sink`` commits them with trigger(availableNow) —
+    the run-once form of the always-on 100 TB sink.  The gate reads the
+    sink back, so the oracle verifies the whole
+    file-source -> parse -> checkpointed-parquet-commit path, not just
+    the plan."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import (start_parquet_sink,
+                                                      stream_tsv_timeseries)
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(F.concat_ws(
+        "\t", F.col("event_type"),
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+        F.col("value").cast("string")).alias("value"))
+    bad = spark.createDataFrame([("oops\tnot-a-date\t150.0",)],
+                                "value string")
+    base = _gate_tmp(sf_dir, "st01")
+    shutil.rmtree(base, ignore_errors=True)
+    # two files = two source "drops" discovered by the stream
+    lines.unionByName(bad).coalesce(2).write.mode("overwrite") \
+        .text(f"{base}/src")
+    stream = stream_tsv_timeseries(spark, f"{base}/src",
+                                   date_format="yyyy/MM/dd HH:mm:ss")
+    q = start_parquet_sink(stream, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/sink").select("key", "ts", "value")
 
 
 @gate("dd07_lsh_jaccard", ORACLE_SHINGLES + """

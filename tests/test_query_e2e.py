@@ -49,6 +49,46 @@ def test_keys_only_and_offset_beyond(spark, catalog):
     assert eng.execute_script("QUERY (alpha) LIMIT 2 OFFSET 99;")[0] == []
 
 
+def test_count_mode_envelopes(spark, catalog, monkeypatch):
+    """count_mode policies (SURVEY §4 sampling short-circuit): exact is
+    reference-faithful; approx returns an integer estimate; none omits
+    result-count AND never runs a count job (pinned by poisoning
+    DataFrame.count)."""
+    from pyspark.sql import DataFrame
+
+    exact = Engine(catalog, unique_postings=True).execute_script(
+        "QUERY (alpha) LIMIT 2;")[0]
+    assert exact["result-count"] == 3
+
+    approx = Engine(catalog, unique_postings=True,
+                    count_mode="approx").execute_script(
+        "QUERY (alpha) LIMIT 2;")[0]
+    assert isinstance(approx["result-count"], int)
+    assert [r["_key"] for r in approx["result"]] == ["d2", "d0"]
+
+    eng_none = Engine(catalog, unique_postings=True, count_mode="none")
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("count_mode=none must not run a count job")))
+    none = eng_none.execute_script("QUERY (alpha) LIMIT 2;")[0]
+    assert "result-count" not in none
+    assert [r["_key"] for r in none["result"]] == ["d2", "d0"]
+    # offset beyond the result set still degrades to the bare [] form
+    assert eng_none.execute_script(
+        "QUERY (alpha) LIMIT 2 OFFSET 99;")[0] == []
+    # per-call override beats the engine default
+    monkeypatch.undo()
+    env = eng_none.query_stmt(
+        __import__("cantera_table_spark.dsl.parser",
+                   fromlist=["parse_script"]).parse_script(
+            "QUERY (alpha) LIMIT 2;")[0], count_mode="exact")
+    assert env["result-count"] == 3
+
+    with pytest.raises(ValueError):
+        Engine(catalog, count_mode="bogus")
+
+
 def test_threshold_headers_numeric_and_date(spark, catalog):
     eng = Engine(catalog, unique_postings=True)
     res = eng.execute_script(
