@@ -84,7 +84,8 @@ def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
-                        k: int | None = None) -> DataFrame:
+                        k: int | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature into ``bands`` contiguous groups of k/bands
     rows and join on (band, band-hash): docs sharing any full band
     become candidate pairs (a < b).  Only colliding keys shuffle.
@@ -92,7 +93,20 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     Pass the same ``k`` given to minhash_signatures to keep plan
     construction lazy; with k=None it is derived from the signatures
     (max h_idx + 1), which costs one eager aggregation pass over the
-    signature pipeline — correct but avoid it on large inputs."""
+    signature pipeline — correct but avoid it on large inputs.
+
+    ``max_bucket`` bounds the per-bucket pair blow-up: a degenerate
+    (band, band_hash) bucket — e.g. thousands of boilerplate-identical
+    pages, the typical pretraining-corpus shape — would otherwise pair
+    quadratically inside the bucket.  Buckets larger than ``max_bucket``
+    emit a linear STAR instead (every member paired with the bucket's
+    minimum doc_id): connectivity through the hub is preserved, so
+    downstream clustering (duplicate_clusters) still merges the whole
+    bucket when verification passes, and for the all-identical case the
+    final clusters are exactly the quadratic ones.  The documented
+    recall trade: direct pairs between non-hub members of a MIXED
+    oversized bucket are not emitted.  None (default) keeps the exact
+    quadratic semantics."""
     if k is None:
         first = sigs.agg(F.max("h_idx").alias("m")).first()
         if first is None or first["m"] is None:
@@ -107,14 +121,51 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
               .agg(F.md5(F.concat_ws(",", F.sort_array(
                   F.collect_list(F.concat_ws(":", "h_idx", "sig")))))
                   .alias("band_hash")))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.band_hash") == F.col("b.band_hash")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    return _bucketed_pairs(banded, ["band", "band_hash"], "doc_id",
+                           max_bucket)
+
+
+def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],
+                    id_col: str, max_bucket: int | None,
+                    carry: list[str] | None = None) -> DataFrame:
+    """Shared LSH bucket -> pair expansion with the hot-bucket bound.
+
+    Small buckets pair quadratically; buckets over ``max_bucket`` emit
+    the linear star around the minimum id (see lsh_candidate_pairs).
+    ``carry`` columns (e.g. the vectors for cosine verification) are
+    propagated to pair columns ``<c>_a`` / ``<c>_b``."""
+    carry = carry or []
+
+    def pair_select(a, b):
+        cols = [F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b")]
+        for c in carry:
+            cols += [F.col(f"a.{c}").alias(f"{c}_a"),
+                     F.col(f"b.{c}").alias(f"{c}_b")]
+        return a.join(b, [F.col(f"a.{k}") == F.col(f"b.{k}")
+                          for k in bucket_cols] +
+                      [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]) \
+            .select(*cols)
+
+    if max_bucket is None:
+        return pair_select(banded.alias("a"), banded.alias("b")) \
+            .dropDuplicates(["doc_a", "doc_b"])
+    from pyspark.sql import Window
+    w = Window.partitionBy(*bucket_cols)
+    sized = banded.withColumn("__n", F.count("*").over(w))
+    small = sized.filter(F.col("__n") <= max_bucket).drop("__n")
+    big = sized.filter(F.col("__n") > max_bucket).drop("__n")
+    quad = pair_select(small.alias("a"), small.alias("b"))
+    hubs = (big.groupBy(*bucket_cols)
+            .agg(F.min(id_col).alias("__hub")))
+    star = pair_select(
+        big.join(hubs, bucket_cols)
+           .filter(F.col(id_col) == F.col("__hub")).drop("__hub")
+           .alias("a"),
+        big.join(hubs, bucket_cols)
+           .filter(F.col(id_col) != F.col("__hub")).drop("__hub")
+           .alias("b"))
+    return quad.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
 def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,

@@ -165,13 +165,21 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.8,
                        n_bits: int = 16, bands: int = 4,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """Banded signature join -> candidate pairs -> exact cosine verify.
 
     Only vectors sharing a full signature band pair up, so the join
     shuffles (band, band-bits) keys instead of forming the N^2 cross
     product; recall vs the exact pairing is tested, not assumed.
-    """
+
+    ``max_bucket`` caps degenerate buckets (e.g. a corpus with
+    thousands of identical embeddings collapsing into one band bucket)
+    with the same linear-star fallback as dedup.lsh_candidate_pairs —
+    every emitted pair is still exact-cosine verified, so precision is
+    unaffected; only direct pairs between non-hub members of an
+    oversized MIXED bucket can be missed."""
+    from cantera_table_spark.functions.dedup import _bucketed_pairs
     if n_bits % bands:
         raise ValueError(
             f"n_bits={n_bits} must divide evenly into bands={bands} "
@@ -187,18 +195,13 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float = 0.8,
                      .bitwiseAND(F.lit(mask)).alias("bits"))
             for b in range(bands)])).alias("e")
     ).select("vec_id", "v", "e.band", "e.bits")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.bits") == F.col("b.bits")) &
-                   (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .distinct())
-    return (cand.withColumn("cos", F.round(cosine(F.col("va"),
-                                                  F.col("vb")), 6))
+    cand = _bucketed_pairs(banded, ["band", "bits"], "vec_id",
+                           max_bucket, carry=["v"])
+    return (cand.withColumn("cos", F.round(cosine(F.col("v_a"),
+                                                  F.col("v_b")), 6))
             .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos"))
+            .select(F.col("doc_a").alias("id_a"),
+                    F.col("doc_b").alias("id_b"), "cos"))
 
 
 def ivf_train(emb: DataFrame, k: int = 8, iters: int = 3,

@@ -241,6 +241,46 @@ def test_bmp_codec_roundtrip_and_resize(spark):
     assert rows[2].width is None and rows[2].mean_g is None
 
 
+def test_lsh_hot_bucket_bound(spark):
+    """VERDICT r2 item 5: a degenerate band bucket (hundreds of
+    identical documents — the boilerplate-page shape) must not pair
+    quadratically when max_bucket is set, and clustering over the
+    bounded pairs must still merge the whole duplicate group."""
+    from cantera_table_spark.functions.dedup import (
+        duplicate_clusters, lsh_candidate_pairs, minhash_signatures,
+        shingles)
+    n_dup = 200
+    rows = [(i, "the same boilerplate page content repeated verbatim "
+                "across the corpus many times over") for i in range(n_dup)]
+    rows += [(1000, "a genuinely different document about spark plans"),
+             (1001, "another unrelated text with other words entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingles(docs), k=16)
+
+    bounded = lsh_candidate_pairs(sigs, bands=4, k=16, max_bucket=20)
+    pairs = bounded.collect()
+    # linear star, not ~n^2/2 quadratic: one hub pair per duplicate
+    assert len(pairs) <= 4 * n_dup
+    assert all(p.doc_a == 0 for p in pairs)   # hub = min doc_id
+
+    clusters = duplicate_clusters(
+        docs.select("doc_id"), bounded)
+    labels = {r.doc_id: r.canonical_id for r in clusters.collect()}
+    assert all(labels[i] == 0 for i in range(n_dup))
+    assert labels[1000] == 1000 and labels[1001] == 1001
+    clusters.unpersist()
+
+    # embedding variant: identical vectors flood one bucket the same way
+    from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
+    vec = [1.0, 0.5, -0.25, 0.125]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n_dup)] + [(1000, [-1.0, 2.0, 0.5, -3.0])],
+        "vec_id long, embedding array<double>")
+    out = lsh_near_dup_pairs(emb, threshold=0.99, max_bucket=20).collect()
+    assert 0 < len(out) <= 4 * n_dup
+    assert all(r.id_a == 0 and r.cos == 1.0 for r in out)
+
+
 def test_mm_oracles_index_bytes_not_chars(spark, tmp_path):
     """The mm gate oracles must cycle over UTF-8 BYTES exactly like the
     Spark side's t.encode('utf-8') (ADVICE r2: character-positioned
