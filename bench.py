@@ -39,16 +39,17 @@ BENCH_QUERIES = [
     # search algebra + statements
     "q01_and", "q02_or", "q06_theta_join", "q07_order_by",
     "q12_thresholds", "q13_topk_page", "q15_select_matrix",
-    "corr01_feature_mining",
+    "corr01_feature_mining", "corr02_event_prediction",
     # relational analytics
     "tpch_q1_pricing", "tpch_q3_revenue", "tpch_q5_region_volume",
     # time series
     "ts01_daily_rollup", "ts04_asof_prior", "ts05_prediction_bands",
     "ev01_user_running",
-    # training-data pipeline
+    # training-data pipeline (dd06/dd07 are the LSH-pruned scale paths)
     "dd01_exact_dedup", "dd02_minhash", "dd04_simhash",
+    "dd06_dedup_clusters", "dd07_lsh_jaccard",
     "sim01_brute_topk", "tx01_text_stats", "tx04_fingerprint",
-    "mm01_decode_media",
+    "mm01_decode_media", "mm04_thumbnail",
 ]
 
 

@@ -116,6 +116,15 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
                     "cos", "rank"))
 
 
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Persist the IVF index partitioned by ``cluster`` — the physical
+    layout that makes probes prune: ``ivf_topk``'s equi-join on
+    ``cluster`` against the (broadcast-small) probe list lets Spark's
+    dynamic partition pruning skip every unprobed cluster directory at
+    scan time (asserted in tests/test_plan_shapes.py)."""
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH — the sub-quadratic path for embedding near-dup
 # (the exact pairing in dedup.embedding_near_dup_pairs is the oracle).

@@ -166,6 +166,37 @@ def test_bucketed_postings_partition_pruning(spark, tmp_path_factory):
     assert a == b and len(a) == 250
 
 
+def test_ivf_probe_partition_pruning(spark, tmp_path_factory):
+    """SCALE.md's IVF claim, pinned: with the index written
+    partitionBy(cluster), a probe's parquet scan must carry a dynamic
+    partition-pruning filter on ``cluster`` (only probed bucket
+    directories are read), and probe results must match the unpruned
+    in-memory index."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_topk, seed_centroids, write_ivf_index)
+    d = str(tmp_path_factory.mktemp("ivf"))
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"),
+                (F.col("id") % 5).cast("double"),
+                (F.col("id") % 3).cast("double"),
+                F.lit(1.0)).alias("embedding"))
+    cents = seed_centroids(emb.filter(F.col("vec_id") > 0), n=4)
+    indexed = ivf_assign(emb, cents)
+    write_ivf_index(indexed, f"{d}/idx")
+    idx = spark.read.parquet(f"{d}/idx")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(idx, cents, queries, k=3, nprobe=1)
+    facts = plan_facts(out)
+    assert "dynamicpruning" in facts.text.lower(), facts.text
+    got = sorted((r.query_id, r.rank, r.neighbor_id)
+                 for r in out.collect())
+    want = sorted((r.query_id, r.rank, r.neighbor_id)
+                  for r in ivf_topk(indexed, cents, queries,
+                                    k=3, nprobe=1).collect())
+    assert got == want and got
+
+
 def test_summary_ingest_id_assignment_is_distributed(spark, tmp_path_factory):
     """read_tsv_summaries doc_id assignment must not funnel the whole
     table through a single-task global sort: the numbering window is
