@@ -106,6 +106,8 @@ class Engine:
                 self.output_format = stmt.value
             elif stmt.parameter == "time_format":
                 self.time_format = stmt.value
+            elif stmt.parameter == "count_mode":
+                self.count_mode = stmt.value
             return None
         raise TypeError(f"unknown statement {stmt!r}")
 

@@ -169,7 +169,8 @@ def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],
 
 
 def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing at least one shingle
     (optionally restricted to LSH candidates): (doc_a, doc_b, jaccard).
 
@@ -177,9 +178,26 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
     pairwise self-join (shingles prune to candidate docs first, then
     the produced pairs semi-join the candidate pairs) — that is the
     point of LSH: the quadratic hot-shingle blow-up never materializes.
+
+    ``max_df`` is the stop-shingle lever for the un-pruned path: a
+    shingle appearing in more than ``max_df`` documents is dropped from
+    PAIR FORMATION only.  A boilerplate shingle shared by n docs
+    otherwise forms ~n²/2 join rows — the same stop-word economics as
+    text search.  The per-doc sizes still count every shingle, so the
+    reported Jaccard is a LOWER BOUND of the true value (shared
+    stop-shingles are excluded from the intersection but stay in the
+    union) — thresholded output can miss pairs, never admit false
+    ones.  Pairs whose only shared shingles are stop-shingles vanish
+    entirely; both trades are the documented recall cost.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pair_sh = sh
+    if max_df is not None:
+        df_counts = (sh.groupBy("shingle")
+                     .agg(F.count("*").alias("__df"))
+                     .filter(F.col("__df") <= max_df)
+                     .select("shingle"))
+        pair_sh = sh.join(df_counts, "shingle", "left_semi")
     if candidates is not None:
         cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
                      .unionByName(candidates.select(

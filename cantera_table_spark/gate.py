@@ -920,6 +920,24 @@ def sim02_ivf_topk(spark, sf_dir):
                     k=5, nprobe=2)
 
 
+@gate("sim06_ivf_partitioned", _ORACLES["sim02_ivf_topk"])
+def sim06_ivf_partitioned(spark, sf_dir):
+    """The sim02 probe run against the PHYSICAL index layout:
+    write_ivf_index persists the assignment partitionBy(cluster), the
+    probe reads it back, and dynamic partition pruning skips unprobed
+    cluster directories (plan pinned in test_plan_shapes).  Results
+    must be layout-independent — the oracle is sim02's verbatim."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_topk, seed_centroids, write_ivf_index)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n=8)
+    path = _gate_tmp(sf_dir, "sim06")
+    write_ivf_index(ivf_assign(emb, cents), f"{path}/idx")
+    indexed = spark.read.parquet(f"{path}/idx")
+    return ivf_topk(indexed, cents, emb.filter(F.col("vec_id") < 10),
+                    k=5, nprobe=2)
+
+
 @gate("dd05_embedding_neardup", ORACLE_COSINE.replace(
     "WHERE vec_id < 10", "") + """
 SELECT query_id AS id_a, neighbor_id AS id_b, cos
@@ -1826,13 +1844,15 @@ def p01_parse_echo(spark, sf_dir):
 
 @gate("set01_session_state", _values_oracle(
     [(0, "output_format", "csv"), (1, "output_format", "json"),
-     (2, "time_format", "%Y-%m-%d"), (3, "output_format", "json")],
+     (2, "time_format", "%Y-%m-%d"), (3, "output_format", "json"),
+     (4, "count_mode", "exact"), (5, "count_mode", "none")],
     "step, parameter, value"))
 def set01_session_state(spark, sf_dir):
     """stmt SET (statement.cc:35-48): OUTPUT FORMAT / TIME FORMAT are
     session state with no output; each step records the engine state
     after one SET executes (default csv, then two mutations, then a
-    no-op re-set).  Literal oracle."""
+    no-op re-set).  Steps 4-5 cover the COUNT MODE engine extension
+    (result-count policy).  Literal oracle."""
     eng = _engine(spark, sf_dir)
     rows = [(0, "output_format", eng.output_format)]
     eng.execute_script("SET OUTPUT FORMAT JSON;")
@@ -1841,6 +1861,9 @@ def set01_session_state(spark, sf_dir):
     rows.append((2, "time_format", eng.time_format))
     eng.execute_script("SET OUTPUT FORMAT JSON;")
     rows.append((3, "output_format", eng.output_format))
+    rows.append((4, "count_mode", eng.count_mode))
+    eng.execute_script("SET COUNT MODE NONE;")
+    rows.append((5, "count_mode", eng.count_mode))
     return spark.createDataFrame(rows, "step int, parameter string, "
                                        "value string")
 

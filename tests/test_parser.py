@@ -113,6 +113,17 @@ def test_set_statements():
                  SetStmt("time_format", "%Y-%m")]
 
 
+def test_set_count_mode():
+    s = parse_script("SET COUNT MODE NONE; SET COUNT MODE approx;")
+    assert s == [SetStmt("count_mode", "none"),
+                 SetStmt("count_mode", "approx")]
+    with pytest.raises(ParseError):
+        parse_script("SET COUNT MODE sometimes;")
+    # COUNT / MODE stay ordinary search terms outside SET
+    q = parse_query("count AND mode")
+    assert q.lhs.identifier == "count" and q.rhs.identifier == "mode"
+
+
 def test_comments():
     q = parse_query("a -- comment\n AND /* block */ b")
     assert q == Binary("and", Leaf("a"), Leaf("b"))

@@ -241,6 +241,34 @@ def test_bmp_codec_roundtrip_and_resize(spark):
     assert rows[2].width is None and rows[2].mean_g is None
 
 
+def test_jaccard_stop_shingle_cap(spark):
+    """max_df drops high-document-frequency shingles from pair
+    formation only: near-dup pairs sharing distinctive shingles
+    survive with a lower-bound jaccard, and pairs glued together ONLY
+    by boilerplate vanish instead of forming n^2/2 join rows."""
+    from cantera_table_spark.functions.dedup import jaccard_pairs, shingles
+    boiler = "all rights reserved copyright notice applies here"
+    rows = [(i, f"unique body {i} " * 3 + boiler) for i in range(30)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog " + boiler),
+             (101, "the quick brown fox jumps over the lazy cat " + boiler)]
+    sh = shingles(spark.createDataFrame(rows, "doc_id long, text string"))
+
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(sh).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in jaccard_pairs(sh, max_df=5).collect()}
+    # the planted near-dup pair survives (its distinctive fox shingles
+    # are rare) with a lower-bound score
+    assert (100, 101) in capped
+    assert capped[(100, 101)] <= full[(100, 101)]
+    # boilerplate-only pairs (unique bodies, shared legal footer) are
+    # pruned: every one of the ~30^2/2 pairs among docs 0..29 vanishes
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert any(a < 30 and b < 30 for a, b in full)
+    # no score ever inflated
+    assert all(capped[p] <= full[p] for p in capped)
+
+
 def test_lsh_hot_bucket_bound(spark):
     """VERDICT r2 item 5: a degenerate band bucket (hundreds of
     identical documents — the boilerplate-page shape) must not pair
