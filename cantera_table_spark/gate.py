@@ -229,6 +229,40 @@ def q12_thresholds(spark, sf_dir):
                 "QUERY (spark) THRESHOLDS 200,350,500 FOR KEY 'len:chars';")
 
 
+@gate("q20_threshold_headers", ORACLE_POSTINGS + """
+SELECT 'doc' || (CASE WHEN length(k.doc_id::VARCHAR) > 6
+                 THEN k.doc_id::VARCHAR
+                 ELSE lpad(k.doc_id::VARCHAR, 6, '0') END)
+       || '.example.com' AS key,
+       CASE WHEN k.score < 350 THEN '200–350' ELSE '350–500' END
+         AS header,
+       CASE WHEN k.score < 350 THEN 'AAAAB' ELSE 'AAAAC' END
+         AS header_key
+FROM (SELECT DISTINCT doc_id FROM idx WHERE keyword = 'spark') r
+JOIN (SELECT doc_id, score FROM idx WHERE keyword = 'len:chars') k
+  ON k.doc_id = r.doc_id
+WHERE k.score >= 200 AND k.score < 500
+ORDER BY k.score DESC, k.doc_id ASC
+LIMIT 1000
+""")
+def q20_threshold_headers(spark, sf_dir):
+    """THRESHOLDS group headers through the FULL envelope path
+    (query.cc:893-927): bisect bucket selection with the
+    equality-bumps-up quirk (score == a threshold lands in the upper
+    bucket — mirrored by the oracle's strict '< 350' split),
+    double_to_string endpoint rendering (X7) and base-26 _header_key
+    (X8).  Previously pytest-only; this makes the envelope's header
+    surface driver-verified."""
+    eng = _engine(spark, sf_dir)
+    env = eng.execute_script(
+        "QUERY (spark) THRESHOLDS 200,350,500 FOR KEY 'len:chars' "
+        "LIMIT 1000;")[0]
+    rows = [(r["_key"], r["_header"], r["_header_key"])
+            for r in env["result"]]
+    return spark.createDataFrame(
+        rows, "key string, header string, header_key string")
+
+
 @gate("q13_topk_page", ORACLE_POSTINGS + """
 SELECT a.doc_id, d.n_chars::DOUBLE AS score
 FROM (SELECT * FROM idx WHERE keyword = 'spark') a
@@ -1695,6 +1729,49 @@ def st01_stream_ingest(spark, sf_dir):
     q = start_parquet_sink(stream, f"{base}/sink", f"{base}/ckpt")
     q.awaitTermination()
     return spark.read.parquet(f"{base}/sink").select("key", "ts", "value")
+
+
+@gate("st02_stream_windowed_rollup", """
+WITH e AS (SELECT event_type AS key, date_trunc('second', ts) AS ts,
+                  value FROM events),
+mx AS (SELECT max(ts) AS m FROM e)
+SELECT key, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(sum(value), 3) AS total
+FROM e
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+       (SELECT m - INTERVAL 2 HOUR FROM mx)
+""")
+def st02_stream_windowed_rollup(spark, sf_dir):
+    """Watermarked streaming rollup end-to-end: the st01 TSV drop runs
+    through windowed_rollup (1-hour event-time windows, 2-hour
+    watermark) into an append-mode availableNow sink.  Append mode
+    emits exactly the FINALIZED windows — window_end <= final
+    watermark = max(ts) - 2h (single data batch + the no-data flush
+    batch make that boundary deterministic; emission rule probed and
+    pinned here) — so the oracle is the batch rollup restricted to
+    closed windows: the watermark semantics themselves are what the
+    hash match verifies."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import (
+        start_parquet_sink, stream_tsv_timeseries, windowed_rollup)
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(F.concat_ws(
+        "\t", F.col("event_type"),
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+        F.col("value").cast("string")).alias("value"))
+    base = _gate_tmp(sf_dir, "st02")
+    shutil.rmtree(base, ignore_errors=True)
+    lines.coalesce(1).write.mode("overwrite").text(f"{base}/src")
+    stream = windowed_rollup(
+        stream_tsv_timeseries(spark, f"{base}/src",
+                              date_format="yyyy/MM/dd HH:mm:ss"),
+        window="1 hour", watermark="2 hours")
+    q = start_parquet_sink(stream, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/sink")
+            .select("key", "window_start", "n",
+                    F.round("total", 3).alias("total")))
 
 
 @gate("dd07_lsh_jaccard", ORACLE_SHINGLES + """
