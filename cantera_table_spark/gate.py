@@ -972,6 +972,28 @@ def sim06_ivf_partitioned(spark, sf_dir):
                     k=5, nprobe=2)
 
 
+@gate("mm05_frame_sample", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, i::INT AS frame_idx,
+         lower(substr(hx, 2 * (i * 64) + 1, 8)) AS frame_hex
+  FROM h, unnest(range(0, (n + 63) // 64)) AS t(i)
+)
+SELECT doc_id AS media_id, frame_idx, frame_hex FROM f
+""")
+def mm05_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: one output row per sampled
+    64-byte window of each payload (the row-explosion shape of real
+    frame extraction), frame_hex = first 4 bytes of the window.  The
+    oracle replays the windowing over the same UTF-8 bytes; empty
+    payloads produce zero frames on both sides."""
+    from cantera_table_spark.functions.multimodal import (
+        frame_sample, media_from_documents)
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(media_from_documents(d), every_n_bytes=64)
+
+
 @gate("dd05_embedding_neardup", ORACLE_COSINE.replace(
     "WHERE vec_id < 10", "") + """
 SELECT query_id AS id_a, neighbor_id AS id_b, cos
