@@ -98,12 +98,32 @@ def main():
         (asof_prior(e, F.col("event_type") == "purchase")
          .write.format("noop").mode("overwrite").save())
 
+    def correlate(d):
+        # CORRELATE core over the tokenized corpus: classes = docs
+        # containing 'spark' vs 'slow'.  Scaling multiplies the score-tie
+        # factor (term frequencies repeat), which is exactly what the
+        # pre-window tie collapse in correlate_sets bounds.
+        from cantera_table_spark.functions.text import tokens
+        from cantera_table_spark.operators.correlate import correlate_sets
+        toks = d.select("doc_id",
+                        F.explode(tokens(F.col("text"))).alias("keyword"))
+        p = toks.groupBy("keyword", "doc_id").agg(
+            F.count("*").cast("double").alias("score"))
+        a = p.filter(F.col("keyword") == "spark").select("doc_id", "score")
+        b = p.filter(F.col("keyword") == "slow").select("doc_id", "score")
+        caches = []
+        correlate_sets(p, a, b, caches=caches).write.format("noop") \
+            .mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
         ("tpch_q1", "lineitem", tpch_q1),
         ("ts_rollup", "events", rollup),
         ("asof_join", "events", asof),
+        ("correlate", "documents", correlate),
     ]
 
     results = {}
