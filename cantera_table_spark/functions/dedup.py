@@ -280,11 +280,20 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     chain); callers in long-lived sessions should ``unpersist()`` it
     after materializing.
     """
+    # Cache the symmetrized edge list: its lineage is the whole
+    # candidate-generation + verification pipeline (LSH -> jaccard),
+    # and every propagation round joins it — without the cache each
+    # iteration re-runs that pipeline from the source scan.  Verified
+    # pairs are the SMALL end of the funnel (bounded by true
+    # duplicates), so the cache is cheap at any scale.  (At bench SF
+    # the one-time materialization costs ~15% — the recompute it
+    # avoids is trivial there; at corpus scale the recompute is the
+    # whole dedup pipeline per round, which is the case that matters.)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
-             .distinct())
+             .distinct()).cache()
     labels = ids.select(F.col("doc_id"),
                         F.col("doc_id").alias("canonical_id"))
     for _ in range(max_iters):
@@ -308,6 +317,10 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
             labels.unpersist()
         labels = updated
         if changed == 0:
+            # the zero-changed check scanned every partition of the
+            # cached result, so labels is fully materialized and the
+            # edge cache can go
+            edges.unpersist()
             return labels
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iters} iterations "
