@@ -219,7 +219,8 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
 
 
 def write_postings(postings: DataFrame, path: str,
-                   n_buckets: int | None = None) -> None:
+                   n_buckets: int | None = None,
+                   bloom_filter: bool = False) -> None:
     """S11/S12: sorted table write with REAL partition pruning.
 
     A ``bucket = pmod(xxhash64(keyword), n)`` directory-partition column
@@ -228,10 +229,23 @@ def write_postings(postings: DataFrame, path: str,
     opens one directory instead of every file; (keyword, doc_id) sort
     within files adds row-group stats pruning — the Parquet analogue of
     the reference's block index + hash index
-    (table-backend-writeonce.cc:488-636, 1209-1298)."""
+    (table-backend-writeonce.cc:488-636, 1209-1298).
+
+    ``bloom_filter=True`` additionally writes a Parquet bloom filter on
+    ``keyword`` (the third pruning tier: after the bucket directory and
+    the row-group min/max, the bloom rejects row groups whose keyword
+    range straddles the probe but doesn't contain it — the hash-index
+    analogue inside a bucket).  Off by default: blooms cost write-side
+    memory/bytes and only pay off when many distinct keywords share a
+    bucket, i.e. at large key cardinality."""
     n = n_buckets or 32
-    (postings
-     .withColumn("bucket", F.pmod(F.xxhash64("keyword"), F.lit(n)))
-     .repartition(n, "bucket")
-     .sortWithinPartitions("keyword", "doc_id")
-     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    w = (postings
+         .withColumn("bucket", F.pmod(F.xxhash64("keyword"), F.lit(n)))
+         .repartition(n, "bucket")
+         .sortWithinPartitions("keyword", "doc_id")
+         .write.mode("overwrite"))
+    if bloom_filter:
+        w = (w.option("parquet.bloom.filter.enabled#keyword", "true")
+             .option("parquet.bloom.filter.expected.ndv#keyword",
+                     "1000000"))
+    w.partitionBy("bucket").parquet(path)

@@ -197,6 +197,27 @@ def test_ivf_probe_partition_pruning(spark, tmp_path_factory):
     assert got == want and got
 
 
+def test_bloom_filter_write_roundtrip(spark, tmp_path_factory):
+    """write_postings(bloom_filter=True) must produce readable files
+    with identical results — the bloom is a scan accelerator, never a
+    semantics change."""
+    from cantera_table_spark.sources.ingest import write_postings
+    d = str(tmp_path_factory.mktemp("bloom"))
+    postings = spark.range(5_000).select(
+        F.concat(F.lit("kw"), (F.col("id") % 200).cast("string"))
+        .alias("keyword"),
+        (F.col("id") % 400).alias("doc_id"),
+        F.lit(1.0).alias("score"))
+    write_postings(postings, f"{d}/p", n_buckets=8, bloom_filter=True)
+    cat = Catalog(summaries=[], indexes=[spark.read.parquet(f"{d}/p")],
+                  postings_buckets=8)
+    rows = sorted((r.doc_id, r.score)
+                  for r in q(spark, cat, "QUERY (kw7);").collect())
+    assert len(rows) == 25
+    facts = plan_facts(q(spark, cat, "QUERY (kw7);"))
+    assert facts.pushed("EqualTo(keyword,kw7)")
+
+
 def test_summary_ingest_id_assignment_is_distributed(spark, tmp_path_factory):
     """read_tsv_summaries doc_id assignment must not funnel the whole
     table through a single-task global sort: the numbering window is
