@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     ap.add_argument("--merge-mode", default="union",
                     choices=["sum", "union", "pick-one"])
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--bloom-filter", action="store_true",
+                    help="write a parquet bloom filter on keyword "
+                         "(third pruning tier for point lookups at "
+                         "large key cardinality)")
     args = ap.parse_args(argv)
 
     spark = get_spark("cantera-load")
@@ -69,7 +73,8 @@ def main(argv=None) -> int:
         merged = merge_tables(dfs, args.merge_mode,
                               key_cols=("keyword", "doc_id"),
                               value_col="score")
-        write_postings(merged, args.output, n_buckets=args.buckets)
+        write_postings(merged, args.output, n_buckets=args.buckets,
+                       bloom_filter=args.bloom_filter)
     else:
         dfs = [read_tsv_timeseries(spark, p, date_format=args.date_format,
                                    threshold=args.threshold, **key_options)

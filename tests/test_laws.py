@@ -83,6 +83,27 @@ def test_sample_is_deterministic_subset(spark, a):
     assert {d for d, _ in s1} <= {d for d, _ in a}
 
 
+@settings(max_examples=6, deadline=None)
+@given(docs_=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
+                      min_size=0, max_size=25))
+def test_lsh_bucket_bound_is_identity_when_unreached(spark, docs_):
+    """With max_bucket >= every bucket size, the bounded pair expansion
+    must equal the unbounded one for ANY signature multiset (the star
+    fallback only engages on oversized buckets)."""
+    from cantera_table_spark.functions.dedup import lsh_candidate_pairs
+    rows = [(doc, h, (sig * 7919 + h) % 13)
+            for doc, sig in dict(docs_).items() for h in range(8)]
+    if not rows:
+        return
+    sigs = spark.createDataFrame(rows, "doc_id long, h_idx int, sig long")
+    unbounded = sorted((r.doc_a, r.doc_b) for r in
+                       lsh_candidate_pairs(sigs, bands=4, k=8).collect())
+    bounded = sorted((r.doc_a, r.doc_b) for r in
+                     lsh_candidate_pairs(sigs, bands=4, k=8,
+                                         max_bucket=10_000).collect())
+    assert bounded == unbounded
+
+
 # ---------------------------------------------------------------------------
 # Codec laws (pure functions — no Spark session needed)
 # ---------------------------------------------------------------------------
