@@ -36,7 +36,12 @@ def get_spark(app_name: str = "cantera-table-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver heap IS the executor heap. 32 threads
+        # sharing 8g starved the cache-heavy phases (CORRELATE persist,
+        # dedup clustering) — measured ~17% faster at 32g on the
+        # 128 GiB harness box; still overridable via SPARK_DRIVER_MEMORY
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata writes TIMESTAMP(NANOS) parquet; read as long
         # and convert in model.load_table
