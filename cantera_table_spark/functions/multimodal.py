@@ -266,16 +266,23 @@ def decode_media(media: DataFrame) -> DataFrame:
         import numpy as np
         for pdf in it:
             # data is nullable in MEDIA_SCHEMA — decode NULL payloads to
-            # empty-payload rows instead of crashing the task
-            data = pdf["data"].map(lambda b: b if b is not None else b"")
+            # empty-payload rows instead of crashing the task.
+            bufs = [bytes(b) if b is not None else b"" for b in pdf["data"]]
+            lens = np.fromiter((len(b) for b in bufs), np.int64,
+                               count=len(bufs))
+            # one concatenated buffer + prefix sums: per-payload byte
+            # sums come from two boundary lookups instead of a python
+            # loop over every payload (the batch-dominant cost)
+            concat = np.frombuffer(b"".join(bufs), np.uint8)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            csum = np.concatenate(
+                ([0], np.cumsum(concat, dtype=np.int64)))
+            sums = (csum[bounds[1:]] - csum[bounds[:-1]]) % 2_147_483_648
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "n_bytes": data.map(len).astype("int32"),
-                "header_hex": data.map(lambda b: bytes(b[:4]).hex()),
-                "byte_checksum": data.map(
-                    lambda b: int(np.frombuffer(b, dtype=np.uint8)
-                                  .sum(dtype=np.int64)) % 2_147_483_648
-                ).astype("int64"),
+                "n_bytes": lens.astype("int32"),
+                "header_hex": [b[:4].hex() for b in bufs],
+                "byte_checksum": sums.astype("int64"),
             })
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
