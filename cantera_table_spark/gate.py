@@ -685,6 +685,33 @@ def dd03_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, min_jaccard=0.12)
 
 
+@gate("dd08_jaccard_stopshingle", ORACLE_SHINGLES + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+ps AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ps a JOIN ps b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
+""")
+def dd08_jaccard_stopshingle(spark, sf_dir):
+    """Stop-shingle-capped Jaccard (max_df=20): shingles above the
+    document-frequency cap are excluded from pair formation — the
+    boilerplate lever — while the per-doc sizes keep every shingle, so
+    scores are lower bounds of dd03's.  The oracle replays the df
+    filter exactly (pair shingles restricted, sizes unrestricted)."""
+    from cantera_table_spark.functions.dedup import jaccard_pairs, shingles
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, min_jaccard=0.12, max_df=20)
+
+
 @gate("dd04_simhash", """
 WITH toks AS (
   SELECT DISTINCT doc_id, t.tok
