@@ -8,12 +8,14 @@ Two decode tiers:
 
 - REAL codecs for container formats parseable with stdlib + numpy:
   uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp`` /
-  ``resize_bmp_nearest``) and PCM WAV (``decode_wav`` / ``encode_wav``
-  / audio frame sampling).  These run the full parse-pixels /
-  parse-samples path — not byte fakes.
+  ``resize_bmp_nearest``), PNG via stdlib zlib + numpy unfiltering
+  (``decode_png`` / ``encode_png`` — 8-bit gray/RGB/RGBA, all five
+  scanline filters, non-interlaced), and PCM WAV (``decode_wav`` /
+  ``encode_wav`` / audio frame sampling).  These run the full
+  parse-pixels / parse-samples path — not byte fakes.
 - ``decode_media``: format-agnostic byte-level features (length,
   header, checksum) for payloads whose codecs need native libraries
-  not present in this container (JPEG/PNG/H.264 — the
+  not present in this container (JPEG/H.264 — the
   ``decode_image_real`` plug-point raises NotImplementedError for
   those, clearly marked).
 """
@@ -47,12 +49,13 @@ DECODED_SCHEMA = T.StructType([
 def decode_image_real(data: bytes):  # pragma: no cover - container stub
     """Plug a compressed-format codec (PIL / libvips / ffmpeg) in here.
 
-    Uncompressed BMP decodes for real via ``decode_bmp``; this
-    plug-point covers JPEG/PNG/video, whose codecs are native libraries
-    not present in this container."""
+    BMP (``decode_bmp``) and PNG (``decode_png`` — stdlib zlib inflate
+    + numpy unfiltering, all five scanline filters) decode for real;
+    this plug-point covers JPEG/video, whose codecs are native
+    libraries not present in this container."""
     raise NotImplementedError(
-        "compressed image/video codecs are not available in this "
-        "container; BMP/WAV decode for real (decode_bmp/decode_wav), "
+        "JPEG/video codecs are not available in this container; "
+        "BMP/PNG/WAV decode for real (decode_bmp/decode_png/decode_wav), "
         "other formats fall back to decode_media byte features")
 
 
@@ -145,6 +148,109 @@ def resize_bmp_nearest(data: bytes, new_w: int, new_h: int) -> bytes:
     return encode_bmp(np.ascontiguousarray(out).tobytes(), new_w, new_h)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels_rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal real PNG writer: 8-bit RGB, filter 0 scanlines, one
+    zlib IDAT (stdlib zlib — no native codec needed)."""
+    import zlib
+    row_bytes = width * 3
+    raw = b"".join(
+        b"\x00" + pixels_rgb[r * row_bytes:(r + 1) * row_bytes]
+        .ljust(row_bytes, b"\x00")
+        for r in range(height))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> dict:
+    """Real PNG decode with stdlib zlib + numpy: 8-bit greyscale / RGB /
+    RGBA, all five scanline filters (None/Sub/Up/Average/Paeth),
+    non-interlaced.  Returns the same shape as decode_bmp (dimensions +
+    per-channel means; greyscale reports the one channel in all three).
+    Raises ValueError on anything outside that envelope (palette,
+    16-bit, interlace — the honest boundary)."""
+    import zlib
+    import numpy as np
+    if len(data) < 8 or data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            (width, height, depth, color, comp, filt, interlace) = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2, 6) or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})")
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=r * (stride + 1) + 1).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:                     # Up
+            cur = (line + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):             # Sub / Average / Paeth need
+            cur = line                       # the left neighbour: per-
+            ints = cur.astype(np.int32)      # pixel scan within the row
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(ints[i - channels]) if i >= channels else 0
+                b = int(pv[i])
+                if ftype == 1:
+                    ints[i] = (ints[i] + a) & 0xFF
+                elif ftype == 3:
+                    ints[i] = (ints[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(pv[i - channels]) if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    ints[i] = (ints[i] + pred) & 0xFF
+            cur = ints.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = cur
+        prev = cur
+    img = out.reshape(height, width, channels)
+    if channels == 1:
+        m = float(img.mean()) if img.size else 0.0
+        means = (m, m, m)
+    else:
+        rgb = img[:, :, :3].reshape(-1, 3)
+        mm = rgb.mean(axis=0) if rgb.size else [0.0] * 3
+        means = (float(mm[2]), float(mm[1]), float(mm[0]))
+    return {"width": width, "height": height,
+            "mean_b": means[0], "mean_g": means[1], "mean_r": means[2]}
+
+
 def encode_wav(samples_i16, sample_rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV from an int16 sample sequence (stdlib
     ``wave`` writer)."""
@@ -201,23 +307,26 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Real BMP decode over Arrow batches: (media_id, width, height,
+    """Real image decode over Arrow batches — BMP or PNG per payload,
+    dispatched on the container magic: (media_id, width, height,
     per-channel pixel means).  Means are left unrounded: the channel
     sum is integer-exact in float64 and a single correctly-rounded
     division matches SQL ``avg`` bit-for-bit, whereas decimal rounding
     would reopen Python-banker's vs SQL-half-up tie skew.  Undecodable
     payloads yield NULL feature columns (quarantine posture — a bad
     payload must not kill a 100 TB job)."""
+    import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
                 try:
-                    d = decode_bmp(bytes(data) if data is not None else b"")
+                    d = decode_png(b) if b[:8] == PNG_SIG else decode_bmp(b)
                     rows.append((mid, d["width"], d["height"],
                                  d["mean_b"], d["mean_g"], d["mean_r"]))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, zlib.error):
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
 

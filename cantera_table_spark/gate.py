@@ -2036,6 +2036,47 @@ def mm02_decode_bmp(spark, sf_dir):
     return decode_images(media)
 
 
+@gate("mm06_decode_png", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (
+  SELECT doc_id, i % 3 AS ch,
+         ('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT AS byte
+  FROM h, unnest(range(0, 192)) AS t(i)
+)
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       avg(byte) FILTER (ch = 2) AS mean_b,
+       avg(byte) FILTER (ch = 1) AS mean_g,
+       avg(byte) FILTER (ch = 0) AS mean_r
+FROM b GROUP BY 1
+""")
+def mm06_decode_png(spark, sf_dir):
+    """REAL PNG decode: document bytes cycle into the RGB pixel buffer
+    of a genuine zlib-compressed 8x8 PNG (encode_png), and
+    decode_images dispatches on the PNG magic — chunk walk, inflate,
+    scanline unfiltering — via Arrow-batched mapInPandas.  The oracle
+    recomputes the channel means from the source bytes (RGB order,
+    vs BMP's BGR in mm02); exact doubles, no rounding."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (decode_images,
+                                                          encode_png)
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (192 // len(raw) + 1))[:192]
+                data.append(encode_png(buf, 8, 8))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return decode_images(media)
+
+
 @gate("mm03_decode_wav", """
 WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n

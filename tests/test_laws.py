@@ -128,6 +128,88 @@ def test_bmp_roundtrip_means_law(w, h, data):
 
 
 @settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 9), h=st.integers(1, 7), data=st.binary(max_size=64))
+def test_png_roundtrip_means_law(w, h, data):
+    """encode_png -> decode_png preserves dimensions and exact channel
+    means for any size and byte content (RGB buffer -> mean_r/g/b)."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (decode_png,
+                                                          encode_png)
+    n = w * h * 3
+    buf = (bytes(data) * (n // max(len(data), 1) + 1))[:n] if data \
+        else bytes(n)
+    d = decode_png(encode_png(buf, w, h))
+    arr = np.frombuffer(buf, np.uint8).reshape(-1, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_r"] == arr[:, 0].mean()
+    assert d["mean_g"] == arr[:, 1].mean()
+    assert d["mean_b"] == arr[:, 2].mean()
+
+
+def _png_with_filters(img, filters):
+    """Build a PNG whose scanlines use the given filter types, applying
+    each filter forward per the spec (the test-side reference
+    implementation decode_png must invert)."""
+    import struct as _s
+    import zlib
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for r, ftype in zip(range(h), filters):
+        line = bytes(img[r].reshape(-1))
+        enc = bytearray()
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(typ, payload):
+        return (_s.pack(">I", len(payload)) + typ + payload +
+                _s.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(raw))) +
+            chunk(b"IEND", b""))
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 6),
+       filters=st.lists(st.integers(0, 4), min_size=1, max_size=6))
+def test_png_all_filter_types_decode(seed, w, filters):
+    """decode_png must invert every scanline filter type (Sub/Up/
+    Average/Paeth applied forward by the test's reference encoder)."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import decode_png
+    h = len(filters)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = decode_png(_png_with_filters(img, filters))
+    flat = img.reshape(-1, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_r"] == flat[:, 0].mean()
+    assert d["mean_g"] == flat[:, 1].mean()
+    assert d["mean_b"] == flat[:, 2].mean()
+
+
+@settings(max_examples=25, deadline=None)
 @given(samples=st.lists(st.integers(-32768, 32767), min_size=1,
                         max_size=200),
        rate=st.sampled_from([8000, 16000, 44100]))
