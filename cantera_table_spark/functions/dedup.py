@@ -325,3 +325,32 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iters} iterations "
         f"(a duplicate chain longer than max_iters); raise max_iters")
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    word n-gram shingles appear anywhere in a benchmark/eval set, plus
+    a boolean `contaminated` flag (any overlap).  Standard pretraining
+    hygiene (n-gram-overlap decontamination as in the GPT-3 appendix C
+    methodology, typically n = 8..13 for production; n is a parameter).
+
+    Scale shape: benchmark sets are tiny next to a 100 TB corpus, so
+    the DISTINCT benchmark shingle set is broadcast — corpus shingles
+    are filtered map-side during the explode and never shuffled; the
+    only shuffle is the per-doc overlap count keyed by doc_id.  The
+    output keeps every corpus document (left join, zero-filled).
+    """
+    corp = shingles(docs, text_col, id_col, n=n)
+    bench = (shingles(benchmark, text_col, id_col, n=n)
+             .select("shingle").distinct())
+    hits = (corp.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_shingles")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .withColumn("n_contaminated_shingles",
+                        F.coalesce("n_contaminated_shingles", F.lit(0)))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_shingles") > 0))

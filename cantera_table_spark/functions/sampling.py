@@ -1,0 +1,76 @@
+"""Deterministic sampling / data-mixing operators for training-data
+pipelines: stratified quota sampling by an arbitrary strata column
+(language, source domain, quality bucket).
+
+Determinism contract: the sample is the `quota` rows per stratum with
+the smallest md5 hash of a salted id string.  Hash order behaves like a
+uniform random permutation but is identical across runs, engines and
+partitionings — the DuckDB oracle replays it bit-for-bit (md5 hex
+compares identically as a string in both engines), and re-running the
+pipeline after adding documents only ever swaps rows whose hashes cross
+the cutoff, never reshuffles the whole sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_SALT = "samp:"
+
+
+def sample_hash(id_col: Column) -> Column:
+    """Portable per-row sample key: md5 hex of the salted id string.
+    DuckDB equivalent: md5('samp:' || id::VARCHAR)."""
+    return F.md5(F.concat(F.lit(SAMPLE_SALT), id_col.cast("string")))
+
+
+def sample_u(id_col: Column) -> Column:
+    """The same key as a uniform double in [0, 1) (first 8 hex chars /
+    2^32) — used only for the oversample pre-filter."""
+    return (F.conv(F.substring(sample_hash(id_col), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, quota: int,
+                      id_col: str = "doc_id",
+                      oversample: float | None = None) -> DataFrame:
+    """Per-stratum quota sample: the `quota` rows of each stratum with
+    the smallest sample hash, with their 1-based `sample_rank`.
+
+    Scale design.  A bare rank-within-stratum window funnels each whole
+    stratum through one task's sort — fine for thousands of strata,
+    fatal when one stratum holds billions of rows.  Pass `oversample`
+    (e.g. 2.0) to enable the two-phase plan:
+
+      1. count each stratum (one map-side-combined shuffle, rows =
+         #strata), broadcast the counts back;
+      2. pre-filter to rows whose uniform hash u <= oversample * quota
+         / stratum_count, so the window's input shrinks from the corpus
+         to ~oversample * quota rows per stratum regardless of corpus
+         size; then rank exactly as in the one-phase plan.
+
+    With the pre-filter in place the window sort is bounded by
+    O(oversample * quota) per stratum.  Contract: whenever the
+    pre-filter retains at least min(quota, stratum_size) rows of every
+    stratum — overwhelmingly likely for oversample >= 2 and quota >= a
+    few hundred (Chernoff: P[shortfall] <= exp(-quota/8) per stratum) —
+    the two plans return IDENTICAL rows; the equivalence is pinned by
+    tests, and the gate entry runs the exact one-phase plan so the
+    oracle stays a plain window.
+    """
+    h = sample_hash(F.col(id_col)).alias("__h")
+    pre = df.select(F.col(strata_col), F.col(id_col), h)
+    if oversample is not None:
+        counts = (df.groupBy(strata_col)
+                  .agg(F.count("*").alias("__n")))
+        cutoff = F.least(
+            F.lit(1.0), F.lit(float(oversample) * quota) / F.col("__n"))
+        pre = (pre.join(F.broadcast(counts), strata_col)
+               .filter(sample_u(F.col(id_col)) <= cutoff)
+               .drop("__n"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
+    return (pre.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= quota)
+            .drop("__h"))

@@ -109,6 +109,94 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp)
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1):
+    per document, the duplicate-token fraction and the fraction of all
+    n-grams claimed by the single most frequent n-gram (n = 2, 3).
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score high and are filtered before pretraining.
+
+    Scale shape: the per-doc n-gram frequency tables are built by
+    explode -> groupBy, NOT by per-row array self-scans — a quadratic
+    `transform(distinct, count-in-array)` per document would be O(L^2)
+    per row and blow up on long documents.  Two shuffles total, both
+    keyed by doc_id (+gram), both with map-side partial aggregation:
+
+      grams(1|2|3) --explode--> groupBy(doc_id, k, gram).count
+                   --groupBy(doc_id)--> conditional aggregates
+
+    Returns the input columns plus dup_token_frac / top_bigram_frac /
+    top_trigram_frac (0.0 for documents too short to form the gram).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select("doc_id", toks.alias("__toks"))
+
+    def grams(k: int) -> DataFrame:
+        # sequence(1, 0) counts DOWN, so guard short docs like
+        # dedup.shingles does
+        return (base.filter(F.size("__toks") >= k)
+                .select("doc_id", F.lit(k).alias("k"),
+                        F.explode(F.transform(
+                            F.sequence(F.lit(1),
+                                       F.size("__toks") - (k - 1)),
+                            lambda i: F.concat_ws(
+                                " ", F.slice(F.col("__toks"), i, k))))
+                        .alias("gram")))
+
+    counts = (grams(1).unionByName(grams(2)).unionByName(grams(3))
+              .groupBy("doc_id", "k", "gram").count())
+    k = F.col("k")
+    agg = (counts.groupBy("doc_id").agg(
+        F.sum(F.when(k == 1, F.col("count"))).alias("tot1"),
+        F.count(F.when(k == 1, True)).alias("dist1"),
+        F.sum(F.when(k == 2, F.col("count"))).alias("tot2"),
+        F.max(F.when(k == 2, F.col("count"))).alias("mx2"),
+        F.sum(F.when(k == 3, F.col("count"))).alias("tot3"),
+        F.max(F.when(k == 3, F.col("count"))).alias("mx3")))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num / F.col(den), F.lit(0.0)), 6)
+    return (df.join(agg, "doc_id", "left")
+            .withColumn("dup_token_frac",
+                        frac(F.col("tot1") - F.col("dist1"), "tot1"))
+            .withColumn("top_bigram_frac", frac(F.col("mx2"), "tot2"))
+            .withColumn("top_trigram_frac", frac(F.col("mx3"), "tot3"))
+            .drop("tot1", "dist1", "tot2", "mx2", "tot3", "mx3"))
+
+
+# PII patterns restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB oracle) implement identically: char classes, bounded repeats,
+# \b, \d.  Real pipelines swap in richer (case-insensitive, unicode)
+# patterns; the operator shape — count + replace, one codegen'd scan,
+# zero shuffles — is what matters at 100 TB.
+PII_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\+\\d{1,2} \\d{3} \\d{4}",
+}
+PII_REPLACEMENTS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def with_pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (n_email, n_ipv4, n_phone)."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)))
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_clean") -> DataFrame:
+    """Redact PII spans with typed placeholder tokens.  Replacement
+    order is fixed (email, ipv4, phone) so placeholder text can never
+    be re-matched by a later pattern."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, PII_REPLACEMENTS[name])
+    return df.withColumn(out_col, col)
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    min_tokens: int = 10, max_punct_ratio: float = 0.2,
                    min_alpha_ratio: float = 0.6,

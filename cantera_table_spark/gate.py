@@ -2225,3 +2225,149 @@ def mm04_thumbnail(spark, sf_dir):
 
     media = d.mapInPandas(synth, "media_id long, data binary")
     return decode_images(media)
+
+
+@gate("tx08_repetition", """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS k, toks[i] AS gram
+  FROM arrs, unnest(range(1, greatest(len(toks), 0) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, 2, array_to_string(list_slice(toks, i, i + 1), ' ')
+  FROM arrs, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, 3, array_to_string(list_slice(toks, i, i + 2), ' ')
+  FROM arrs, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+),
+c AS (SELECT doc_id, k, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+a AS (
+  SELECT doc_id,
+         sum(CASE WHEN k = 1 THEN cnt END) AS tot1,
+         count(CASE WHEN k = 1 THEN 1 END) AS dist1,
+         sum(CASE WHEN k = 2 THEN cnt END) AS tot2,
+         max(CASE WHEN k = 2 THEN cnt END) AS mx2,
+         sum(CASE WHEN k = 3 THEN cnt END) AS tot3,
+         max(CASE WHEN k = 3 THEN cnt END) AS mx3
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce((tot1 - dist1)::DOUBLE / tot1, 0.0), 6)
+         AS dup_token_frac,
+       round(coalesce(mx2::DOUBLE / tot2, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(mx3::DOUBLE / tot3, 0.0), 6) AS top_trigram_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+""")
+def tx08_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-token
+    fraction and most-frequent-bigram/-trigram fractions per document
+    (explode -> groupBy, never a per-row quadratic scan)."""
+    from cantera_table_spark.functions.text import with_repetition_stats
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition_stats(d).drop("text")
+
+
+@gate("tx09_pii_scrub", r"""
+WITH dirty AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' user' || doc_id::VARCHAR || '@mail.example.com'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' 10.' || (doc_id % 256)::VARCHAR || '.0.'
+             || (doc_id % 100)::VARCHAR
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' +1 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text, '\+\d{1,2} \d{3} \d{4}')) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,2} \d{3} \d{4}', '<PHONE>', 'g') AS text_clean
+FROM dirty
+""")
+def tx09_pii_scrub(spark, sf_dir):
+    """PII count + redaction over a deterministically dirtied corpus
+    (synthetic emails/IPs/phones injected per doc_id residue, same
+    recipe in the oracle).  Pure regexp column expressions — one
+    codegen'd scan, zero shuffles."""
+    from cantera_table_spark.functions.text import (
+        scrub_pii, with_pii_stats)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    dirty = d.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" user"), sid,
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" 10."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".0."),
+                        (F.col("doc_id") % 100).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" +1 555 "),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit(""))))
+    return (scrub_pii(with_pii_stats(dirty))
+            .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                    "text_clean"))
+
+
+@gate("dd09_decontaminate", ORACLE_SHINGLES + """
+, bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM sh JOIN bench USING (shingle)
+  WHERE doc_id % 23 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 23 <> 0
+""")
+def dd09_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per corpus doc, count of 3-gram
+    shingles shared with the held-out benchmark slice (doc_id % 23 = 0)
+    via a broadcast semi-structure — corpus shingles never shuffle."""
+    from cantera_table_spark.functions.dedup import decontaminate
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+@gate("ds01_stratified_sample", """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('samp:' || doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 25
+""")
+def ds01_stratified_sample(spark, sf_dir):
+    """Deterministic stratified quota sampling (25 docs per language,
+    smallest salted-md5 hash wins — a stable uniform permutation the
+    oracle replays bit-for-bit).  The oversampled two-phase scale plan
+    is equivalence-pinned in pytest."""
+    from cantera_table_spark.functions.sampling import stratified_sample
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", quota=25)

@@ -399,3 +399,78 @@ def test_wav_codec_roundtrip(spark):
     rows = {r.media_id: r for r in decode_audio(media).collect()}
     assert rows[1].n_frames == 6 and rows[1].sample_rate == 8000
     assert rows[2].n_frames is None
+
+
+def test_repetition_stats_hand_computed(spark):
+    from cantera_table_spark.functions.text import with_repetition_stats
+    d = spark.createDataFrame(
+        [(1, "a a a b"),      # 4 tokens 2 distinct -> dup 0.5;
+                              # bigrams: "a a" x2, "a b" -> top 2/3;
+                              # trigrams: "a a a", "a a b" -> top 1/2
+         (2, "x y"),          # no dup; 1 bigram -> top 1.0; no trigram
+         (3, "")],            # empty -> all 0.0
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_stats(d).collect()}
+    assert out[1].dup_token_frac == 0.5
+    assert out[1].top_bigram_frac == round(2 / 3, 6)
+    assert out[1].top_trigram_frac == 0.5
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].top_bigram_frac == 1.0
+    assert out[2].top_trigram_frac == 0.0
+    assert (out[3].dup_token_frac, out[3].top_bigram_frac,
+            out[3].top_trigram_frac) == (0.0, 0.0, 0.0)
+
+
+def test_pii_stats_and_scrub(spark):
+    from cantera_table_spark.functions.text import (
+        scrub_pii, with_pii_stats)
+    d = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.example.org or +1 555 0100"),
+         (2, "server 192.168.0.1 and 10.0.0.255 up"),
+         (3, "nothing here"),
+         (4, "not-an-ip 1234.5.6.7890 half")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(with_pii_stats(d)).collect()}
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert out[1].text_clean == "mail me at <EMAIL> or <PHONE>"
+    assert out[2].n_ipv4 == 2
+    assert out[2].text_clean == "server <IP> and <IP> up"
+    assert out[3].text_clean == "nothing here"
+    # \b guards: 4-digit runs around the dots must not match as IPv4
+    assert out[4].n_ipv4 == 0
+
+
+def test_decontaminate_counts_and_flags(spark):
+    from cantera_table_spark.functions.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a the quick brown fox leaps"),  # shares 2 trigrams
+         (2, "totally unrelated words here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert out[1].n_contaminated_shingles == 2 and out[1].contaminated
+    assert out[2].n_contaminated_shingles == 0 and not out[2].contaminated
+
+
+def test_stratified_sample_quota_and_oversample_equivalence(spark):
+    from cantera_table_spark.functions.sampling import stratified_sample
+    d = docs(spark)
+    exact = stratified_sample(d, "lang", quota=10)
+    rows = exact.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r.sample_rank)
+    n_lang = d.select("lang").distinct().count()
+    assert len(per) == n_lang
+    for lang, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+    # two-phase (oversampled pre-filter) plan returns IDENTICAL rows
+    # when the pre-filter captures enough of each stratum
+    two_phase = stratified_sample(d, "lang", quota=10, oversample=8.0)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple,
+                                                  two_phase.collect()))
+    # determinism across invocations
+    again = stratified_sample(d, "lang", quota=10)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
