@@ -269,16 +269,19 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     gets the minimum doc_id reachable through the pair graph as its
     ``canonical_id`` (singletons map to themselves).
 
-    Min-label propagation: each iteration joins current labels across
-    the (symmetrized) edges and keeps the minimum — O(diameter)
-    iterations, each one shuffle; duplicate clusters are shallow in
-    practice so this converges in a handful of rounds.  The driver only
-    sees a changed-row count per iteration.  Non-convergence within
-    ``max_iters`` (a component with diameter > max_iters) raises
-    instead of silently returning partial labels.  The returned
-    DataFrame is Spark-cached (its lineage is the whole iteration
-    chain); callers in long-lived sessions should ``unpersist()`` it
-    after materializing.
+    Min-label propagation RESTRICTED to the duplicate subgraph: a
+    node with no edge can never change its label, so the iteration
+    runs only over distinct edge endpoints — per-round shuffle volume
+    is O(|duplicate pairs|), not O(|corpus|), and the corpus-sized
+    frame is touched exactly once (the final left join that maps
+    singletons to themselves).  O(diameter) iterations; duplicate
+    clusters are shallow in practice so this converges in a handful of
+    rounds.  The driver only sees a changed-row count per iteration.
+    Non-convergence within ``max_iters`` (a component with diameter >
+    max_iters) raises instead of silently returning partial labels.
+    The subgraph labels backing the returned DataFrame are
+    Spark-cached; callers in long-lived sessions should
+    ``unpersist()`` the result after materializing.
     """
     # Cache the symmetrized edge list: its lineage is the whole
     # candidate-generation + verification pipeline (LSH -> jaccard),
@@ -294,34 +297,53 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
              .distinct()).cache()
-    labels = ids.select(F.col("doc_id"),
-                        F.col("doc_id").alias("canonical_id"))
+    # Materialize the edge cache NOW: both the node set below and every
+    # iteration read it, and without this the first job would compute
+    # the whole upstream candidate pipeline once per branch.
+    n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        return ids.select("doc_id",
+                          F.col("doc_id").alias("canonical_id"))
+    # symmetrized, so every edge-touching node appears as a src
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("doc_id"),
+                      F.col("src").alias("canonical_id")))
+    prev_cached = None
     for _ in range(max_iters):
         neighbor_min = (edges.join(
             labels.select(F.col("doc_id").alias("src"),
                           F.col("canonical_id").alias("src_lab")), "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("src_lab").alias("nb_lab")))
+        # carry the old label through the update so the convergence
+        # check is a filter on the same cached frame, not another join
         updated = (labels.join(neighbor_min, "doc_id", "left")
                    .select("doc_id",
+                           F.col("canonical_id").alias("__old"),
                            F.least(F.col("canonical_id"),
                                    F.coalesce(F.col("nb_lab"),
                                               F.col("canonical_id")))
                            .alias("canonical_id")))
         updated = updated.cache()
-        changed = (updated.join(
-            labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-            .filter(F.col("canonical_id") != F.col("old")).limit(1)
-            .count())
-        if labels.is_cached:
-            labels.unpersist()
-        labels = updated
+        changed = (updated.filter(F.col("canonical_id") != F.col("__old"))
+                   .limit(1).count())
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = updated
+        labels = updated.drop("__old")
         if changed == 0:
             # the zero-changed check scanned every partition of the
             # cached result, so labels is fully materialized and the
             # edge cache can go
             edges.unpersist()
-            return labels
+            # map every corpus doc: subgraph label if present, else
+            # itself — the ONLY corpus-sized operation in the routine
+            return (ids.select("doc_id")
+                    .join(labels, "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce("canonical_id", "doc_id")
+                            .alias("canonical_id")))
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iters} iterations "
         f"(a duplicate chain longer than max_iters); raise max_iters")
