@@ -55,12 +55,18 @@ _NEG_INF = float("-inf")
 
 
 def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
-                   caches: list | None = None) -> DataFrame:
+                   caches: list | None = None,
+                   unique_docs: bool = False) -> DataFrame:
     """Core pipeline given resolved doc sets.
 
     postings: (keyword, doc_id, score) — the feature space.
     set_a / set_b: (doc_id, score) — deduped result sets; B is made
     disjoint from A here.
+    unique_docs: promise that ``postings`` has at most one row per
+    (keyword, doc_id) — true for an Engine with ``unique_postings``
+    (and preserved by the timestamp filters, which group per doc).
+    The contingency count then uses a plain conditional count instead
+    of countDistinct, skipping Spark's expand + second shuffle.
 
     Returns (log_odds, match_count_a, match_count_b, keyword, min_score,
     max_score) with null min/max for unbounded ends.
@@ -208,15 +214,17 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     # --- ProcessRange: contingency counts per (keyword, range) --------
     in_range = ((F.col("lo").isNull() | (F.col("score") >= F.col("lo"))) &
                 (F.col("hi").isNull() | (F.col("score") <= F.col("hi"))))
+    if unique_docs:
+        agg_a = F.count(F.when(F.col("cls") == 1, 1))
+        agg_b = F.count(F.when(F.col("cls") == -1, 1))
+    else:
+        agg_a = F.countDistinct(F.when(F.col("cls") == 1, F.col("doc_id")))
+        agg_b = F.countDistinct(F.when(F.col("cls") == -1, F.col("doc_id")))
     counted = (k.join(tasks, "keyword")
                .filter(in_range)
                .groupBy("keyword", "lo", "hi")
-               .agg(F.countDistinct(F.when(F.col("cls") == 1,
-                                           F.col("doc_id")))
-                    .alias("match_count_a"),
-                    F.countDistinct(F.when(F.col("cls") == -1,
-                                           F.col("doc_id")))
-                    .alias("match_count_b")))
+               .agg(agg_a.alias("match_count_a"),
+                    agg_b.alias("match_count_b")))
 
     out = (counted
            .filter((F.col("match_count_a") >= limit_a) |
@@ -336,4 +344,5 @@ def correlate(engine, query_a, query_b) -> DataFrame:
                 ts_keys, set_a, _time.time() / 86400.0)
         postings = plain.unionByName(ts_filtered)
     return correlate_sets(postings, set_a, set_b,
-                          caches=engine._correlate_caches)
+                          caches=engine._correlate_caches,
+                          unique_docs=engine.unique_postings)
