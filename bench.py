@@ -47,8 +47,9 @@ BENCH_QUERIES = [
     "ev01_user_running",
     # training-data pipeline (dd06/dd07 are the LSH-pruned scale paths)
     "dd01_exact_dedup", "dd02_minhash", "dd04_simhash",
-    "dd06_dedup_clusters", "dd07_lsh_jaccard",
+    "dd06_dedup_clusters", "dd07_lsh_jaccard", "dd09_decontaminate",
     "sim01_brute_topk", "tx01_text_stats", "tx04_fingerprint",
+    "tx08_repetition", "tx09_pii_scrub", "ds01_stratified_sample",
     "mm01_decode_media", "mm04_thumbnail",
 ]
 

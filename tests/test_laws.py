@@ -249,3 +249,63 @@ def test_global_row_number_law(spark, rows):
     for (d, s, rn) in got:
         if (d, s) in uniq:
             assert rn == pos[(d, s)]
+
+
+_WORDS = st.lists(st.sampled_from("alpha beta gamma delta eps".split()),
+                  min_size=0, max_size=12)
+
+
+@given(_WORDS)
+@settings(max_examples=10, deadline=None)
+def test_repetition_fracs_bounded_law(spark, words):
+    """All repetition fractions live in [0, 1]; a doc of one repeated
+    token has dup_token_frac (n-1)/n and top fractions 1."""
+    from cantera_table_spark.functions.text import with_repetition_stats
+    d = spark.createDataFrame([(1, " ".join(words))],
+                              "doc_id long, text string")
+    r = with_repetition_stats(d).collect()[0]
+    for v in (r.dup_token_frac, r.top_bigram_frac, r.top_trigram_frac):
+        assert 0.0 <= v <= 1.0
+    n = len(words)
+    if n >= 3 and len(set(words)) == 1:
+        assert r.dup_token_frac == round((n - 1) / n, 6)
+        assert r.top_bigram_frac == 1.0 and r.top_trigram_frac == 1.0
+
+
+@given(st.text(alphabet="abc @.0123456789+", max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_pii_scrub_idempotent_law(spark, s):
+    """Scrubbing is idempotent: placeholders never re-match a pattern."""
+    from cantera_table_spark.functions.text import scrub_pii
+    d = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    once = scrub_pii(d, "text", "c1")
+    twice = scrub_pii(once, "c1", "c2").collect()[0]
+    assert twice.c1 == twice.c2
+
+
+def test_decontaminate_self_is_total(spark):
+    """Decontaminating a set against itself flags every doc that has at
+    least one shingle (n tokens or more)."""
+    from cantera_table_spark.functions.dedup import decontaminate
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g"), (3, "x")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate(d, d, n=3).collect()}
+    assert out == {1: True, 2: True, 3: False}
+
+
+def test_stratified_sample_is_prefix_stable(spark):
+    """Adding rows to one stratum never reorders another stratum's
+    sample (hash order is global, not partition-relative)."""
+    from cantera_table_spark.functions.sampling import stratified_sample
+    base = [(i, "en" if i % 2 else "de") for i in range(40)]
+    d1 = spark.createDataFrame(base, "doc_id long, lang string")
+    d2 = spark.createDataFrame(base + [(100 + i, "fr") for i in range(10)],
+                               "doc_id long, lang string")
+    s1 = {(r.lang, r.doc_id, r.sample_rank)
+          for r in stratified_sample(d1, "lang", 5).collect()}
+    s2 = {(r.lang, r.doc_id, r.sample_rank)
+          for r in stratified_sample(d2, "lang", 5).collect()
+          if r.lang != "fr"}
+    assert s1 == s2
