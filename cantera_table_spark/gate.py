@@ -2371,3 +2371,35 @@ def ds01_stratified_sample(spark, sf_dir):
     from cantera_table_spark.functions.sampling import stratified_sample
     d = load_table(spark, sf_dir, "documents")
     return stratified_sample(d, "lang", quota=25)
+
+
+@gate("st03_stream_dedup", """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
+""")
+def st03_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup end-to-end on the bounded-state scale
+    path: documents stream in as TSV drops with synthetic event times,
+    dropDuplicatesWithinWatermark keeps the first row per content
+    hash, and the availableNow parquet sink commits the survivors.
+    The surviving hash SET is deterministic (survivor rows are not,
+    across a shuffled source), so the gate returns hashes only; the
+    oracle is the batch distinct."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import (
+        start_parquet_sink, streaming_exact_dedup)
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(F.concat_ws(
+        "\t", F.col("doc_id").cast("string"), F.col("text")).alias("value"))
+    base = _gate_tmp(sf_dir, "st03")
+    shutil.rmtree(base, ignore_errors=True)
+    lines.coalesce(2).write.mode("overwrite").text(f"{base}/src")
+    raw = (spark.readStream.option("sep", "\t").option("quote", "")
+           .schema("doc_id long, text string").csv(f"{base}/src"))
+    stream = raw.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+    deduped = streaming_exact_dedup(stream, hash_cols=("text",),
+                                    ts_col="ts", watermark="1 hour")
+    q = start_parquet_sink(deduped, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/sink")
+            .select("content_hash").distinct())

@@ -61,3 +61,32 @@ def start_parquet_sink(stream: DataFrame, path: str, checkpoint: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(stream: DataFrame, hash_cols=("text",),
+                          ts_col: str | None = None,
+                          watermark: str = "24 hours") -> DataFrame:
+    """Exact content dedup on an arriving stream: keep the first row
+    per md5 content hash.
+
+    Two state regimes:
+
+    - ``ts_col=None``: classic ``dropDuplicates`` — state holds every
+      hash ever seen.  Exact forever, but state grows with the corpus;
+      only viable for bounded keyspaces.
+    - ``ts_col`` given: ``dropDuplicatesWithinWatermark`` — state is
+      bounded by the watermark horizon, the 100 TB posture (duplicates
+      arriving within ``watermark`` of each other are caught; older
+      re-appearances fall to the periodic batch dedup pass, the same
+      layering the override-table model uses for late corrections).
+
+    The surviving ROW per hash is whichever arrives first, which across
+    a shuffled multi-file source is nondeterministic — only the
+    surviving hash SET is deterministic, which is what the gate pins.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in hash_cols]))
+    out = stream.withColumn("content_hash", h)
+    if ts_col is None:
+        return out.dropDuplicates(["content_hash"])
+    return (out.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
