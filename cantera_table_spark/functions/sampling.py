@@ -38,10 +38,15 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     """Per-stratum quota sample: the `quota` rows of each stratum with
     the smallest sample hash, with their 1-based `sample_rank`.
 
-    Scale design.  A bare rank-within-stratum window funnels each whole
-    stratum through one task's sort — fine for thousands of strata,
-    fatal when one stratum holds billions of rows.  Pass `oversample`
-    (e.g. 2.0) to enable the two-phase plan:
+    Scale design.  Even the bare plan is not the naive
+    whole-stratum-through-one-sort window: because the rank filter is
+    `row_number() <= quota`, Spark's InferWindowGroupLimit inserts a
+    PARTIAL per-input-partition top-k before the stratum exchange
+    (pinned in tests/test_plan_shapes.py), so shuffle volume is
+    O(input_partitions * strata * quota), not O(corpus).  Each mapper
+    still sorts its full partition slice, though; pass `oversample`
+    (e.g. 2.0) to also bound the map-side sort input via the two-phase
+    plan:
 
       1. count each stratum (one map-side-combined shuffle, rows =
          #strata), broadcast the counts back;

@@ -256,3 +256,42 @@ def test_asof_prior_is_single_shuffle(spark):
                .groupBy("user_id").agg(F.min("ts").alias("m")).collect()}
     for r in out.collect():
         assert r.ts < first_p[r.user_id]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — corpus shingles never
+    shuffle for the overlap join; the only hash shuffle is the per-doc
+    count (plus the map-side combine of the benchmark distinct)."""
+    from cantera_table_spark.functions.dedup import decontaminate
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 17).cast("string"),
+                 F.lit(" x y z q r")).alias("text"))
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    facts = plan_facts(decontaminate(corpus, bench, n=3))
+    # shingle overlap + final doc join must both be broadcast joins;
+    # any sort-merge join here would shuffle corpus-sized data
+    assert facts.n_broadcasts >= 1
+    assert "SortMergeJoin" not in facts.text
+    assert not facts.has_python_eval
+
+
+def test_stratified_sample_two_phase_prefilters_before_window(spark):
+    """The oversampled plan must apply the hash cutoff BEFORE the
+    window sort (the whole point: the window input is bounded) and
+    broadcast the tiny per-stratum count table."""
+    from cantera_table_spark.functions.sampling import stratified_sample
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"))
+    facts = plan_facts(stratified_sample(d, "lang", 10, oversample=4.0))
+    assert facts.n_broadcasts >= 1
+    # Spark's InferWindowGroupLimit must kick in: partial top-k per
+    # input partition BEFORE the stratum exchange, so no task ever
+    # sorts more than quota rows per (partition, stratum)
+    assert "WindowGroupLimit" in facts.text
+    # the hash cutoff sits below the window (fused into the broadcast
+    # join of the per-stratum counts); plan prints top-down
+    w_pos = facts.text.index("Window ")
+    assert "least(1.0" in facts.text[w_pos:]
