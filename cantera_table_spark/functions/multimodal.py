@@ -251,6 +251,240 @@ def decode_png(data: bytes) -> dict:
             "mean_b": means[0], "mean_g": means[1], "mean_r": means[2]}
 
 
+GIF_SIG = b"GIF89a"
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression of an index stream (LSB-first bit
+    packing, clear/end codes, variable code width min+1..12; when the
+    dictionary fills at 4096 entries it goes static — the spec's
+    deferred-clear mode, which every conformant decoder accepts)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitbuf = bitcnt = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table: dict = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w: tuple = ()
+    for px in indices:
+        wk = w + (int(px),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder bumps at next_code == 1<<width; it lags one
+            # insertion behind the encoder, hence the +1 here
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = (int(px),)
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decompression (inverse of _lzw_encode; also
+    accepts any conformant encoder's stream, including deferred-clear)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = bitcnt = pos = 0
+    prev = None
+    while len(out) < n_expected:
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) != n_expected:
+        raise ValueError("LZW pixel count mismatch")
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames, width: int, height: int, delay_cs: int = 4) -> bytes:
+    """Real animated GIF writer: 256-entry greyscale global palette
+    (palette[i] = (i,i,i)), one image block per frame of width*height
+    palette indices, real LZW compression, GCE delay per frame."""
+    out = bytearray()
+    out += GIF_SIG
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)                     # global table, 256 entries
+    out += b"\x00\x00"                   # bg index, aspect
+    for i in range(256):                 # greyscale palette
+        out += bytes((i, i, i))
+    for fr in frames:
+        fr = bytes(fr)
+        if len(fr) != width * height:
+            raise ValueError("frame size mismatch")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(8)                    # min LZW code size
+        out += _gif_subblocks(_lzw_encode(fr, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """Real GIF decode (stdlib-only): header + logical screen
+    descriptor, global/local color tables, full LZW decompression per
+    image block, greyscale-or-color palette mapping.  Returns
+    {width, height, n_frames, frames: [bytes RGB per frame]}.
+    Interlaced images raise ValueError (honest boundary, like the PNG
+    decoder's envelope)."""
+    if len(data) < 13 or data[:3] != b"GIF":
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = data[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                # trailer
+            break
+        if block == 0x21:                # extension: skip sub-blocks
+            pos += 1                     # label
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        x, y, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = data[pos:pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), min_code, w * h)
+        rgb = bytearray()
+        for i in idx:
+            rgb += pal[3 * i:3 * i + 3]
+        frames.append(bytes(rgb))
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
+    return {"width": width, "height": height,
+            "n_frames": len(frames), "frames": frames}
+
+
+def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Decode animated GIF payloads and emit one row per sampled frame
+    (frame_idx % every_n == 0) with per-channel means — real container
+    frame sampling (vs the byte-window stand-in in frame_sample).
+    Arrow-batched; undecodable payloads quarantine to a single NULL
+    row."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = decode_gif(bytes(data) if data is not None else b"")
+                    for fi in range(0, d["n_frames"], every_n):
+                        px = np.frombuffer(d["frames"][fi],
+                                           np.uint8).reshape(-1, 3)
+                        m = px.mean(axis=0)
+                        rows.append((mid, fi, d["width"], d["height"],
+                                     float(m[0]), float(m[1]),
+                                     float(m[2])))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(batches, schema)
+
+
 def encode_wav(samples_i16, sample_rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV from an int16 sample sequence (stdlib
     ``wave`` writer)."""

@@ -2403,3 +2403,44 @@ def st03_stream_dedup(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(f"{base}/sink")
             .select("content_hash").distinct())
+
+
+@gate("mm07_decode_gif", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+px AS (
+  SELECT doc_id, ff.f AS frame_idx,
+         ('0x' || substr(hx, 2 * ((ff.f * 16 + pp.p) % n) + 1, 2))::INT
+           AS byte
+  FROM h, unnest([0, 2]) AS ff(f), unnest(range(0, 16)) AS pp(p)
+)
+SELECT doc_id AS media_id, frame_idx, 4 AS width, 4 AS height,
+       avg(byte) AS mean_r, avg(byte) AS mean_g, avg(byte) AS mean_b
+FROM px GROUP BY 1, 2
+""")
+def mm07_decode_gif(spark, sf_dir):
+    """Animated-GIF frame sampling end-to-end on a REAL container
+    format: each doc becomes a 3-frame 4x4 greyscale GIF (indices =
+    cycled UTF-8 bytes), written by the real LZW encoder, decoded by
+    the real LZW decoder, frames 0 and 2 sampled (every_n=2).  The
+    oracle recomputes per-frame means straight from the cycled source
+    bytes, so palette mapping + LZW both passes are value-verified."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (
+        encode_gif, gif_frame_stats)
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (48 // len(raw) + 1))[:48]
+                data.append(encode_gif(
+                    [buf[f * 16:(f + 1) * 16] for f in range(3)], 4, 4))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return gif_frame_stats(media, every_n=2)

@@ -309,3 +309,33 @@ def test_stratified_sample_is_prefix_stable(spark):
           for r in stratified_sample(d2, "lang", 5).collect()
           if r.lang != "fr"}
     assert s1 == s2
+
+
+@given(st.integers(1, 6), st.integers(1, 5), st.integers(1, 4),
+       st.binary(min_size=1, max_size=16))
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_law(w, h, n_frames, seed):
+    """decode(encode(frames)) recovers every index exactly through the
+    real LZW round-trip and greyscale palette."""
+    from cantera_table_spark.functions.multimodal import (
+        decode_gif, encode_gif)
+    npx = w * h
+    frames = [bytes((seed[(f + i) % len(seed)] + f) % 256
+                    for i in range(npx)) for f in range(n_frames)]
+    d = decode_gif(encode_gif(frames, w, h))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
+    for f in range(n_frames):
+        rgb = d["frames"][f]
+        assert len(rgb) == npx * 3
+        for i in range(npx):
+            v = frames[f][i]
+            assert rgb[3 * i:3 * i + 3] == bytes((v, v, v))
+
+
+@given(st.lists(st.integers(0, 255), min_size=0, max_size=3000))
+@settings(max_examples=30, deadline=None)
+def test_lzw_roundtrip_law(idx):
+    from cantera_table_spark.functions.multimodal import (
+        _lzw_decode, _lzw_encode)
+    data = bytes(idx)
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
