@@ -38,6 +38,13 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     """Per-stratum quota sample: the `quota` rows of each stratum with
     the smallest sample hash, with their 1-based `sample_rank`.
 
+    ``quota`` is an int (uniform) or a dict ``{stratum: quota}`` — the
+    data-mixing form, where each source/language gets its own budget
+    (strata absent from the dict contribute nothing).  The dict path
+    keeps the literal `rank <= max(quota)` filter so Spark's
+    window-group-limit optimization still applies (see below), then
+    refines per stratum against the broadcast quota table.
+
     Scale design.  Even the bare plan is not the naive
     whole-stratum-through-one-sort window: because the rank filter is
     `row_number() <= quota`, Spark's InferWindowGroupLimit inserts a
@@ -64,18 +71,31 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     tests, and the gate entry runs the exact one-phase plan so the
     oracle stays a plain window.
     """
+    quotas = quota if isinstance(quota, dict) else None
+    qmax = max(quotas.values()) if quotas else quota
     h = sample_hash(F.col(id_col)).alias("__h")
     pre = df.select(F.col(strata_col), F.col(id_col), h)
+    spark = df.sparkSession
+    qdf = None
+    if quotas is not None:
+        qdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in quotas.items()],
+            f"{strata_col} string, __q int")
+        # semi-effect: strata without a quota drop out here
+        pre = pre.join(F.broadcast(qdf), strata_col)
     if oversample is not None:
-        counts = (df.groupBy(strata_col)
-                  .agg(F.count("*").alias("__n")))
+        counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+        per_quota = (F.col("__q").cast("double") if quotas is not None
+                     else F.lit(float(quota)))
         cutoff = F.least(
-            F.lit(1.0), F.lit(float(oversample) * quota) / F.col("__n"))
+            F.lit(1.0), F.lit(float(oversample)) * per_quota / F.col("__n"))
         pre = (pre.join(F.broadcast(counts), strata_col)
                .filter(sample_u(F.col(id_col)) <= cutoff)
                .drop("__n"))
     w = (Window.partitionBy(strata_col)
          .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
-    return (pre.withColumn("sample_rank", F.row_number().over(w))
-            .filter(F.col("sample_rank") <= quota)
-            .drop("__h"))
+    out = (pre.withColumn("sample_rank", F.row_number().over(w))
+           .filter(F.col("sample_rank") <= F.lit(int(qmax))))
+    if quotas is not None:
+        out = out.filter(F.col("sample_rank") <= F.col("__q")).drop("__q")
+    return out.drop("__h")

@@ -2444,3 +2444,28 @@ def mm07_decode_gif(spark, sf_dir):
 
     media = d.mapInPandas(synth, "media_id long, data binary")
     return gif_frame_stats(media, every_n=2)
+
+
+@gate("ds02_weighted_sample", """
+WITH q(lang, quota) AS (VALUES ('en', 40), ('de', 10), ('es', 15),
+                               ('zh', 20)),
+r AS (
+  SELECT d.lang, d.doc_id,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('samp:' || d.doc_id::VARCHAR), d.doc_id
+         ) AS sample_rank
+  FROM documents d JOIN q USING (lang)
+)
+SELECT r.lang, r.doc_id, r.sample_rank
+FROM r JOIN q USING (lang) WHERE r.sample_rank <= q.quota
+""")
+def ds02_weighted_sample(spark, sf_dir):
+    """Data-mixing form of stratified sampling: per-language budgets
+    (en 40 / de 10 / es 15 / zh 20; fr deliberately absent — no quota,
+    no rows).  The literal max-quota rank filter keeps Spark's
+    WindowGroupLimit; the broadcast quota table refines per stratum."""
+    from cantera_table_spark.functions.sampling import stratified_sample
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 40, "de": 10, "es": 15, "zh": 20})

@@ -474,3 +474,27 @@ def test_stratified_sample_quota_and_oversample_equivalence(spark):
     # determinism across invocations
     again = stratified_sample(d, "lang", quota=10)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_sample_budgets_and_missing_stratum(spark):
+    from cantera_table_spark.functions.sampling import stratified_sample
+    d = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(90)],
+        "doc_id long, lang string")
+    out = stratified_sample(d, "lang", {"en": 7, "de": 3}).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, set()).add(r.sample_rank)
+    assert set(per) == {"en", "de"}          # fr has no quota -> absent
+    assert per["en"] == set(range(1, 8)) and per["de"] == {1, 2, 3}
+    # dict path agrees with int path when all quotas equal
+    uni = {(r.lang, r.doc_id) for r in
+           stratified_sample(d, "lang", 4).collect() if r.lang != "fr"}
+    dct = {(r.lang, r.doc_id) for r in
+           stratified_sample(d, "lang", {"en": 4, "de": 4}).collect()}
+    assert uni == dct
+    # oversampled two-phase dict plan returns the same rows
+    two = {(r.lang, r.doc_id) for r in
+           stratified_sample(d, "lang", {"en": 7, "de": 3},
+                             oversample=8.0).collect()}
+    assert two == {(r.lang, r.doc_id) for r in out}
