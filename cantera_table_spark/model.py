@@ -195,17 +195,23 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table.
 
-    The driver testdata stores timestamps as Parquet TIMESTAMP(NANOS),
-    which Spark's reader rejects unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set (session.py); the
+    The driver testdata has stored timestamps two ways across rounds:
+    Parquet TIMESTAMP(NANOS), which Spark's reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (session.py; the
     column then arrives as LongType nanoseconds and is converted back to
-    a timestamp here (integer µs division — exact).
+    a timestamp here, integer µs division — exact), and µs
+    ``isAdjustedToUTC=false``, which Spark 4 reads as TIMESTAMP_NTZ by
+    default.  The DuckDB oracle reads either as a naive timestamp, i.e.
+    the same wall-clock digits — so both are normalized to TimestampType
+    under a UTC session zone, which preserves the micros value bit-for-bit
+    and keeps date_format/unix_micros/window() working.
 
-    The conf is (re-)set here rather than only at session creation so the
-    read works on any caller-supplied SparkSession (e.g. the driver's bare
-    session); it is runtime-settable and idempotent.
+    The confs are (re-)set here rather than only at session creation so
+    the read works on any caller-supplied SparkSession (e.g. the driver's
+    bare session); both are runtime-settable and idempotent.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # same defensive posture for the timezone: the oracle (DuckDB) reads
     # these naive timestamps as-is, so date_format/date_trunc must run
     # under UTC even on a caller session that didn't pin it.  This is a
@@ -227,6 +233,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 isinstance(f_.dataType, T.LongType):
             df = df.withColumn(
                 f_.name, F.timestamp_micros(F.expr(f"{f_.name} div 1000")))
+        elif isinstance(f_.dataType, T.TimestampNTZType):
+            # belt-and-braces when the scan still inferred NTZ (e.g. a
+            # caller session where the conf was frozen): under the UTC
+            # session zone pinned above this cast is the identity on the
+            # underlying micros value.
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
