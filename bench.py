@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "sim01_brute_topk", "tx01_text_stats", "tx04_fingerprint",
     "tx08_repetition", "tx09_pii_scrub", "ds01_stratified_sample",
     "mm01_decode_media", "mm04_thumbnail",
+    # round 3 additions: corpus-wide line dedup, bigram-LM quality
+    # scoring, greedy sequence packing, int8-quantized ANN
+    "dd10_line_dedup", "tx10_lm_score", "ds03_pack_sequences",
+    "sim07_quantized_topk",
 ]
 
 

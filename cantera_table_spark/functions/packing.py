@@ -1,0 +1,88 @@
+"""Sequence packing for training-batch assembly.
+
+A pretraining dataloader wants fixed-size token buffers; packing short
+documents together (instead of padding each to the context length)
+recovers most of the wasted compute.  This module assigns every
+document to a (shard, bin) so that each bin's token total stays within
+a capacity, using the classic greedy sequential packer: walk the
+shard's documents in a deterministic order and open a new bin whenever
+the next document would overflow the current one.
+
+Scale shape: packing is embarrassingly parallel ACROSS shards and
+inherently sequential WITHIN a shard — so the operator hash-shards the
+corpus and runs the linear scan per shard via ``applyInPandas`` (Arrow
+batches, no per-row Python).  Shard count is the parallelism knob: at
+100 TB you size shards so one shard's (doc_id, n_tokens) listing fits
+one task comfortably (it is two longs per document — a billion docs
+per shard is ~16 GB; thousands of shards keep it in the tens of MB).
+The scan itself never materializes document text — only the id and the
+token count move through the shuffle.
+
+The deterministic spec (mirrored by the DuckDB oracle's recursive CTE):
+shard = doc_id % n_shards; within a shard, documents are visited in
+doc_id order; a document goes into the current bin when fill + n <=
+capacity, else it opens bin+1 with fill = n.  Documents longer than
+the capacity therefore occupy a bin alone (real pipelines would split
+them upstream; flagged with ``oversize``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cantera_table_spark.functions.text import tokens
+
+PACK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("shard", T.LongType()),
+    T.StructField("bin", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("oversize", T.BooleanType()),
+])
+
+
+def pack_sequences(df: DataFrame, capacity: int, n_shards: int = 4,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy sequential bin packing of documents into token-capacity
+    bins, sharded for parallelism.
+
+    Returns (doc_id, shard, bin, n_tokens, oversize); bin numbering is
+    local to the shard and starts at 0.
+    """
+    cap = int(capacity)
+    sized = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if bins and fill + n > cap:
+                cur += 1
+                fill = 0
+            fill += n
+            bins.append(cur)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["oversize"] = pdf["n_tokens"] > cap
+        return pdf[["doc_id", "shard", "bin", "n_tokens", "oversize"]]
+
+    return (sized.groupBy("shard").applyInPandas(pack, PACK_SCHEMA))
+
+
+def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-shard packing efficiency: bins used, mean fill fraction.
+    One aggregation over the packing output."""
+    per_bin = (packed.groupBy("shard", "bin")
+               .agg(F.sum("n_tokens").alias("fill")))
+    return (per_bin.groupBy("shard")
+            .agg(F.count("*").alias("n_bins"),
+                 F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6)
+                 .alias("mean_fill_frac")))

@@ -315,3 +315,66 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def quantization_stats(emb: DataFrame,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Global per-dimension (min, max) ranges for scalar quantization,
+    packed into one broadcast-able row of aligned arrays.
+
+    One explode + one map-side-combinable aggregation over (dim) — the
+    stats row is O(dim), independent of corpus size.
+    """
+    stats = (emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+             .groupBy("dim")
+             .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                  F.max(F.col("x").cast("double")).alias("mx")))
+    return (stats
+            .agg(F.array_sort(F.collect_list(
+                F.struct("dim", "mn", "mx"))).alias("s"))
+            .select(F.transform("s", lambda s: s["mn"]).alias("mins"),
+                    F.transform("s", lambda s: s["mx"]).alias("maxs")))
+
+
+def quantize_embeddings(emb: DataFrame, stats: DataFrame | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        levels: int = 255) -> DataFrame:
+    """int8-style scalar quantization of an embedding column: per
+    dimension d, code = min(floor((x - mn_d) * levels / (mx_d - mn_d)),
+    levels), reconstruction x' = mn_d + code * (mx_d - mn_d) / levels.
+    floor (not round) on BOTH engines — Spark round is HALF_UP while
+    DuckDB's INT cast rounds half-even, so floor is the portable choice.
+
+    Adds ``qcode`` (array<smallint>-ranged longs — the 4x-smaller
+    payload a 100 TB index would persist) and ``embedding_q`` (the
+    dequantized double vector downstream cosine runs on).  Degenerate
+    dimensions (mn == mx) map to code 0 and reconstruct exactly.
+
+    The stats row joins in as a broadcast nested-loop of one row — no
+    shuffle on the corpus side; everything else is per-row JVM
+    transforms inside codegen.
+    """
+    if stats is None:
+        stats = quantization_stats(emb, vec_col)
+    lv = F.lit(float(levels))
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+
+    def per_dim(i):
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        mn = F.element_at(F.col("mins"), i)
+        mx = F.element_at(F.col("maxs"), i)
+        return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.least(F.floor(((x - mn) * lv) / (mx - mn)),
+                    F.lit(int(levels)).cast("long")))
+
+    def deq(i):
+        mn = F.element_at(F.col("mins"), i)
+        mx = F.element_at(F.col("maxs"), i)
+        code = F.element_at(F.col("qcode"), i).cast("double")
+        return mn + (code * (mx - mn)) / lv
+
+    return (emb.crossJoin(F.broadcast(stats))
+            .withColumn("qcode", F.transform(idx, per_dim))
+            .withColumn("embedding_q", F.transform(idx, deq))
+            .drop("mins", "maxs"))

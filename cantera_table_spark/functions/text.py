@@ -213,6 +213,117 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         (F.col("type_token_ratio") >= min_type_token_ratio)))
 
 
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                out_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4 / RefinedWeb "remove
+    repeated lines" stage): across the WHOLE corpus, every non-blank
+    line (matched on its trimmed form) is kept only at its first
+    occurrence in (doc_id, position) order; later occurrences are
+    dropped and the documents are reassembled from their surviving
+    lines.  Blank lines are structural and never deduplicated.
+
+    Scale shape: the first-occurrence winner per line is computed with
+    ``min(struct(doc_id, pos))`` — an aggregation with map-side partial
+    combine, so a boilerplate line repeated a billion times collapses
+    per input partition before the shuffle (a window
+    ``row_number() over (partition by line)`` would funnel every copy
+    of a hot line through one task; the aggregation form is the one
+    that survives skew).  Two shuffles total: winners groupBy(line) and
+    the reassembly groupBy(doc_id); the winners join is keyed by the
+    distinct-line set, which AQE can broadcast when small.
+
+    Returns one row per input document: ``id_col``, n_lines,
+    n_removed, and ``out_col`` (the deduplicated text; empty string
+    when every line was removed).
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("key", F.trim("line"))
+    winners = (keyed.filter(F.col("key") != "")
+               .groupBy("key")
+               .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                   F.col("pos").alias("p"))).alias("w")))
+    keep = (keyed.join(winners, "key", "left")
+            .filter((F.col("key") == "") |
+                    ((F.col("w.d") == F.col(id_col)) &
+                     (F.col("w.p") == F.col("pos")))))
+    kept = (keep.groupBy(id_col)
+            .agg(F.count("*").alias("__n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "line"))),
+                         lambda s: s["line"]),
+                     "\n").alias("__text")))
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (totals.join(kept, id_col, "left")
+            .select(id_col, "n_lines",
+                    (F.col("n_lines") -
+                     F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+                    F.coalesce("__text", F.lit("")).alias(out_col)))
+
+
+def lm_quality_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model quality score (the CCNet / KenLM-shaped
+    perplexity filter): train add-one-smoothed bigram statistics on the
+    corpus itself, then score every document by its average negative
+    log-likelihood per bigram.  Low-probability documents (gibberish,
+    OCR noise, wrong-language text) score high and are filtered or
+    bucketed before pretraining.
+
+      logp(w1 w2) = ln( (c(w1 w2) + 1) / (c(w1) + V) )
+      avg_nll(doc) = -mean over the document's bigrams
+      ppl(doc)     = exp(avg_nll)
+
+    where c() are corpus counts and V the corpus vocabulary size.
+
+    Scale shape: both count tables come from map-side-combinable
+    aggregations; scoring joins the exploded doc bigrams to the bigram
+    counts (shuffle keyed by the bigram — pre-aggregated, so the build
+    side is the distinct-bigram table, not the corpus) and to the
+    unigram counts.  Everything stays in whole-stage codegen — no
+    Python.  A production run would threshold the LM to top-K vocab
+    with an OOV bucket to bound the count-table size; at the fixture
+    scale the untruncated LM is exact and SQL-mirrorable.
+
+    Documents with fewer than two tokens have no bigrams: n_bigrams=0,
+    avg_nll/ppl NULL.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(id_col, toks.alias("__toks"))
+    big = (base.filter(F.size("__toks") >= 2)
+           .select(id_col,
+                   F.explode(F.transform(
+                       F.sequence(F.lit(1), F.size("__toks") - 1),
+                       lambda i: F.struct(
+                           F.get(F.col("__toks"), i - 1).alias("w1"),
+                           F.get(F.col("__toks"), i).alias("w2"))))
+                   .alias("b"))
+           .select(id_col, "b.w1", "b.w2"))
+    uni = (base.select(F.explode("__toks").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    # vocabulary size as a broadcast one-row aggregate, not a driver
+    # .count() action — the whole score stays one lazy plan
+    vocab = uni.agg(F.count("*").cast("double").alias("__V"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (big
+              .join(c12, ["w1", "w2"])
+              .join(uni, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .select(id_col,
+                      (F.log((F.col("c12") + 1) /
+                             (F.col("c1") + F.col("__V"))))
+                      .alias("logp")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(-F.avg("logp"), 6).alias("avg_nll"),
+                F.round(F.exp(-F.avg("logp")), 4).alias("ppl")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0))))
+
+
 def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level vocabulary statistics: per token, document frequency
     and total term frequency with a unique frequency rank (ties broken

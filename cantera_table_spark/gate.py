@@ -2469,3 +2469,177 @@ def ds02_weighted_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return stratified_sample(
         d, "lang", {"en": 40, "de": 10, "es": 15, "zh": 20})
+
+
+@gate("dd10_line_dedup", """
+WITH lined AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_slice(toks, 1, 10), ' '), '')
+         || chr(10) || 'shared boilerplate footer line' || chr(10) ||
+         coalesce(array_to_string(list_slice(toks, 11, 20), ' '), '')
+           AS text
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+lines AS (
+  SELECT doc_id, u.i - 1 AS pos, parts[u.i] AS line,
+         trim(parts[u.i]) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+),
+rk AS (
+  SELECT doc_id, pos, line, key,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+keep AS (SELECT doc_id, pos, line FROM rk WHERE key = '' OR rn = 1),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+SELECT t.doc_id, t.n_lines,
+       t.n_lines - count(k.pos) AS n_removed,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+FROM tot t LEFT JOIN keep k USING (doc_id)
+GROUP BY t.doc_id, t.n_lines
+""")
+def dd10_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup: every non-blank line survives
+    only at its first (doc_id, pos) occurrence.  The fixture corpus is
+    single-line bags of words, so the gate synthesizes a lined corpus
+    deterministically (10-token prefix line, a shared boilerplate
+    footer planted in EVERY document, 10-token suffix line); the
+    boilerplate line must survive exactly once and prefix/suffix
+    collisions dedup on first occurrence.  The oracle replays the
+    synthesis and the first-occurrence rule with a window."""
+    from cantera_table_spark.functions.text import dedup_lines, tokens
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(toks, 1, 10)),
+            F.lit("shared boilerplate footer line"),
+            F.concat_ws(" ", F.slice(toks, 11, 10))).alias("text"))
+    return dedup_lines(lined)
+
+
+@gate("tx10_lm_score", """
+WITH toks AS (
+  SELECT doc_id, t.i, l[t.i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS l
+        FROM documents),
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL
+),
+uni AS (SELECT tok AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT count(*)::DOUBLE AS vv FROM uni),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+sc AS (
+  SELECT b.doc_id, ln((c.c12 + 1) / (u.c1 + v.vv)) AS logp
+  FROM big b JOIN c12 c USING (w1, w2) JOIN uni u USING (w1), v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(-avg(logp), 6) AS avg_nll,
+         round(exp(-avg(logp)), 4) AS ppl
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_nll, a.ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def tx10_lm_score(spark, sf_dir):
+    """Bigram-LM perplexity quality score (CCNet/KenLM-shaped filter)
+    trained on the corpus itself with add-one smoothing; identical
+    double expression tree on both engines, averages rounded."""
+    from cantera_table_spark.functions.text import lm_quality_score
+    return lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@gate("ds03_pack_sequences", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS fill, 0::BIGINT AS bin
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN p.fill + b.n_tokens <= 200
+              THEN p.fill + b.n_tokens ELSE b.n_tokens END,
+         CASE WHEN p.fill + b.n_tokens <= 200
+              THEN p.bin ELSE p.bin + 1 END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens, n_tokens > 200 AS oversize
+FROM pack
+""")
+def ds03_pack_sequences(spark, sf_dir):
+    """Greedy sequential token packing into capacity-200 bins across 4
+    shards (training-batch assembly).  Spark packs each shard with one
+    Arrow-batched linear scan; the oracle replays the identical greedy
+    recurrence as a recursive CTE."""
+    from cantera_table_spark.functions.packing import pack_sequences
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity=200, n_shards=4)
+
+
+@gate("sim07_quantized_topk", """
+WITH vals AS (
+  SELECT vec_id, u.i AS dim, embedding[u.i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM vals GROUP BY 1),
+deq AS (
+  SELECT v.vec_id, v.dim,
+         CASE WHEN s.mx = s.mn THEN s.mn
+              ELSE s.mn + (least(floor(((v.x - s.mn) * 255.0)
+                                       / (s.mx - s.mn)), 255.0)
+                           * (s.mx - s.mn)) / 255.0 END AS xq
+  FROM vals v JOIN stats s USING (dim)
+),
+vecs AS (SELECT vec_id, list(xq ORDER BY dim) AS v FROM deq GROUP BY 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM vecs),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(
+        range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b))),
+      6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def sim07_quantized_topk(spark, sf_dir):
+    """Exact cosine top-5 over int8-scalar-quantized embeddings (the
+    4x-smaller index a 100 TB ANN deployment persists): global
+    per-dimension floor quantization, dequantize, then the sim01
+    brute-force ranking.  The oracle replays quantization and cosine
+    with the identical IEEE expression order, so scores match
+    bit-for-bit before rounding."""
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, quantize_embeddings)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    return brute_force_topk(qd, qd.filter(F.col("vec_id") < 10), k=5,
+                            vec_col="embedding_q")

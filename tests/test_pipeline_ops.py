@@ -498,3 +498,96 @@ def test_weighted_sample_budgets_and_missing_stratum(spark):
            stratified_sample(d, "lang", {"en": 7, "de": 3},
                              oversample=8.0).collect()}
     assert two == {(r.lang, r.doc_id) for r in out}
+
+
+def test_dedup_lines_first_occurrence_and_blanks(spark):
+    from cantera_table_spark.functions.text import dedup_lines
+    d = spark.createDataFrame(
+        [(1, "alpha\nshared footer\n\nbeta"),
+         (2, "gamma\nshared footer\ndelta"),
+         (3, "shared footer\nalpha\n")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(d).collect()}
+    # doc 1 keeps everything (first occurrences + structural blank)
+    assert out[1].text == "alpha\nshared footer\n\nbeta"
+    assert out[1].n_removed == 0
+    # doc 2 loses only the footer
+    assert out[2].text == "gamma\ndelta"
+    assert out[2].n_removed == 1
+    # doc 3: 'shared footer' and 'alpha' both removed (doc 1 owns the
+    # first occurrences); the surviving line is its trailing blank
+    assert out[3].text == ""
+    assert out[3].n_lines == 3 and out[3].n_removed == 2
+
+
+def test_dedup_lines_idempotent(spark):
+    from cantera_table_spark.functions.text import dedup_lines
+    d = spark.createDataFrame(
+        [(1, "x\ny\nx"), (2, "y\nz"), (3, "z")],
+        "doc_id long, text string")
+    once = dedup_lines(d)
+    twice = dedup_lines(once.select("doc_id", "text"))
+    r1 = {(r.doc_id, r.text) for r in once.collect()}
+    r2 = {(r.doc_id, r.text) for r in twice.collect()}
+    assert r1 == r2
+    assert twice.agg(F.sum("n_removed")).first()[0] == 0
+
+
+def test_lm_score_prefers_predictable_text(spark):
+    from cantera_table_spark.functions.text import lm_quality_score
+    rows = [(i, "the cat sat on the mat and the cat sat again")
+            for i in range(5)]
+    rows += [(100, "zyx qwv plk mnb vcx asd fgh jkl poi uyt")]
+    rows += [(200, "one")]          # too short for bigrams
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_quality_score(d).collect()}
+    # the repeated in-distribution doc is far more probable than the
+    # one-off junk doc under the corpus LM
+    assert out[0].ppl < out[100].ppl
+    assert out[200].n_bigrams == 0 and out[200].ppl is None
+    assert out[0].n_bigrams == 10
+
+
+def test_pack_sequences_capacity_and_coverage(spark):
+    from cantera_table_spark.functions.packing import (pack_sequences,
+                                                       pack_stats)
+    rows = [(i, " ".join(["tok"] * (7 + (i * 13) % 90)))
+            for i in range(60)]
+    rows.append((1000, " ".join(["tok"] * 500)))   # oversize
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(d, capacity=120, n_shards=4).collect()
+    assert len(packed) == 61                       # every doc assigned
+    fills = {}
+    for r in packed:
+        assert r.shard == r.doc_id % 4
+        fills.setdefault((r.shard, r.bin), []).append(r)
+    for (shard, b), members in fills.items():
+        tot = sum(m.n_tokens for m in members)
+        if len(members) > 1:
+            assert tot <= 120                      # capacity respected
+        else:
+            assert tot <= 120 or members[0].oversize
+    # bins numbered contiguously from 0 per shard
+    for shard in {r.shard for r in packed}:
+        bins = sorted({r.bin for r in packed if r.shard == shard})
+        assert bins == list(range(len(bins)))
+    st = pack_stats(
+        pack_sequences(d, capacity=120, n_shards=4), 120).collect()
+    assert {r.shard for r in st} == {0, 1, 2, 3}
+
+
+def test_quantize_embeddings_error_bound(spark):
+    from cantera_table_spark.functions.similarity import quantize_embeddings
+    rows = [(i, [float(i) / 7.0, -3.0 + i * 0.31, 42.0])  # dim 3 constant
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_embeddings(d).collect()
+    mins = [min(r.embedding[j] for r in out) for j in range(3)]
+    maxs = [max(r.embedding[j] for r in out) for j in range(3)]
+    for r in out:
+        for j in range(3):
+            step = (maxs[j] - mins[j]) / 255.0
+            assert abs(r.embedding_q[j] - r.embedding[j]) <= step + 1e-12
+            assert 0 <= r.qcode[j] <= 255
+    # degenerate dimension reconstructs exactly
+    assert all(r.embedding_q[2] == 42.0 and r.qcode[2] == 0 for r in out)
