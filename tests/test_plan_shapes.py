@@ -295,3 +295,62 @@ def test_stratified_sample_two_phase_prefilters_before_window(spark):
     # join of the per-stratum counts); plan prints top-down
     w_pos = facts.text.index("Window ")
     assert "least(1.0" in facts.text[w_pos:]
+
+
+def test_dedup_lines_uses_aggregation_not_window(spark):
+    """First-occurrence winners must come from a map-side-combinable
+    min(struct) aggregation keyed by the line — a row_number window
+    over the line key would route every copy of a hot boilerplate line
+    through one task.  No Window over the line key; no Python."""
+    from cantera_table_spark.functions.text import dedup_lines
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("line a\nshared\nline b"),
+                 F.col("id").cast("string")).alias("text"))
+    facts = plan_facts(dedup_lines(d))
+    assert "Window" not in facts.text
+    assert not facts.has_python_eval
+    # winners aggregation + reassembly aggregation both partial-final
+    assert "partial_min" in facts.text or "min(" in facts.text
+
+
+def test_lm_score_broadcasts_vocab_and_stays_jvm(spark):
+    """The one-row vocabulary aggregate must broadcast (never a
+    shuffle-side cross join) and the whole score is codegen — no
+    Python eval anywhere."""
+    from cantera_table_spark.functions.text import lm_quality_score
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha beta").alias("text"))
+    facts = plan_facts(lm_quality_score(d))
+    assert facts.n_broadcasts >= 1
+    assert not facts.has_python_eval
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing shuffles once on the shard key into the Arrow scan;
+    token counting happens before the exchange (only doc_id + count
+    move through it), and no second exchange follows."""
+    from cantera_table_spark.functions.packing import pack_sequences
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six").alias("text"))
+    facts = plan_facts(pack_sequences(d, capacity=20, n_shards=4))
+    assert facts.n_shuffles == 1
+    # the exchange carries only the sized projection, not the text
+    post = facts.text.index("Exchange hashpartitioning")
+    assert "text" not in facts.text[post:]
+
+
+def test_quantize_embeddings_broadcasts_stats_row(spark):
+    """The per-dimension stats row joins in via broadcast nested loop;
+    the corpus side must not shuffle at all."""
+    from cantera_table_spark.functions.similarity import (
+        quantize_embeddings)
+    d = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2), F.rand(3)).alias("embedding"))
+    facts = plan_facts(quantize_embeddings(d))
+    assert facts.n_broadcasts >= 1
+    assert "SortMergeJoin" not in facts.text
+    assert not facts.has_python_eval
