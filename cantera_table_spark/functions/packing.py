@@ -86,3 +86,40 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
             .agg(F.count("*").alias("n_bins"),
                  F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6)
                  .alias("mean_fill_frac")))
+
+
+SHUFFLE_SALT = "shuf:"
+
+
+def shuffle_shards(df: DataFrame, n_shards: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global corpus shuffle + round-robin shard
+    assignment — the training-order stage that feeds a dataloader:
+    every epoch-0 consumer must see the same pseudo-random document
+    order, and each output shard must be an unbiased 1/n_shards sample
+    of the corpus.
+
+    Order key = md5 of the salted id (the same portable permutation
+    trick as sampling.sample_hash — identical across runs, engines and
+    partitionings); rank = distributed global row number (range
+    repartition + per-partition numbering + broadcast start offsets —
+    no single-task sort, operators.ordering.global_row_number); shard =
+    (rank - 1) % n_shards, so shards interleave the shuffled order and
+    stay equal-size to within one document.
+
+    Returns (id_col, shuffle_rank, shard).  Downstream a writer
+    would ``.repartition('shard').write.partitionBy('shard')`` — kept
+    out of this operator so the assignment stays a pure, testable
+    function.
+    """
+    h = F.md5(F.concat(F.lit(SHUFFLE_SALT),
+                       F.col(id_col).cast("string"))).alias("__h")
+    from cantera_table_spark.operators.ordering import global_row_number
+    ranked = global_row_number(
+        df.select(F.col(id_col), h),
+        F.col("__h").asc(), F.col(id_col).asc(),
+        col_name="shuffle_rank")
+    return (ranked
+            .select(id_col, "shuffle_rank",
+                    ((F.col("shuffle_rank") - 1) % n_shards)
+                    .alias("shard")))

@@ -2643,3 +2643,22 @@ def sim07_quantized_topk(spark, sf_dir):
     qd = quantize_embeddings(emb)
     return brute_force_topk(qd, qd.filter(F.col("vec_id") < 10), k=5,
                             vec_col="embedding_q")
+
+
+@gate("ds04_shuffle_shards", """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('shuf:' || doc_id::VARCHAR), doc_id
+         ) AS shuffle_rank
+  FROM documents
+)
+SELECT doc_id, shuffle_rank, (shuffle_rank - 1) % 4 AS shard FROM r
+""")
+def ds04_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle for training order: salted-md5
+    permutation, distributed global rank, round-robin shard.  The
+    oracle replays the permutation with a plain window."""
+    from cantera_table_spark.functions.packing import shuffle_shards
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, n_shards=4)

@@ -591,3 +591,21 @@ def test_quantize_embeddings_error_bound(spark):
             assert 0 <= r.qcode[j] <= 255
     # degenerate dimension reconstructs exactly
     assert all(r.embedding_q[2] == 42.0 and r.qcode[2] == 0 for r in out)
+
+
+def test_shuffle_shards_balance_and_partition_invariance(spark):
+    from cantera_table_spark.functions.packing import shuffle_shards
+    d = spark.range(1003).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(d, n_shards=4).collect()
+    assert len(out) == 1003
+    assert sorted({r.shuffle_rank for r in out}) == list(range(1, 1004))
+    sizes = {}
+    for r in out:
+        assert r.shard == (r.shuffle_rank - 1) % 4
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the assignment is a pure function of doc_id: any input
+    # partitioning yields the identical mapping
+    again = {(r.doc_id, r.shuffle_rank, r.shard)
+             for r in shuffle_shards(d.repartition(13), 4).collect()}
+    assert again == {(r.doc_id, r.shuffle_rank, r.shard) for r in out}
