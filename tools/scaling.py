@@ -54,12 +54,14 @@ def main():
     docs = load_table(spark, SF_DIR, "documents")
     lineitem = load_table(spark, SF_DIR, "lineitem")
     events = load_table(spark, SF_DIR, "events")
+    embeddings = load_table(spark, SF_DIR, "embeddings")
 
     # materialize 1x and Nx inputs so scans are comparable parquet reads
     datasets = {}
     for name, df, idc in [("documents", docs, ["doc_id"]),
                           ("lineitem", lineitem, ["l_orderkey"]),
-                          ("events", events, ["event_id", "user_id"])]:
+                          ("events", events, ["event_id", "user_id"]),
+                          ("embeddings", embeddings, ["vec_id"])]:
         df.write.mode("overwrite").parquet(f"{WORK}/{name}_1x")
         (scaled(df, factor, idc).repartition(32)
          .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
@@ -117,6 +119,38 @@ def main():
         for c in caches:
             c.unpersist()
 
+    def line_dedup(d):
+        from cantera_table_spark.functions.text import dedup_lines
+        # give the corpus line structure: 3 lines/doc with a shared
+        # footer, so the winners aggregation sees real duplication
+        lined = d.select("doc_id", F.concat_ws(
+            "\n", F.substring("text", 1, 60), F.lit("shared footer"),
+            F.substring("text", 61, 60)).alias("text"))
+        dedup_lines(lined).write.format("noop").mode("overwrite").save()
+
+    def lm_score(d):
+        from cantera_table_spark.functions.text import lm_quality_score
+        lm_quality_score(d).write.format("noop").mode("overwrite").save()
+
+    def pack(d):
+        from cantera_table_spark.functions.packing import pack_sequences
+        # shard count grows with volume — the operator's parallelism
+        # knob; a fixed shard count would serialize the bigger input
+        n = max(32, d.count() // 2000)
+        pack_sequences(d, capacity=200, n_shards=n).write \
+            .format("noop").mode("overwrite").save()
+
+    def shuffle(d):
+        from cantera_table_spark.functions.packing import shuffle_shards
+        shuffle_shards(d, 64).write.format("noop") \
+            .mode("overwrite").save()
+
+    def quantize(e):
+        from cantera_table_spark.functions.similarity import (
+            quantize_embeddings)
+        quantize_embeddings(e).write.format("noop") \
+            .mode("overwrite").save()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -124,6 +158,11 @@ def main():
         ("ts_rollup", "events", rollup),
         ("asof_join", "events", asof),
         ("correlate", "documents", correlate),
+        ("line_dedup", "documents", line_dedup),
+        ("lm_score", "documents", lm_score),
+        ("pack_sequences", "documents", pack),
+        ("shuffle_shards", "documents", shuffle),
+        ("quantize_embeddings", "embeddings", quantize),
     ]
 
     results = {}
