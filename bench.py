@@ -114,7 +114,18 @@ def main() -> None:
         # possible by monkeypatching _engine (same public surface).
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        return time.monotonic() - t
+        dt = time.monotonic() - t
+        # phase hygiene: CORRELATE and dedup-clustering intentionally
+        # persist intermediates for their own multi-branch plans; left
+        # in place they pile up across phases (at 10x fixture growth
+        # the leaked storage caused GC pressure that inflated every
+        # LATER phase up to ~10x).  Nothing in this bench relies on
+        # cross-phase caching — the catalog is parquet-backed — so
+        # clear between phases; cleanup time is excluded from the
+        # phase's own measurement on purpose.
+        engine.release_caches()
+        spark.catalog.clearCache()
+        return dt
 
     # Route gate DSL queries through the parquet-backed catalog.
     gate._engine = lambda s, d: engine  # noqa: SLF001

@@ -2640,7 +2640,10 @@ def sim07_quantized_topk(spark, sf_dir):
     from cantera_table_spark.functions.similarity import (
         brute_force_topk, quantize_embeddings)
     emb = load_table(spark, sf_dir, "embeddings")
-    qd = quantize_embeddings(emb)
+    # cache: the corpus side and the (broadcast) query side both read
+    # the quantized table — without it the stats aggregate + transform
+    # subtree executes twice
+    qd = quantize_embeddings(emb).cache()
     return brute_force_topk(qd, qd.filter(F.col("vec_id") < 10), k=5,
                             vec_col="embedding_q")
 
