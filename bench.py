@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     # round 3 additions: corpus-wide line dedup, bigram-LM quality
     # scoring, greedy sequence packing, int8-quantized ANN
     "dd10_line_dedup", "tx10_lm_score", "ds03_pack_sequences",
-    "sim07_quantized_topk", "ds04_shuffle_shards",
+    "sim07_quantized_topk", "ds04_shuffle_shards", "dd11_repeated_spans",
 ]
 
 

@@ -19,7 +19,7 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cantera_table_spark.functions.text import tokens
@@ -376,3 +376,73 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                         F.coalesce("n_contaminated_shingles", F.lit(0)))
             .withColumn("contaminated",
                         F.col("n_contaminated_shingles") > 0))
+
+
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 8,
+                   min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-substring detection (the exact-substring
+    dedup signal of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): find every length-``n`` token window that
+    occurs in at least ``min_docs`` distinct documents, merge a
+    document's hit windows into maximal token spans, and report per-doc
+    repetition coverage.  Production pipelines CUT the spans; this
+    operator reports them (cutting is a trivial downstream slice once
+    spans are known, and the statistics drive the keep/cut threshold).
+
+    Returns one row per document with >= n tokens: doc_id, n_tokens,
+    n_windows, n_shared_windows, n_spans, repeated_token_frac.
+
+    Scale shape: windows are one explode (one row per token, same
+    volume as tokenization); the duplicated-window set comes from an
+    explicit TWO-PHASE distinct count — groupBy(window_hash, doc) then
+    groupBy(window_hash) — both map-side combinable, never a
+    count_distinct expand.  The hit join is keyed by the window hash
+    (AQE skew-split handles boilerplate floods; the build side is one
+    row per duplicated hash).  Span merging is a per-document window
+    over hit positions — bounded by document length, never corpus-wide.
+    Windows at positions p < q merge into one span when q - p <= n
+    (token ranges overlap or touch); span token length =
+    last_pos + n - first_pos.
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .filter(F.size("__toks") >= n))
+    wins = (base.select(
+        "doc_id", F.size("__toks").alias("n_tokens"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
+                .alias("wh")))).alias("w"))
+            .select("doc_id", "n_tokens", "w.pos", "w.wh"))
+    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
+           .groupBy("wh").agg(F.count("*").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("wh"))
+    hits = wins.join(dup, "wh")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (hits
+             .withColumn("__new", F.when(
+                 F.col("pos") - F.lag("pos").over(wdoc) <= n, 0)
+                 .otherwise(1))
+             .withColumn("__sid", F.sum("__new").over(wdoc))
+             .groupBy("doc_id", "__sid")
+             .agg(F.count("*").alias("__nwin"),
+                  (F.max("pos") + (n - 1) - F.min("pos") + 1)
+                  .alias("__toklen")))
+    agg = (spans.groupBy("doc_id")
+           .agg(F.count("*").alias("n_spans"),
+                F.sum("__nwin").alias("n_shared_windows"),
+                F.sum("__toklen").alias("__rep_toks")))
+    return (base.select("doc_id", F.size("__toks").alias("n_tokens"),
+                        (F.size("__toks") - (n - 1)).alias("n_windows"))
+            .join(agg, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_windows",
+                    F.coalesce("n_shared_windows", F.lit(0))
+                    .alias("n_shared_windows"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.round(F.coalesce(F.col("__rep_toks"), F.lit(0)) /
+                            F.col("n_tokens"), 6)
+                    .alias("repeated_token_frac")))

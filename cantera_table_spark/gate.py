@@ -2665,3 +2665,63 @@ def ds04_shuffle_shards(spark, sf_dir):
     from cantera_table_spark.functions.packing import shuffle_shards
     d = load_table(spark, sf_dir, "documents")
     return shuffle_shards(d, n_shards=4)
+
+
+@gate("dd11_repeated_spans", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+eligible AS (SELECT doc_id, toks, len(toks) AS n_tokens
+             FROM base WHERE len(toks) >= 3),
+wins AS (
+  SELECT doc_id, n_tokens, u.i AS pos,
+         md5(array_to_string(list_slice(toks, u.i, u.i + 2), ' ')) AS wh
+  FROM eligible, unnest(range(1, n_tokens - 1)) AS u(i)
+),
+dup AS (
+  SELECT wh FROM (SELECT wh, doc_id FROM wins GROUP BY 1, 2) t
+  GROUP BY wh HAVING count(*) >= 2
+),
+hits AS (SELECT w.* FROM wins w JOIN dup USING (wh)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= 3
+              THEN 0 ELSE 1 END AS newspan
+  FROM hits
+),
+sids AS (
+  SELECT doc_id, pos,
+         sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, sid, count(*) AS nwin,
+         max(pos) + 2 - min(pos) + 1 AS toklen
+  FROM sids GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(nwin) AS n_shared_windows,
+         sum(toklen) AS rep_toks
+  FROM spans GROUP BY 1
+)
+SELECT e.doc_id, e.n_tokens, e.n_tokens - 2 AS n_windows,
+       coalesce(a.n_shared_windows, 0) AS n_shared_windows,
+       coalesce(a.n_spans, 0) AS n_spans,
+       round(coalesce(a.rep_toks, 0) / e.n_tokens, 6)
+         AS repeated_token_frac
+FROM eligible e LEFT JOIN agg a USING (doc_id)
+""")
+def dd11_repeated_spans(spark, sf_dir):
+    """Exact-substring repetition across documents (Lee et al. 2021
+    style): 3-token windows shared by >= 2 docs, merged into maximal
+    per-doc spans; per-doc coverage stats.  Two-phase distinct count,
+    hash-keyed hit join, per-doc span windows — the oracle replays the
+    span-merge recurrence with lag/sum windows."""
+    from cantera_table_spark.functions.dedup import repeated_spans
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans(d, n=3, min_docs=2)

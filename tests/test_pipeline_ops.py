@@ -609,3 +609,35 @@ def test_shuffle_shards_balance_and_partition_invariance(spark):
     again = {(r.doc_id, r.shuffle_rank, r.shard)
              for r in shuffle_shards(d.repartition(13), 4).collect()}
     assert again == {(r.doc_id, r.shuffle_rank, r.shard) for r in out}
+
+
+def test_repeated_spans_merge_and_coverage(spark):
+    from cantera_table_spark.functions.dedup import repeated_spans
+    # docs 1 and 2 share two regions: tokens 'a b c' (pos 1) and
+    # 'x y z' separated by unique middles; doc 3 is all-unique
+    d = spark.createDataFrame(
+        [(1, "a b c m1 m2 m3 m4 x y z"),
+         (2, "a b c k1 k2 k3 k4 x y z"),
+         (3, "p q r s t u v w aa bb")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_spans(d, n=3, min_docs=2).collect()}
+    for i in (1, 2):
+        assert out[i].n_tokens == 10 and out[i].n_windows == 8
+        # shared windows: positions 1 and 8 -> two separate spans of 3
+        # tokens each (gap 7 > n)
+        assert out[i].n_spans == 2
+        assert out[i].n_shared_windows == 2
+        assert abs(out[i].repeated_token_frac - 0.6) < 1e-9
+    assert out[3].n_spans == 0 and out[3].repeated_token_frac == 0.0
+    # adjacent/overlapping windows merge into ONE span: docs share a
+    # full 5-token run -> windows at pos 1..3 coalesce
+    d2 = spark.createDataFrame(
+        [(1, "a b c d e zz1 zz2"), (2, "a b c d e qq1 qq2")],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            repeated_spans(d2, n=3, min_docs=2).collect()}
+    for i in (1, 2):
+        assert out2[i].n_spans == 1
+        assert out2[i].n_shared_windows == 3
+        # span covers tokens 1..5 of 7
+        assert abs(out2[i].repeated_token_frac - 5 / 7) < 1e-6
