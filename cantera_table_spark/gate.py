@@ -2725,3 +2725,40 @@ def dd11_repeated_spans(spark, sf_dir):
     from cantera_table_spark.functions.dedup import repeated_spans
     d = load_table(spark, sf_dir, "documents")
     return repeated_spans(d, n=3, min_docs=2)
+
+
+@gate("tx11_length_quantiles", """
+WITH counts AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> ''))::DOUBLE AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 6) AS p99
+FROM counts GROUP BY lang
+""")
+def tx11_length_quantiles(spark, sf_dir):
+    """Per-language token-count distribution quantiles (the numbers a
+    corpus curator sets length-filter thresholds from).  Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the same
+    linear-interpolation definition, so values match to rounding.
+    Exact percentile sorts per group — fine for bounded group counts
+    (languages); at 100 TB switch to approx_percentile and drop the
+    oracle to a tolerance check."""
+    from cantera_table_spark.functions.text import tokens
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select("lang",
+                  F.size(tokens(F.col("text"))).cast("double")
+                  .alias("n_tokens"))
+    return (nt.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.percentile("n_tokens", F.lit(0.5)), 6)
+                 .alias("p50"),
+                 F.round(F.percentile("n_tokens", F.lit(0.9)), 6)
+                 .alias("p90"),
+                 F.round(F.percentile("n_tokens", F.lit(0.99)), 6)
+                 .alias("p99")))
