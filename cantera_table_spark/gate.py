@@ -2762,3 +2762,68 @@ def tx11_length_quantiles(spark, sf_dir):
                  .alias("p90"),
                  F.round(F.percentile("n_tokens", F.lit(0.99)), 6)
                  .alias("p99")))
+
+
+@gate("st04_stream_sessionize", """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+),
+sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 3) AS total_value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY min(ts) DESC) AS rk
+  FROM sid GROUP BY user_id, s
+),
+mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sess, mx
+WHERE rk > 1
+   OR (epoch_us(session_end) // 1000 + 1800 * 1000)
+      < (mx_us // 1000 - 3600 * 1000)
+""")
+def st04_stream_sessionize(spark, sf_dir):
+    """The custom stateful streaming operator end-to-end: events stream
+    in from a file drop, applyInPandasWithState folds them into
+    gap-1800s sessions, the availableNow parquet sink commits emitted
+    sessions.  One source file -> one micro-batch, so the emitted set
+    is deterministic: every gap-closed session, PLUS the open sessions
+    the availableNow wrap-up batch flushes by event-time timeout —
+    Spark fires a timeout when the final watermark (max event time -
+    1 h) strictly passes the session's timeout timestamp (end + gap,
+    millisecond precision).  Only users active within the trailing
+    watermark+gap horizon stay open/unemitted.  The oracle replays the
+    gap-merge AND the timeout rule."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import start_parquet_sink
+    from cantera_table_spark.streaming.sessionize import sessionize_stream
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(F.concat_ws(
+        "\t", F.col("user_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("value").cast("string")).alias("value"))
+    base = _gate_tmp(sf_dir, "st04")
+    shutil.rmtree(base, ignore_errors=True)
+    lines.coalesce(1).write.mode("overwrite").text(f"{base}/src")
+    raw = (spark.readStream.option("sep", "\t").option("quote", "")
+           .schema("user_id long, ts_us long, value double")
+           .csv(f"{base}/src"))
+    stream = (raw.select("user_id",
+                         F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                         "value"))
+    sess = sessionize_stream(stream, gap_seconds=1800)
+    q = start_parquet_sink(sess, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/sink")
+            .select("user_id", "session_start", "session_end", "n_events",
+                    F.round("total_value", 3).alias("total_value")))
