@@ -348,3 +348,34 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (global_row_number(agg, F.col("term_freq").desc(),
                               F.col("tok").asc(), col_name="rank",
                               stable=True))
+
+
+def bpe_pair_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The core aggregation of byte-pair-encoding tokenizer training:
+    corpus-weighted adjacent-symbol pair frequencies at the character
+    level.  One training round picks the argmax pair and merges it;
+    this operator produces the ranked pair table that drives the pick
+    (run it per round; the merge itself is a regex rewrite of the
+    word-frequency table, which is vocabulary-sized, not corpus-sized).
+
+    Scale shape: the corpus collapses to the word-frequency table
+    FIRST (one map-side-combinable groupBy over tokenized words — the
+    classic BPE trick: all later work is O(vocabulary), not O(corpus));
+    pair explosion and the weighted pair count then run over distinct
+    words only.  Everything is JVM column expressions.
+
+    Returns (pair, pair_count) — weight = total corpus occurrences.
+    """
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    chars = F.split(F.col("w"), "")
+    pairs = (words
+             .filter(F.length("w") >= 2)
+             .select("freq",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.length("w") - 1),
+                         lambda i: F.concat(F.get(chars, i - 1),
+                                            F.get(chars, i))))
+                     .alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count")))

@@ -2827,3 +2827,30 @@ def st04_stream_sessionize(spark, sf_dir):
     return (spark.read.parquet(f"{base}/sink")
             .select("user_id", "session_start", "session_end", "n_events",
                     F.round("total_value", 3).alias("total_value")))
+
+
+@gate("tx12_bpe_pairs", """
+WITH words AS (
+  SELECT t.tok AS w, count(*) AS freq
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT freq, substr(w, u.i, 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, sum(freq) AS pair_count FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair LIMIT 30
+""")
+def tx12_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training pair statistics: corpus-weighted adjacent
+    character-pair counts over the word-frequency table (O(vocabulary)
+    after the first collapse), top-30 merge candidates."""
+    from cantera_table_spark.functions.text import bpe_pair_stats
+    d = load_table(spark, sf_dir, "documents")
+    return (bpe_pair_stats(d)
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(30))
