@@ -641,3 +641,16 @@ def test_repeated_spans_merge_and_coverage(spark):
         assert out2[i].n_shared_windows == 3
         # span covers tokens 1..5 of 7
         assert abs(out2[i].repeated_token_frac - 5 / 7) < 1e-6
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    from cantera_table_spark.functions.text import bpe_pair_stats
+    # word freqs: abab x2 docs + ab x1 -> 'ab': abab has pairs
+    # ab,ba,ab (2+1 weighted) ... hand-check:
+    #   doc1 "abab ab", doc2 "abab" -> words: abab freq 2, ab freq 1
+    #   abab pairs: ab, ba, ab ; ab pairs: ab
+    #   'ab' = 2*2 + 1*1 = 5 ; 'ba' = 2*1 = 2
+    d = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab")], "doc_id long, text string")
+    out = {r.pair: r.pair_count for r in bpe_pair_stats(d).collect()}
+    assert out == {"ab": 5, "ba": 2}
