@@ -446,3 +446,25 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
                     F.round(F.coalesce(F.col("__rep_toks"), F.lit(0)) /
                             F.col("n_tokens"), 6)
                     .alias("repeated_token_frac")))
+
+
+def apply_dedup(df: DataFrame, clusters: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Materialize a dedup decision: keep each cluster's canonical
+    document, dropping the rest, and report how many duplicates each
+    survivor absorbed.  ``clusters`` is duplicate_clusters' output
+    (doc_id, canonical_id).
+
+    One broadcast-able aggregation of the cluster map (rows = corpus,
+    but two-long columns; at 100 TB this is the id-join shape, the
+    text never moves until the final survivor join).
+    """
+    absorbed = (clusters.groupBy("canonical_id")
+                .agg((F.count("*") - 1).alias("n_duplicates_removed")))
+    survivors = (clusters
+                 .filter(F.col(id_col) == F.col("canonical_id"))
+                 .select(id_col))
+    return (df.join(survivors, id_col)
+            .join(absorbed,
+                  df[id_col] == absorbed["canonical_id"])
+            .drop("canonical_id"))

@@ -123,3 +123,27 @@ def shuffle_shards(df: DataFrame, n_shards: int,
             .select(id_col, "shuffle_rank",
                     ((F.col("shuffle_rank") - 1) % n_shards)
                     .alias("shard")))
+
+
+def assemble_packed_text(docs: DataFrame, packed: DataFrame,
+                         sep: str = "\n\n", text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Materialize training sequences from a packing assignment: per
+    (shard, bin), the member documents' text concatenated in doc_id
+    order with ``sep`` between documents (the EOS-separator slot).
+
+    The text column only moves in the final assembly shuffle, keyed by
+    (shard, bin) — bounded by capacity per group.  Returns
+    (shard, bin, n_docs, n_tokens, text).
+    """
+    joined = (packed.select(id_col, "shard", "bin", "n_tokens")
+              .join(docs.select(id_col, text_col), id_col))
+    return (joined.groupBy("shard", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(id_col, text_col))),
+                         lambda s: s[text_col]),
+                     sep).alias("text")))

@@ -1543,7 +1543,8 @@ def corr02_event_prediction(spark, sf_dir):
     return correlate_sets(filtered, set_a, set_b)
 
 
-@gate("dd06_dedup_clusters", ORACLE_SHINGLES + """
+# Shared LSH -> verify -> connected-components oracle body (dd06, dd12)
+ORACLE_CC = """
 , sigs AS (
   SELECT doc_id, i AS h_idx,
          min(((2 * i + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
@@ -1588,6 +1589,10 @@ cc AS (
   )
   SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1
 )
+"""
+
+
+@gate("dd06_dedup_clusters", ORACLE_SHINGLES + ORACLE_CC + """
 SELECT doc_id, canonical_id FROM cc
 """)
 def dd06_dedup_clusters(spark, sf_dir):
@@ -2854,3 +2859,66 @@ def tx12_bpe_pairs(spark, sf_dir):
     return (bpe_pair_stats(d)
             .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
             .limit(30))
+
+
+@gate("dd12_dedup_apply", ORACLE_SHINGLES + ORACLE_CC + """
+, absorbed AS (
+  SELECT canonical_id, count(*) - 1 AS n_duplicates_removed
+  FROM cc GROUP BY 1
+)
+SELECT d.doc_id, d.text, a.n_duplicates_removed
+FROM documents d
+JOIN cc c ON c.doc_id = d.doc_id AND c.canonical_id = d.doc_id
+JOIN absorbed a ON a.canonical_id = d.doc_id
+""")
+def dd12_dedup_apply(spark, sf_dir):
+    """The dedup DECISION applied: run the full LSH -> verify ->
+    cluster pipeline, keep only canonical documents, count absorbed
+    duplicates per survivor — the end-to-end near-dedup a corpus
+    curator actually ships."""
+    from cantera_table_spark.functions.dedup import (
+        apply_dedup, duplicate_clusters, jaccard_pairs,
+        lsh_candidate_pairs, minhash_signatures, shingles)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
+                                bands=4, k=16)
+    pairs = jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+    clusters = duplicate_clusters(d.select("doc_id"), pairs)
+    return apply_dedup(d, clusters)
+
+
+@gate("ds05_packed_text", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, doc_id % 4 AS shard,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, text, n_tokens, n_tokens AS fill,
+         0::BIGINT AS bin
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.text, b.n_tokens,
+         CASE WHEN p.fill + b.n_tokens <= 200
+              THEN p.fill + b.n_tokens ELSE b.n_tokens END,
+         CASE WHEN p.fill + b.n_tokens <= 200
+              THEN p.bin ELSE p.bin + 1 END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+FROM pack GROUP BY 1, 2
+""")
+def ds05_packed_text(spark, sf_dir):
+    """Training sequences materialized from the packing assignment:
+    per (shard, bin), member text concatenated in doc_id order with a
+    blank-line separator."""
+    from cantera_table_spark.functions.packing import (
+        assemble_packed_text, pack_sequences)
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, capacity=200, n_shards=4)
+    return assemble_packed_text(d, packed)
