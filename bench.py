@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # scoring, greedy sequence packing, int8-quantized ANN
     "dd10_line_dedup", "tx10_lm_score", "ds03_pack_sequences",
     "sim07_quantized_topk", "ds04_shuffle_shards", "dd11_repeated_spans",
+    "tx11_length_quantiles", "tx12_bpe_pairs", "ds05_packed_text",
+    # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
+    # at all SFs but excluded here to keep the heaviest phase single
 ]
 
 
