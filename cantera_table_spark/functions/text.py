@@ -379,3 +379,39 @@ def bpe_pair_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                      .alias("pair")))
     return (pairs.groupBy("pair")
             .agg(F.sum("freq").alias("pair_count")))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 256,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding/RAG-side complement of sequence packing (long documents
+    become multiple fixed-budget chunks; stride = chunk - overlap).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ... while start <=
+    n_tokens (so every token lands in at least one chunk; a final
+    short tail chunk is kept).  Output: (id_col, chunk_id, chunk_start,
+    n_chunk_tokens, chunk_text) with chunk_id 0-based in order.
+
+    One explode, no shuffle at all — chunking is per-row work inside
+    whole-stage codegen; downstream embedding feeds from this directly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+            .filter(F.size("__toks") > 0))
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    return (base.select(
+        id_col,
+        F.posexplode(F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("start"),
+                F.slice(F.col("__toks"), s, chunk_tokens).alias("c"))))
+        .alias("chunk_id", "w"))
+        .select(id_col, "chunk_id",
+                F.col("w.start").alias("chunk_start"),
+                F.size("w.c").alias("n_chunk_tokens"),
+                F.array_join("w.c", " ").alias("chunk_text")))

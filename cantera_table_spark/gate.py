@@ -2922,3 +2922,28 @@ def ds05_packed_text(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     packed = pack_sequences(d, capacity=200, n_shards=4)
     return assemble_packed_text(d, packed)
+
+
+@gate("tx13_chunking", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+eligible AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0)
+SELECT doc_id, u.i AS chunk_id, (1 + u.i * 24) AS chunk_start,
+       len(list_slice(toks, 1 + u.i * 24, least(1 + u.i * 24 + 31, n)))
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, 1 + u.i * 24,
+                                  least(1 + u.i * 24 + 31, n)), ' ')
+         AS chunk_text
+FROM eligible, unnest(range(0, (n + 23) // 24)) AS u(i)
+WHERE 1 + u.i * 24 <= n
+""")
+def tx13_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (chunk=32, overlap=8, stride
+    24) — the embedding-side splitter.  Zero-shuffle, pure codegen."""
+    from cantera_table_spark.functions.text import chunk_documents
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)

@@ -654,3 +654,30 @@ def test_bpe_pair_stats_hand_computed(spark):
         [(1, "abab ab"), (2, "abab")], "doc_id long, text string")
     out = {r.pair: r.pair_count for r in bpe_pair_stats(d).collect()}
     assert out == {"ab": 5, "ba": 2}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from cantera_table_spark.functions.text import chunk_documents
+    import pytest as _pytest
+    # letter-only tokens: the canonical tokenizer drops digits
+    words = ["ta", "tb", "tc", "td", "te", "tf", "tg", "th", "ti", "tj"]
+    d = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo")],
+        "doc_id long, text string")
+    out = [r for r in chunk_documents(d, chunk_tokens=4, overlap=1)
+           .orderBy("doc_id", "chunk_id").collect()]
+    one = [r for r in out if r.doc_id == 1]
+    # stride 3: starts 1,4,7,10 -> sizes 4,4,4,1
+    assert [r.chunk_start for r in one] == [1, 4, 7, 10]
+    assert [r.n_chunk_tokens for r in one] == [4, 4, 4, 1]
+    assert one[0].chunk_text == "ta tb tc td"
+    assert one[1].chunk_text == "td te tf tg"     # 1-token overlap
+    assert one[3].chunk_text == "tj"              # tail kept
+    # every token covered at least once
+    covered = set()
+    for r in one:
+        covered.update(r.chunk_text.split())
+    assert covered == set(words)
+    assert [r.chunk_text for r in out if r.doc_id == 2] == ["solo"]
+    with _pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
