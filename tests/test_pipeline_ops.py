@@ -681,3 +681,33 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert [r.chunk_text for r in out if r.doc_id == 2] == ["solo"]
     with _pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_bm25_idf_and_length_normalization(spark):
+    from cantera_table_spark.functions.retrieval import bm25_scores
+    # rare term in doc 1; common term in every doc; doc 3 is long
+    p = spark.createDataFrame(
+        [("rare", 1, 2.0), ("common", 1, 2.0), ("common", 2, 2.0),
+         ("common", 3, 2.0), ("filler", 3, 20.0)],
+        "keyword string, doc_id long, score double")
+    out = {(r.keyword, r.doc_id): r.bm25 for r in bm25_scores(p).collect()}
+    # same tf: the rare term outweighs the common one
+    assert out[("rare", 1)] > out[("common", 1)]
+    # same term, same tf: the longer doc scores lower
+    assert out[("common", 3)] < out[("common", 1)]
+    assert all(v > 0 for v in out.values())
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from cantera_table_spark.functions.retrieval import rrf_fuse
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}, k=60).collect()}
+    assert out[20].n_lists == 2
+    assert abs(out[20].rrf - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[10].rrf - round(1 / 61, 6)) < 1e-9
+    # doc in both lists outranks single-list docs here
+    assert out[20].fused_rank == 1
+    # deterministic tie-break: 10 and 30 tie on 1/61 vs 1/62 -> no tie;
+    # ranks are unique and contiguous
+    assert sorted(r.fused_rank for r in out.values()) == [1, 2, 3]
