@@ -191,9 +191,11 @@ class Engine:
         finally:
             if mode == "exact":
                 result.unpersist()
-        if mode != "exact" and stmt.offset > 0 and not rows:
+        if mode != "exact" and not rows:
             # approx/none learn "offset beyond the result" from the
-            # empty page itself; same bare-[] form as exact
+            # empty page itself (an empty offset-0 page means the
+            # result set is empty, i.e. offset >= total); same bare-[]
+            # form as exact (query.cc:796-799)
             return []
         if mode == "approx":
             # reconcile the sample estimate with what the page proved:

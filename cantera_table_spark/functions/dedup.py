@@ -151,20 +151,22 @@ def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],
         return pair_select(banded.alias("a"), banded.alias("b")) \
             .dropDuplicates(["doc_a", "doc_b"])
     from pyspark.sql import Window
+    # count AND hub in one window pass so every branch below derives
+    # from the same exchange (a separate hubs groupBy + join would
+    # re-run the candidate-generation pipeline per star side)
     w = Window.partitionBy(*bucket_cols)
-    sized = banded.withColumn("__n", F.count("*").over(w))
-    small = sized.filter(F.col("__n") <= max_bucket).drop("__n")
-    big = sized.filter(F.col("__n") > max_bucket).drop("__n")
+    sized = (banded.withColumn("__n", F.count("*").over(w))
+             .withColumn("__hub", F.min(id_col).over(w)))
+    small = sized.filter(F.col("__n") <= max_bucket) \
+        .drop("__n", "__hub")
     quad = pair_select(small.alias("a"), small.alias("b"))
-    hubs = (big.groupBy(*bucket_cols)
-            .agg(F.min(id_col).alias("__hub")))
     star = pair_select(
-        big.join(hubs, bucket_cols)
-           .filter(F.col(id_col) == F.col("__hub")).drop("__hub")
-           .alias("a"),
-        big.join(hubs, bucket_cols)
-           .filter(F.col(id_col) != F.col("__hub")).drop("__hub")
-           .alias("b"))
+        sized.filter((F.col("__n") > max_bucket) &
+                     (F.col(id_col) == F.col("__hub")))
+             .drop("__n", "__hub").alias("a"),
+        sized.filter((F.col("__n") > max_bucket) &
+                     (F.col(id_col) != F.col("__hub")))
+             .drop("__n", "__hub").alias("b"))
     return quad.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
@@ -203,7 +205,8 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
                      .unionByName(candidates.select(
                          F.col("doc_b").alias("doc_id")))
                      .distinct())
-        pair_sh = sh.join(cand_docs, "doc_id", "left_semi")
+        # compose with (not replace) the stop-shingle filter above
+        pair_sh = pair_sh.join(cand_docs, "doc_id", "left_semi")
     a = pair_sh.alias("a")
     b = pair_sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
@@ -264,7 +267,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 
 
 def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
-                       max_iters: int = 20) -> DataFrame:
+                       max_iters: int = 20,
+                       caches: list | None = None) -> DataFrame:
     """Connected components over verified duplicate pairs: every doc
     gets the minimum doc_id reachable through the pair graph as its
     ``canonical_id`` (singletons map to themselves).
@@ -280,9 +284,14 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     Non-convergence within ``max_iters`` (a component with diameter >
     max_iters) raises instead of silently returning partial labels.
     The subgraph labels backing the returned DataFrame are
-    Spark-cached; callers in long-lived sessions should
-    ``unpersist()`` the result after materializing.
+    Spark-cached, and the returned frame is an (uncached) join over
+    them — unpersisting the RESULT would free nothing.  Pass ``caches``
+    (a list) to receive the cached label frame so a long-lived session
+    can ``unpersist()`` it after consuming the result (the same
+    contract as operators.correlate.correlate_sets).
     """
+    if caches is None:
+        caches = []
     # Cache the symmetrized edge list: its lineage is the whole
     # candidate-generation + verification pipeline (LSH -> jaccard),
     # and every propagation round joins it — without the cache each
@@ -337,6 +346,7 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
             # cached result, so labels is fully materialized and the
             # edge cache can go
             edges.unpersist()
+            caches.append(prev_cached)
             # map every corpus doc: subgraph label if present, else
             # itself — the ONLY corpus-sized operation in the routine
             return (ids.select("doc_id")

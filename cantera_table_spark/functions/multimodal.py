@@ -25,6 +25,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -437,10 +438,12 @@ def decode_gif(data: bytes) -> dict:
             pos += 1 + ln
         pos += 1
         idx = _lzw_decode(bytes(lzw), min_code, w * h)
-        rgb = bytearray()
-        for i in idx:
-            rgb += pal[3 * i:3 * i + 3]
-        frames.append(bytes(rgb))
+        # one vectorized palette gather per frame — a per-pixel Python
+        # loop here dominated whole-batch decode cost at real frame
+        # sizes; out-of-range indices (corrupt stream) raise IndexError,
+        # which the Arrow-batch quarantine treats as undecodable
+        pal_rgb = np.frombuffer(bytes(pal), np.uint8).reshape(-1, 3)
+        frames.append(pal_rgb[np.frombuffer(idx, np.uint8)].tobytes())
     if not frames:
         raise ValueError("GIF contains no image blocks")
     return {"width": width, "height": height,

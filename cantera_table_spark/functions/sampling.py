@@ -78,9 +78,13 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     spark = df.sparkSession
     qdf = None
     if quotas is not None:
+        from pyspark.sql import types as T
+        # schema follows the input's strata type (language strings,
+        # int quality buckets, ...) instead of assuming string
         qdf = spark.createDataFrame(
             [(k, int(v)) for k, v in quotas.items()],
-            f"{strata_col} string, __q int")
+            T.StructType([df.schema[strata_col],
+                          T.StructField("__q", T.IntegerType())]))
         # semi-effect: strata without a quota drop out here
         pre = pre.join(F.broadcast(qdf), strata_col)
     if oversample is not None:

@@ -109,7 +109,8 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp)
 
 
-def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, table A1):
     per document, the duplicate-token fraction and the fraction of all
     n-grams claimed by the single most frequent n-gram (n = 2, 3).
@@ -129,13 +130,13 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     top_trigram_frac (0.0 for documents too short to form the gram).
     """
     toks = tokens(F.col(text_col))
-    base = df.select("doc_id", toks.alias("__toks"))
+    base = df.select(id_col, toks.alias("__toks"))
 
     def grams(k: int) -> DataFrame:
         # sequence(1, 0) counts DOWN, so guard short docs like
         # dedup.shingles does
         return (base.filter(F.size("__toks") >= k)
-                .select("doc_id", F.lit(k).alias("k"),
+                .select(id_col, F.lit(k).alias("k"),
                         F.explode(F.transform(
                             F.sequence(F.lit(1),
                                        F.size("__toks") - (k - 1)),
@@ -144,9 +145,9 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                         .alias("gram")))
 
     counts = (grams(1).unionByName(grams(2)).unionByName(grams(3))
-              .groupBy("doc_id", "k", "gram").count())
+              .groupBy(id_col, "k", "gram").count())
     k = F.col("k")
-    agg = (counts.groupBy("doc_id").agg(
+    agg = (counts.groupBy(id_col).agg(
         F.sum(F.when(k == 1, F.col("count"))).alias("tot1"),
         F.count(F.when(k == 1, True)).alias("dist1"),
         F.sum(F.when(k == 2, F.col("count"))).alias("tot2"),
@@ -155,7 +156,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.max(F.when(k == 3, F.col("count"))).alias("mx3")))
     frac = lambda num, den: F.round(  # noqa: E731
         F.coalesce(num / F.col(den), F.lit(0.0)), 6)
-    return (df.join(agg, "doc_id", "left")
+    return (df.join(agg, id_col, "left")
             .withColumn("dup_token_frac",
                         frac(F.col("tot1") - F.col("dist1"), "tot1"))
             .withColumn("top_bigram_frac", frac(F.col("mx2"), "tot2"))

@@ -291,12 +291,15 @@ def test_lsh_hot_bucket_bound(spark):
     assert len(pairs) <= 4 * n_dup
     assert all(p.doc_a == 0 for p in pairs)   # hub = min doc_id
 
+    held = []
     clusters = duplicate_clusters(
-        docs.select("doc_id"), bounded)
+        docs.select("doc_id"), bounded, caches=held)
     labels = {r.doc_id: r.canonical_id for r in clusters.collect()}
     assert all(labels[i] == 0 for i in range(n_dup))
     assert labels[1000] == 1000 and labels[1001] == 1001
-    clusters.unpersist()
+    assert held and all(c.is_cached for c in held)
+    for c in held:
+        c.unpersist()
 
     # embedding variant: identical vectors flood one bucket the same way
     from cantera_table_spark.functions.similarity import lsh_near_dup_pairs
