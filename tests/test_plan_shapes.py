@@ -354,3 +354,32 @@ def test_quantize_embeddings_broadcasts_stats_row(spark):
     assert facts.n_broadcasts >= 1
     assert "SortMergeJoin" not in facts.text
     assert not facts.has_python_eval
+
+
+def test_bm25_broadcasts_corpus_stats_and_stays_jvm(spark):
+    """BM25's N/avgdl row must broadcast; df/dl joins hit
+    pre-aggregated tables; no Python anywhere."""
+    from cantera_table_spark.functions.retrieval import bm25_scores
+    p = spark.range(2000).select(
+        F.concat(F.lit("kw"), (F.col("id") % 40).cast("string"))
+        .alias("keyword"),
+        (F.col("id") % 300).alias("doc_id"),
+        ((F.col("id") % 5) + 1).cast("double").alias("score"))
+    facts = plan_facts(bm25_scores(p))
+    assert facts.n_broadcasts >= 1
+    assert not facts.has_python_eval
+
+
+def test_rrf_fuse_is_one_aggregation(spark):
+    """The fuse is a single map-side-combinable aggregation over the
+    unioned candidate lists — no joins between the lists."""
+    from cantera_table_spark.functions.retrieval import rrf_fuse
+    a = spark.range(100).select(F.col("id").alias("doc_id"),
+                                (F.col("id") + 1).cast("int")
+                                .alias("rank"))
+    b = spark.range(50).select(F.col("id").alias("doc_id"),
+                               (F.col("id") + 1).cast("int")
+                               .alias("rank"))
+    facts = plan_facts(rrf_fuse({"a": a, "b": b}))
+    assert "Join" not in facts.text
+    assert not facts.has_python_eval
