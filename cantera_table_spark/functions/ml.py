@@ -1,0 +1,65 @@
+"""In-engine model training: distributed full-batch logistic
+regression — the trainable quality-classifier stage of a curation
+pipeline (fastText-style filters reduce to exactly this shape: a
+linear model over cheap per-doc features, trained on weak labels).
+
+Full-batch gradient descent distributes as ONE map-side-combinable
+aggregation per step (the gradient is a d+1-vector of sums over the
+corpus); the weight vector is driver-side scalars, like ivf_train's
+centroids — bounded, never O(data).  With deterministic features the
+whole training run is replayable in SQL (the gate unrolls the steps
+as chained CTEs), which pins the exact semantics most ML pipelines
+never test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sigmoid(z: Column) -> Column:
+    # written exactly as the oracle spells it: 1 / (1 + exp(-z))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train_score(df: DataFrame, feature_cols: list[str],
+                       label_col: str, steps: int = 3, lr: float = 1.0,
+                       out_col: str = "p") -> tuple[DataFrame, list[float]]:
+    """Train logistic regression (bias + one weight per feature,
+    initialized 0) with ``steps`` full-batch gradient steps at rate
+    ``lr``, then score every row.
+
+      z      = w0 + w1*x1 + ... + wd*xd
+      grad_j = sum((sigmoid(z) - y) * x_j) / N      (x_0 = 1)
+      w_j   -= lr * grad_j
+
+    Returns (df + ``out_col`` = round(sigmoid(z_final), 4), weights).
+
+    Each step is one aggregation job collecting d+1 doubles to the
+    driver; the scoring pass is pure column arithmetic.  Feature
+    columns should be deterministic and identically-rounded on both
+    engines for oracle parity (e.g. the rounded with_text_stats
+    ratios); the only cross-engine divergence is then double-sum
+    order, absorbed by the output rounding.
+    """
+    y = F.col(label_col).cast("double")
+    w = [0.0] * (len(feature_cols) + 1)
+
+    def z_expr(weights: list[float]) -> Column:
+        z = F.lit(weights[0])
+        for wj, c in zip(weights[1:], feature_cols):
+            z = z + F.lit(wj) * F.col(c)
+        return z
+
+    n = F.count(F.lit(1))
+    for _ in range(steps):
+        e = _sigmoid(z_expr(w)) - y
+        aggs = [(F.sum(e) / n).alias("g0")]
+        aggs += [(F.sum(e * F.col(c)) / n).alias(f"g{j + 1}")
+                 for j, c in enumerate(feature_cols)]
+        g = df.agg(*aggs).first()
+        w = [wj - lr * float(g[f"g{j}"]) for j, wj in enumerate(w)]
+
+    scored = df.withColumn(out_col, F.round(_sigmoid(z_expr(w)), 4))
+    return scored, w

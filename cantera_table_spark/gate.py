@@ -3027,3 +3027,78 @@ def ir02_rrf_hybrid(spark, sf_dir):
     vec = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=100)
            .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"kw": kw, "vec": vec}, k=60)
+
+
+@gate("ml01_logreg_quality", """
+WITH arrs AS (
+  SELECT doc_id, text, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 4) AS x1,
+    round(len(list_filter(toks, t -> list_contains(
+          ['the', 'a', 'of', 'and', 'to'], t)))
+          / greatest(len(toks), 1), 4) AS x2,
+    len(toks) / 100.0 AS x3,
+    (lang = 'en')::INT AS y
+  FROM arrs
+),
+w1 AS (
+  SELECT -(sum((1/(1+exp(-(0.0))) - y))/count(*)) AS b,
+         -(sum((1/(1+exp(-(0.0))) - y)*x1)/count(*)) AS a1,
+         -(sum((1/(1+exp(-(0.0))) - y)*x2)/count(*)) AS a2,
+         -(sum((1/(1+exp(-(0.0))) - y)*x3)/count(*)) AS a3
+  FROM feats
+),
+w2 AS (
+  SELECT
+    w1.b  - sum((1/(1+exp(-(w1.b + w1.a1*x1 + w1.a2*x2 + w1.a3*x3)))
+                 - y))/count(*) AS b,
+    w1.a1 - sum((1/(1+exp(-(w1.b + w1.a1*x1 + w1.a2*x2 + w1.a3*x3)))
+                 - y)*x1)/count(*) AS a1,
+    w1.a2 - sum((1/(1+exp(-(w1.b + w1.a1*x1 + w1.a2*x2 + w1.a3*x3)))
+                 - y)*x2)/count(*) AS a2,
+    w1.a3 - sum((1/(1+exp(-(w1.b + w1.a1*x1 + w1.a2*x2 + w1.a3*x3)))
+                 - y)*x3)/count(*) AS a3
+  FROM feats, w1 GROUP BY w1.b, w1.a1, w1.a2, w1.a3
+),
+w3 AS (
+  SELECT
+    w2.b  - sum((1/(1+exp(-(w2.b + w2.a1*x1 + w2.a2*x2 + w2.a3*x3)))
+                 - y))/count(*) AS b,
+    w2.a1 - sum((1/(1+exp(-(w2.b + w2.a1*x1 + w2.a2*x2 + w2.a3*x3)))
+                 - y)*x1)/count(*) AS a1,
+    w2.a2 - sum((1/(1+exp(-(w2.b + w2.a1*x1 + w2.a2*x2 + w2.a3*x3)))
+                 - y)*x2)/count(*) AS a2,
+    w2.a3 - sum((1/(1+exp(-(w2.b + w2.a1*x1 + w2.a2*x2 + w2.a3*x3)))
+                 - y)*x3)/count(*) AS a3
+  FROM feats, w2 GROUP BY w2.b, w2.a1, w2.a2, w2.a3
+)
+SELECT f.doc_id, f.y,
+       round(1/(1+exp(-(w3.b + w3.a1*f.x1 + w3.a2*f.x2 + w3.a3*f.x3))), 4)
+         AS p_en
+FROM feats f, w3
+""")
+def ml01_logreg_quality(spark, sf_dir):
+    """Trainable quality classifier: 3 full-batch gradient steps of
+    logistic regression (bias + alpha_ratio + stopword_ratio +
+    n_tokens/100) against the weak label lang == 'en', then score the
+    corpus.  The oracle unrolls the identical training recurrence as
+    chained CTEs; features are identically rounded on both engines, so
+    the only divergence is double-sum order, absorbed by the output
+    rounding."""
+    from cantera_table_spark.functions.ml import logreg_train_score
+    from cantera_table_spark.functions.text import with_text_stats
+    d = load_table(spark, sf_dir, "documents")
+    st = (with_text_stats(d)
+          .select("doc_id", "alpha_ratio", "stopword_ratio",
+                  (F.col("n_tokens") / F.lit(100.0)).alias("len_f"),
+                  (F.col("lang") == "en").cast("int").alias("y")))
+    scored, _w = logreg_train_score(
+        st, ["alpha_ratio", "stopword_ratio", "len_f"], "y",
+        steps=3, lr=1.0, out_col="p_en")
+    return scored.select("doc_id", "y", "p_en")

@@ -714,3 +714,21 @@ def test_rrf_fuse_hand_computed(spark):
     # deterministic tie-break: 10 and 30 tie on 1/61 vs 1/62 -> no tie;
     # ranks are unique and contiguous
     assert sorted(r.fused_rank for r in out.values()) == [1, 2, 3]
+
+
+def test_logreg_learns_separable_labels(spark):
+    from cantera_table_spark.functions.ml import logreg_train_score
+    # y perfectly correlates with x1; x2 is noise
+    rows = [(i, 1.0 if i % 2 else 0.0, float((i * 7) % 5) / 5.0,
+             1 if i % 2 else 0) for i in range(200)]
+    d = spark.createDataFrame(rows, "id long, x1 double, x2 double, y int")
+    scored, w = logreg_train_score(d, ["x1", "x2"], "y",
+                                   steps=10, lr=2.0)
+    out = {r.id: r.p for r in scored.collect()}
+    pos = [out[i] for i in range(200) if i % 2]
+    neg = [out[i] for i in range(200) if not i % 2]
+    assert min(pos) > max(neg)          # classes fully separated
+    assert w[1] > 0                     # x1 carries positive weight
+    assert abs(w[2]) < w[1]             # noise feature stays small
+    # probability bounds
+    assert all(0.0 <= p <= 1.0 for p in out.values())
