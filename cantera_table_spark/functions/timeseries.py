@@ -72,3 +72,70 @@ def asof_prior(events: DataFrame, anchor_filter,
     p_ts = F.min(F.when(anchor_filter, F.col(ts_col))).over(w)
     return (events.withColumn("p_ts", p_ts)
             .filter(F.col(ts_col) < F.col("p_ts")))
+
+
+def funnel(events: DataFrame, stages: list[str],
+           key_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel analysis: for each key, how far through the
+    ``stages`` sequence it progressed, where stage k counts only if it
+    happened strictly AFTER the key's qualifying stage k-1 time.
+    Semantics: t_0 = min ts of stage 0; t_k = min ts of stage-k events
+    with ts > t_{k-1}; depth = largest k+1 with t_k defined.  Keys
+    that never reach stage 0 are omitted (depth would be 0).
+
+    Plan shape: one aggregation + one join per stage, ALL keyed by the
+    funnel key — the per-stage frames co-partition on the same hash,
+    so no stage reshuffles the events more than once and the join
+    build sides are the (small) per-key stage tables.  Stage count is
+    a query constant, not a data quantity.
+
+    Returns (key_col, funnel_depth, stage_<k>_ts ...).
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    # stage k's qualifying time depends on the key's AGGREGATED stage
+    # k-1 time, so each stage is min(ts) over events joined to the
+    # accumulated stage table and filtered on ts > prev stage ts
+    out = None
+    prev_col = None
+    for k, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev_col is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_col))
+        src = events if out is None else events.join(
+            out, key_col, "inner")
+        stage = (src.filter(cond)
+                 .groupBy(key_col)
+                 .agg(F.min(ts_col).alias(f"stage_{k}_ts")))
+        out = (stage if out is None
+               else out.join(stage, key_col, "left"))
+        prev_col = f"stage_{k}_ts"
+    depth = None
+    for k in range(len(stages)):
+        c = F.when(F.col(f"stage_{k}_ts").isNotNull(), k + 1)
+        depth = c if depth is None else F.greatest(depth, c)
+    return out.withColumn("funnel_depth", F.coalesce(depth, F.lit(0)))
+
+
+def retention_cohorts(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period_days: int = 7) -> DataFrame:
+    """Cohort retention: keys are cohorted by their first-activity
+    period; for each (cohort, periods-since-cohort) cell, the count of
+    distinct active keys.  The standard activation/retention matrix.
+
+    Two aggregations: first-activity per key (map-side combinable),
+    then the cohort matrix over (key, period) pairs — both keyed by
+    uniform ids, no skew.  Period = floor(epoch_days / period_days).
+    """
+    per = (F.floor(F.unix_micros(F.col(ts_col)) /
+                   F.lit(86_400_000_000 * period_days))).cast("long")
+    acts = events.select(F.col(key_col).alias("k"), per.alias("p")) \
+        .distinct()
+    first = acts.groupBy("k").agg(F.min("p").alias("cohort_p"))
+    return (acts.join(first, "k")
+            .groupBy(F.col("cohort_p").alias("cohort_period"),
+                     (F.col("p") - F.col("cohort_p"))
+                     .alias("periods_since"))
+            .agg(F.countDistinct("k").alias("n_active")))

@@ -3102,3 +3102,54 @@ def ml01_logreg_quality(spark, sf_dir):
         st, ["alpha_ratio", "stopword_ratio", "len_f"], "y",
         steps=3, lr=1.0, out_col="p_en")
     return scored.select("doc_id", "y", "p_en")
+
+
+@gate("ev03_funnel", """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS stage_0_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS stage_1_ts
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.stage_0_ts GROUP BY 1
+),
+j1 AS (SELECT s0.user_id, s0.stage_0_ts, s1.stage_1_ts
+       FROM s0 LEFT JOIN s1 USING (user_id)),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS stage_2_ts
+  FROM events e JOIN j1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > j1.stage_1_ts GROUP BY 1
+)
+SELECT j1.user_id, j1.stage_0_ts, j1.stage_1_ts, s2.stage_2_ts,
+       CASE WHEN s2.stage_2_ts IS NOT NULL THEN 3
+            WHEN j1.stage_1_ts IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_depth
+FROM j1 LEFT JOIN s2 USING (user_id)
+""")
+def ev03_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: stage k counts only
+    strictly after the key's qualifying stage k-1 time; depth = how
+    far each user progressed."""
+    from cantera_table_spark.functions.timeseries import funnel
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+@gate("ev04_retention", """
+WITH acts AS (
+  SELECT DISTINCT user_id AS k,
+         epoch_us(ts) // (86400000000 * 7) AS p
+  FROM events
+),
+first AS (SELECT k, min(p) AS c FROM acts GROUP BY 1)
+SELECT c AS cohort_period, p - c AS periods_since,
+       count(DISTINCT k) AS n_active
+FROM acts JOIN first USING (k) GROUP BY 1, 2
+""")
+def ev04_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users cohorted by first-active
+    week, distinct-active counts per (cohort, weeks-since)."""
+    from cantera_table_spark.functions.timeseries import retention_cohorts
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e, period_days=7)

@@ -732,3 +732,31 @@ def test_logreg_learns_separable_labels(spark):
     assert abs(w[2]) < w[1]             # noise feature stays small
     # probability bounds
     assert all(0.0 <= p <= 1.0 for p in out.values())
+
+
+def test_funnel_strict_ordering_and_retention(spark):
+    from cantera_table_spark.functions.timeseries import (funnel,
+                                                          retention_cohorts)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "a", 100), (1, "b", 200), (1, "c", 300),
+        # user 2: b BEFORE a -> depth 1 (b must follow a)
+        (2, "b", 100), (2, "a", 200),
+        # user 3: a only
+        (3, "a", 100),
+        # user 4: never enters -> omitted
+        (4, "c", 100),
+        # user 5: a, then b, c out of order (c before b) -> depth 2
+        (5, "a", 100), (5, "c", 150), (5, "b", 200),
+    ]
+    e = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.utcfromtimestamp(s))
+         for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp")
+    out = {r.user_id: r.funnel_depth
+           for r in funnel(e, ["a", "b", "c"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 5: 2}
+    # retention: users first active week 0; one returns in week 1
+    ret = {(r.cohort_period, r.periods_since): r.n_active
+           for r in retention_cohorts(e, period_days=7).collect()}
+    assert ret[(0, 0)] == 5
