@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "sim07_quantized_topk", "ds04_shuffle_shards", "dd11_repeated_spans",
     "tx11_length_quantiles", "tx12_bpe_pairs", "ds05_packed_text",
     "tx13_chunking", "ir01_bm25", "ir02_rrf_hybrid", "ml01_logreg_quality",
-    "ev03_funnel", "ev04_retention",
+    "ev03_funnel", "ev04_retention", "sim08_quantized_ivf",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]

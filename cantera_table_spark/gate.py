@@ -3153,3 +3153,93 @@ def ev04_retention(spark, sf_dir):
     from cantera_table_spark.functions.timeseries import retention_cohorts
     e = load_table(spark, sf_dir, "events")
     return retention_cohorts(e, period_days=7)
+
+
+@gate("sim08_quantized_ivf", """
+WITH vals AS (
+  SELECT vec_id, u.i AS dim, embedding[u.i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM vals GROUP BY 1),
+deq AS (
+  SELECT v.vec_id, v.dim,
+         CASE WHEN s.mx = s.mn THEN s.mn
+              ELSE s.mn + (least(floor(((v.x - s.mn) * 255.0)
+                                       / (s.mx - s.mn)), 255.0)
+                           * (s.mx - s.mn)) / 255.0 END AS xq
+  FROM vals v JOIN stats s USING (dim)
+),
+vecs AS (SELECT vec_id, list(xq ORDER BY dim) AS v FROM deq GROUP BY 1),
+c AS (SELECT vec_id AS centroid_id, v AS cv
+      FROM vecs ORDER BY vec_id LIMIT 8),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id, e.v,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+      i -> v[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS acos
+  FROM vecs e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cluster, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rk
+    FROM assign_scored) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+probe_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+      i -> qv[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS ccos
+  FROM q, c
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, centroid_id) AS rk
+    FROM probe_scored) t
+  WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+        i -> qv[i] * v[i])), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(
+           range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))),
+      6) AS cos
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= 5
+""")
+def sim08_quantized_ivf(spark, sf_dir):
+    """The full scale-path ANN index composed end-to-end: int8 scalar
+    quantization (4x-smaller stored vectors) + IVF cluster bucketing +
+    2-bucket probe — search runs entirely in dequantized space.  The
+    oracle chains the quantization CTE into the sim02 IVF replay, so
+    every stage of the composed index is hash-verified."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_topk, quantize_embeddings, seed_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb).cache()
+    base = qd.select("vec_id", F.col("embedding_q").alias("embedding"))
+    cents = seed_centroids(base, n=8)
+    indexed = ivf_assign(base, cents)
+    return ivf_topk(indexed, cents,
+                    base.filter(F.col("vec_id") < 10), k=5, nprobe=2)
