@@ -151,6 +151,20 @@ def main():
         quantize_embeddings(e).write.format("noop") \
             .mode("overwrite").save()
 
+    def bm25(d):
+        from cantera_table_spark.functions.retrieval import bm25_scores
+        from cantera_table_spark.functions.text import tokens
+        toks = d.select("doc_id",
+                        F.explode(tokens(F.col("text"))).alias("keyword"))
+        p = toks.groupBy("keyword", "doc_id").agg(
+            F.count("*").cast("double").alias("score"))
+        bm25_scores(p).write.format("noop").mode("overwrite").save()
+
+    def funnel_case(e):
+        from cantera_table_spark.functions.timeseries import funnel
+        funnel(e, ["view", "click", "purchase"]).write \
+            .format("noop").mode("overwrite").save()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -163,6 +177,8 @@ def main():
         ("pack_sequences", "documents", pack),
         ("shuffle_shards", "documents", shuffle),
         ("quantize_embeddings", "embeddings", quantize),
+        ("bm25", "documents", bm25),
+        ("funnel", "events", funnel_case),
     ]
 
     results = {}
