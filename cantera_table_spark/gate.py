@@ -59,12 +59,59 @@ def gate(name: str, oracle: str | None = None):
     return deco
 
 
+# The external driver's correctness harness checks the FIRST 50 entries of
+# queries() in iteration order.  Decoration order in this file is historical
+# (oldest gates first), which left every gate registered past position 50
+# permanently outside the driver's window.  _DRIVER_ORDER pins the window
+# explicitly: the 45 gates that have never had a driver row (rounds 1-3),
+# plus 5 long-green sentinels kept in-window for cross-round regression
+# continuity.  Everything else follows in decoration order.
+_DRIVER_ORDER = [
+    # sentinels (driver-green every round they were in-window)
+    "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
+    "dd02_minhash", "mm01_decode_media",
+    # ingest front door + dump + export (SURVEY S6, S7, S10, S11, F7, F8, X3, X5, S17)
+    "in01_tsv_postings", "in02_tsv_timeseries",
+    "dp01_dump_index", "dp02_dump_timeseries", "x02_export_results",
+    # statements PARSE / SET, multi-table catalog
+    "p01_parse_echo", "set01_session_state", "cat01_multi_table",
+    # streaming
+    "st01_stream_ingest", "st02_stream_windowed_rollup",
+    "st03_stream_dedup", "st04_stream_sessionize",
+    # dedup / decontamination pipeline
+    "dd07_lsh_jaccard", "dd09_decontaminate", "dd10_line_dedup",
+    "dd11_repeated_spans", "dd12_dedup_apply",
+    # similarity / ANN
+    "sim04_ivf_assign", "sim05_hyperplane_sig",
+    "sim07_quantized_topk", "sim08_quantized_ivf",
+    # text analysis
+    "tx06_quality_filter", "tx07_corpus_stats", "tx08_repetition",
+    "tx09_pii_scrub", "tx10_lm_score", "tx11_length_quantiles",
+    "tx12_bpe_pairs", "tx13_chunking",
+    # dataset shaping
+    "ds01_stratified_sample", "ds02_weighted_sample",
+    "ds03_pack_sequences", "ds04_shuffle_shards", "ds05_packed_text",
+    # multimodal codecs
+    "mm02_decode_bmp", "mm03_decode_wav", "mm04_thumbnail",
+    "mm06_decode_png", "mm07_decode_gif",
+    # retrieval / ml / events
+    "ir01_bm25", "ir02_rrf_hybrid", "ml01_logreg_quality",
+    "ev03_funnel", "ev04_retention", "sk01_salted_rollup",
+]
+
+
+def _ordered(names_to_vals: dict) -> dict:
+    head = [n for n in _DRIVER_ORDER if n in names_to_vals]
+    tail = [n for n in names_to_vals if n not in set(_DRIVER_ORDER)]
+    return {n: names_to_vals[n] for n in head + tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _CATALOG_CACHE: dict[tuple[int, str], object] = {}
