@@ -482,9 +482,13 @@ def tpch_q3_revenue(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
-                  o.o_custkey == F.col("c_custkey"))
+    # Reduce orders through the broadcast BUILDING-customer filter first
+    # (~1/5 selectivity), so the expensive lineitem join shuffles only the
+    # surviving orders rather than the full table.
+    building_orders = o.join(
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+        o.o_custkey == F.col("c_custkey"))
+    return (l.join(building_orders, l.l_orderkey == F.col("o_orderkey"))
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.round(F.sum(F.col("l_extendedprice") *
                                (1 - F.col("l_discount"))), 2)

@@ -222,8 +222,13 @@ def _drop_first_n(df: DataFrame, n: int) -> DataFrame:
     single-task global window (the limit=-1 + OFFSET page) — see
     operators.ordering.global_row_number for the mechanism."""
     from cantera_table_spark.operators.ordering import global_row_number
+    # stable=True: a QUERY result is downstream of the postings groupBy,
+    # whose output order is nondeterministic — the numbering must not
+    # depend on ReuseExchange collapsing the count/row branches (see
+    # ordering.global_row_number's HARD INVARIANT).  The localCheckpoint
+    # cost lands only on the rare unlimited-with-OFFSET page.
     numbered = global_row_number(df, F.col(_SCORE).desc(),
-                                 F.col(_DOC).asc())
+                                 F.col(_DOC).asc(), stable=True)
     return (numbered.filter(F.col("__rn") > n)
             .orderBy(F.col(_SCORE).desc(), F.col(_DOC).asc())
             .select(_DOC, _SCORE))

@@ -6,6 +6,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cantera_table_spark.operators import set_algebra as sa
 from tests import ref_model as ref
 
@@ -137,8 +139,9 @@ def test_threshold_filter(spark):
 def test_unlimited_offset_page_distributed(spark):
     """limit=-1 + OFFSET must page correctly WITHOUT a single-task global
     window over the data: the range-partitioned row-cut numbers rows per
-    partition and shares one range exchange between the count and row
-    branches (ReuseExchange)."""
+    partition, and (stable=True) both count and row branches read ONE
+    localCheckpoint materialization, so the numbering cannot depend on
+    ReuseExchange collapsing the branches."""
     rng = random.Random(11)
     # duplicate (doc, score) rows included: the cut must be multiset-exact
     rows = [(i % 23, float(rng.randrange(6))) for i in range(2000)]
@@ -147,9 +150,34 @@ def test_unlimited_offset_page_distributed(spark):
     got = [(r.doc_id, r.score) for r in page.collect()]
     want = sorted(rows, key=lambda p: (-p[1], p[0]))[137:]
     assert got == want                      # ordered, not just multiset
-    # plan inspected AFTER execution so AQE has finalized stage reuse
     plan = page._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    # both branches read the checkpointed RDD, not separate range shuffles
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     # the only single-partition window is over the tiny per-partition
     # count table; the data-sized window is hash-partitioned by __gpid
     assert "__gpid" in plan
+
+
+def test_unlimited_offset_page_no_exchange_reuse(spark):
+    """The offset cut must stay correct even when ReuseExchange is
+    disabled — the failure mode ordering.py's HARD INVARIANT warns
+    about: count and row branches re-executing the range exchange over a
+    nondeterministically-ordered input (here: downstream of a groupBy)
+    and sampling different partition boundaries."""
+    rng = random.Random(7)
+    base = [(i % 311, float(rng.randrange(5))) for i in range(4000)]
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        # aggregation upstream -> nondeterministic row order feeding top_k
+        agg = (to_df(spark, base).repartition(8)
+               .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        page = sa.top_k(agg, -1, offset=101)
+        got = [(r.doc_id, r.score) for r in page.collect()]
+        want_all = sorted(
+            ((d, float(sum(s for dd, s in base if dd == d)))
+             for d in {d for d, _ in base}),
+            key=lambda p: (-p[1], p[0]))
+        assert got == want_all[101:]
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
