@@ -191,11 +191,13 @@ class Engine:
         finally:
             if mode == "exact":
                 result.unpersist()
-        if mode != "exact" and not rows:
+        if mode != "exact" and not rows and stmt.limit != 0:
             # approx/none learn "offset beyond the result" from the
             # empty page itself (an empty offset-0 page means the
             # result set is empty, i.e. offset >= total); same bare-[]
-            # form as exact (query.cc:796-799)
+            # form as exact (query.cc:796-799).  A LIMIT 0 page is empty
+            # by construction and proves nothing about the total, so it
+            # keeps the envelope form exact mode would produce.
             return []
         if mode == "approx":
             # reconcile the sample estimate with what the page proved:

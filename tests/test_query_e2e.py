@@ -89,6 +89,26 @@ def test_count_mode_envelopes(spark, catalog, monkeypatch):
         Engine(catalog, count_mode="bogus")
 
 
+def test_limit_zero_keeps_envelope_in_all_modes(spark, catalog):
+    """LIMIT 0 over a non-empty result at offset 0 is an empty PAGE, not
+    an empty RESULT: exact mode returns {result-count, result: []} and
+    approx/none must not degrade it to the bare [] (reference prints
+    bare [] only when offset >= result size, query.cc:795-798)."""
+    exact = Engine(catalog, unique_postings=True).execute_script(
+        "QUERY (alpha) LIMIT 0;")[0]
+    assert exact == {"result-count": 3, "result": []}
+
+    approx = Engine(catalog, unique_postings=True,
+                    count_mode="approx").execute_script(
+        "QUERY (alpha) LIMIT 0;")[0]
+    assert approx["result"] == [] and "result-count" in approx
+
+    none = Engine(catalog, unique_postings=True,
+                  count_mode="none").execute_script(
+        "QUERY (alpha) LIMIT 0;")[0]
+    assert none == {"result": []}
+
+
 def test_threshold_headers_numeric_and_date(spark, catalog):
     eng = Engine(catalog, unique_postings=True)
     res = eng.execute_script(
