@@ -100,6 +100,26 @@ _DRIVER_ORDER = [
 ]
 
 
+# Frames Spark-cached inside gate bodies (connected-component labels,
+# quantized embedding tables).  Gates return lazy DataFrames, so they
+# cannot unpersist their own caches; they register them here and a sweep
+# runner drains the registry after materializing each gate
+# (tools/check_gate.py) so storage does not accumulate across a
+# 101-gate session.  bench.py's clearCache covers its own runs.
+_GATE_CACHES: list = []
+
+
+def release_gate_caches() -> None:
+    """Unpersist every cache registered by gate bodies since the last
+    call.  Safe to call after each gate's collect()."""
+    while _GATE_CACHES:
+        df = _GATE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _ordered(names_to_vals: dict) -> dict:
     head = [n for n in _DRIVER_ORDER if n in names_to_vals]
     tail = [n for n in names_to_vals if n not in set(_DRIVER_ORDER)]
@@ -1664,7 +1684,8 @@ def dd06_dedup_clusters(spark, sf_dir):
                                 bands=4, k=16)
     pairs = (jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
              .select("doc_a", "doc_b"))
-    return duplicate_clusters(docs.select("doc_id"), pairs)
+    return duplicate_clusters(docs.select("doc_id"), pairs,
+                              caches=_GATE_CACHES)
 
 
 @gate("tx06_quality_filter", """
@@ -2700,6 +2721,7 @@ def sim07_quantized_topk(spark, sf_dir):
     # the quantized table — without it the stats aggregate + transform
     # subtree executes twice
     qd = quantize_embeddings(emb).cache()
+    _GATE_CACHES.append(qd)
     return brute_force_topk(qd, qd.filter(F.col("vec_id") < 10), k=5,
                             vec_col="embedding_q")
 
@@ -2935,7 +2957,8 @@ def dd12_dedup_apply(spark, sf_dir):
     cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
                                 bands=4, k=16)
     pairs = jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
-    clusters = duplicate_clusters(d.select("doc_id"), pairs)
+    clusters = duplicate_clusters(d.select("doc_id"), pairs,
+                                  caches=_GATE_CACHES)
     return apply_dedup(d, clusters)
 
 
@@ -3289,6 +3312,7 @@ def sim08_quantized_ivf(spark, sf_dir):
         ivf_assign, ivf_topk, quantize_embeddings, seed_centroids)
     emb = load_table(spark, sf_dir, "embeddings")
     qd = quantize_embeddings(emb).cache()
+    _GATE_CACHES.append(qd)
     base = qd.select("vec_id", F.col("embedding_q").alias("embedding"))
     cents = seed_centroids(base, n=8)
     indexed = ivf_assign(base, cents)

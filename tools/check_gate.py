@@ -61,6 +61,12 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop caches registered by the gate body (cluster labels,
+            # quantized tables) so storage doesn't accumulate across
+            # the 101-gate sweep; the shared postings cache is NOT in
+            # this registry and survives
+            gate.release_gate_caches()
         if name not in oracles:
             print(f"  ok {name}: rows-only ({len(srows)} rows)")
             n_pass += 1
