@@ -67,9 +67,11 @@ def gate(name: str, oracle: str | None = None):
 # plus 5 long-green sentinels kept in-window for cross-round regression
 # continuity.  Everything else follows in decoration order.
 _DRIVER_ORDER = [
-    # sentinels (driver-green every round they were in-window)
+    # sentinels (driver-green every round they were in-window); the
+    # multimodal sentinel slot goes to the new f32 THRESHOLDS gate —
+    # mm02-mm07 cover the codec surface in-window this round
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
-    "dd02_minhash", "mm01_decode_media",
+    "dd02_minhash", "f32_02_threshold_fidelity",
     # ingest front door + dump + export (SURVEY S6, S7, S10, S11, F7, F8, X3, X5, S17)
     "in01_tsv_postings", "in02_tsv_timeseries",
     "dp01_dump_index", "dp02_dump_timeseries", "x02_export_results",
@@ -1302,6 +1304,38 @@ def f32_01_score_fidelity(spark, sf_dir):
                   indexes=[postings])
     eng = Engine(cat, unique_postings=True, f32_scores=True)
     return eng.query_df(parse_query("len7>30000.0"), limit=-1)
+
+
+@gate("f32_02_threshold_fidelity", """
+WITH len7 AS (
+  SELECT doc_id,
+         CAST(CAST(n_chars * 1000.0 / 7.0 AS REAL) AS DOUBLE) AS score
+  FROM documents
+)
+SELECT k.doc_id, k.score
+FROM (SELECT DISTINCT doc_id FROM len7 WHERE score > 0) r
+JOIN len7 k ON k.doc_id = r.doc_id
+WHERE k.score >= 30000.001 AND k.score < 60000.5
+""")
+def f32_02_threshold_fidelity(spark, sf_dir):
+    """F6 x SURVEY §7 hard-item 3: THRESHOLDS under ``f32_scores=True``.
+    The threshold key's scores are float32-quantized before BOTH the
+    [min, max) comparison and the score replacement (threshold_filter
+    emits the k-score verbatim), so any missed quantization in the
+    THRESHOLDS path shows up as a value-hash mismatch against the
+    oracle's REAL-cast replay.  Complements f32_01, which covers only
+    the ``=``/``>`` leaf comparisons."""
+    from cantera_table_spark.model import Catalog, derive_documents
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(F.lit("len7").alias("keyword"), "doc_id",
+                        (F.col("n_chars") * 1000.0 / 7.0).alias("score"))
+    cat = Catalog(summaries=[derive_documents(spark, sf_dir)],
+                  indexes=[postings])
+    eng = Engine(cat, unique_postings=True, f32_scores=True)
+    stmt = parse_script(
+        "QUERY (len7>0) THRESHOLDS 30000.001,60000.5 FOR KEY 'len7';")[0]
+    return eng.query_df(stmt.query, thresholds=stmt.thresholds,
+                        limit=stmt.limit, offset=stmt.offset)
 
 
 @gate("cat01_multi_table", ORACLE_POSTINGS + """
