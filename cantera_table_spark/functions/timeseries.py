@@ -84,35 +84,53 @@ def funnel(events: DataFrame, stages: list[str],
     with ts > t_{k-1}; depth = largest k+1 with t_k defined.  Keys
     that never reach stage 0 are omitted (depth would be 0).
 
-    Plan shape: one aggregation + one join per stage, ALL keyed by the
-    funnel key — the per-stage frames co-partition on the same hash,
-    so no stage reshuffles the events more than once and the join
-    build sides are the (small) per-key stage tables.  Stage count is
-    a query constant, not a data quantity.
+    Plan shape: SINGLE PASS — the events are filtered to funnel stages
+    before the shuffle, grouped once by the funnel key, and folded in
+    timestamp order with a higher-order ``aggregate`` whose state is
+    one timestamp per stage.  The events are scanned and shuffled
+    exactly once regardless of stage count (the earlier formulation
+    joined the events once per stage, re-reading them k-1 times).
+    Per-key memory is that key's own funnel events — bounded by user
+    activity, not corpus size — and the fold stays in codegen (no
+    Python).  Fold correctness: events arrive ts-ascending, so the
+    first stage-k event satisfying ts > t_{k-1} IS min(ts > t_{k-1}),
+    and any such event sorts after the event that set t_{k-1}.
 
-    Returns (key_col, funnel_depth, stage_<k>_ts ...).
+    Returns (key_col, stage_<k>_ts ..., funnel_depth).
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
-    # stage k's qualifying time depends on the key's AGGREGATED stage
-    # k-1 time, so each stage is min(ts) over events joined to the
-    # accumulated stage table and filtered on ts > prev stage ts
-    out = None
-    prev_col = None
-    for k, s in enumerate(stages):
-        cond = F.col(type_col) == s
-        if prev_col is not None:
-            cond = cond & (F.col(ts_col) > F.col(prev_col))
-        src = events if out is None else events.join(
-            out, key_col, "inner")
-        stage = (src.filter(cond)
-                 .groupBy(key_col)
-                 .agg(F.min(ts_col).alias(f"stage_{k}_ts")))
-        out = (stage if out is None
-               else out.join(stage, key_col, "left"))
-        prev_col = f"stage_{k}_ts"
+    n = len(stages)
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    idx = F.when(F.col(type_col) == stages[0], F.lit(0))
+    for k, s in enumerate(stages[1:], start=1):
+        idx = idx.when(F.col(type_col) == s, F.lit(k))
+    ev = (events
+          .select(F.col(key_col), F.col(ts_col).alias("_ts"),
+                  idx.alias("_s"))
+          .filter(F.col("_s").isNotNull()))
+    grouped = ev.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_s"))).alias("_evs"))
+    init = F.array(*[F.lit(None).cast(ts_type) for _ in range(n)])
+
+    def _step(acc, e):
+        ts, s = e["_ts"], e["_s"]
+        slots = []
+        for k in range(n):
+            open_k = acc[k].isNull() & (s == F.lit(k))
+            if k > 0:
+                open_k = open_k & acc[k - 1].isNotNull() & (ts > acc[k - 1])
+            slots.append(F.when(open_k, ts).otherwise(acc[k]))
+        return F.array(*slots)
+
+    folded = grouped.select(
+        key_col, F.aggregate("_evs", init, _step).alias("_t"))
+    out = (folded
+           .select(key_col, *[F.col("_t")[k].alias(f"stage_{k}_ts")
+                              for k in range(n)])
+           .filter(F.col("stage_0_ts").isNotNull()))
     depth = None
-    for k in range(len(stages)):
+    for k in range(n):
         c = F.when(F.col(f"stage_{k}_ts").isNotNull(), k + 1)
         depth = c if depth is None else F.greatest(depth, c)
     return out.withColumn("funnel_depth", F.coalesce(depth, F.lit(0)))

@@ -422,6 +422,57 @@ def test_doc_key_gates_survive_wide_doc_ids(spark, tmp_path):
     con.close()
 
 
+def test_multimodal_gates_survive_non_ascii_text(spark, tmp_path):
+    """The mm gates cycle DOCUMENT BYTES into pixel/sample buffers, and
+    their oracles must index the same byte stream — an oracle that
+    cycles by byte count but indexes by CHARACTER diverges the moment a
+    document contains a multi-byte code point.  Pin the codec gates
+    against their DuckDB oracles on a deliberately non-ASCII fixture
+    (UTF-8 2-, 3-, and 4-byte sequences)."""
+    import math
+
+    import duckdb
+
+    from cantera_table_spark import gate as G
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld à la carte"),        # 2-byte sequences
+         (2, "データ処理は楽しい"),              # 3-byte CJK
+         (3, "rockets 🚀🚀 and 🎉 confetti"),   # 4-byte emoji
+         (4, "plain ascii control row")],
+        "doc_id long, text string")
+    docs = docs.withColumn("lang", F.lit("xx")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("mm02_decode_bmp", "mm03_decode_wav", "mm04_thumbnail",
+                 "mm06_decode_png", "mm07_decode_gif"):
+        sdf = qs[name](spark, sf_dir)
+        cols = sorted(sdf.columns)
+        got = sorted(tuple(norm(r[c]) for c in cols)
+                     for r in sdf.collect())
+        want = []
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        for r in cur.fetchall():
+            d = dict(zip(ocols, r))
+            want.append(tuple(norm(d[c]) for c in cols))
+        assert got == sorted(want), name
+        assert len(got) >= 4, name     # >= : mm07 emits rows per FRAME
+    con.close()
+
+
 def test_wav_codec_roundtrip(spark):
     import numpy as np
     from cantera_table_spark.functions.multimodal import (

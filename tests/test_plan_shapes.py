@@ -258,6 +258,27 @@ def test_asof_prior_is_single_shuffle(spark):
         assert r.ts < first_p[r.user_id]
 
 
+def test_funnel_is_single_pass(spark):
+    """funnel = ONE shuffle of the pre-filtered funnel events and ONE
+    scan of the source, independent of stage count — no per-stage
+    joins re-reading the events (the old k-joins formulation)."""
+    from cantera_table_spark.functions.timeseries import funnel
+    e = spark.range(2000).select(
+        (F.col("id") % 53).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("buy"),
+                    F.lit("noise")),
+            (F.col("id") % 4 + 1).cast("int")).alias("event_type"))
+    out = funnel(e, ["view", "click", "buy"])
+    facts = plan_facts(out)
+    assert facts.n_shuffles == 1
+    assert "Join" not in facts.text
+    assert not facts.has_python_eval
+    # one Range leaf = one scan of the events source
+    assert facts.text.count("Range (") == 1
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark shingle set must broadcast — corpus shingles never
     shuffle for the overlap join; the only hash shuffle is the per-doc

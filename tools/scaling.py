@@ -3,7 +3,9 @@ report the time ratio.  Near-linear ratios (<= ~N on a fixed-core box)
 are the evidence that plans stay shuffle/broadcast-sane as data grows —
 the local stand-in for the 100 TB posture.
 
-Usage: python tools/scaling.py [factor]   (default 16)
+Usage: python tools/scaling.py [factor] [case1,case2,...]
+(default factor 16, all cases; a case filter also skips materializing
+the unused scaled inputs)
 """
 
 from __future__ import annotations
@@ -47,6 +49,8 @@ def timed(fn):
 
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    case_filter = (set(sys.argv[2].split(","))
+                   if len(sys.argv) > 2 else None)
     spark = get_spark("cantera-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(WORK, ignore_errors=True)
@@ -56,17 +60,10 @@ def main():
     events = load_table(spark, SF_DIR, "events")
     embeddings = load_table(spark, SF_DIR, "embeddings")
 
-    # materialize 1x and Nx inputs so scans are comparable parquet reads
-    datasets = {}
-    for name, df, idc in [("documents", docs, ["doc_id"]),
-                          ("lineitem", lineitem, ["l_orderkey"]),
-                          ("events", events, ["event_id", "user_id"]),
-                          ("embeddings", embeddings, ["vec_id"])]:
-        df.write.mode("overwrite").parquet(f"{WORK}/{name}_1x")
-        (scaled(df, factor, idc).repartition(32)
-         .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
-        datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
-                          spark.read.parquet(f"{WORK}/{name}_{factor}x"))
+    source_tables = {"documents": (docs, ["doc_id"]),
+                     "lineitem": (lineitem, ["l_orderkey"]),
+                     "events": (events, ["event_id", "user_id"]),
+                     "embeddings": (embeddings, ["vec_id"])}
 
     def tokenize_and_count(d):
         from cantera_table_spark.functions.text import tokens
@@ -173,6 +170,24 @@ def main():
         funnel(e, ["view", "click", "purchase"]).write \
             .format("noop").mode("overwrite").save()
 
+    def dedup_clusters(d):
+        # the full dd06 pipeline: shingle -> MinHash -> LSH candidates
+        # -> exact-Jaccard verify -> connected components.  Iterative:
+        # per-round shuffle is O(candidate pairs), corpus touched once.
+        from cantera_table_spark.functions.dedup import (
+            duplicate_clusters, jaccard_pairs, lsh_candidate_pairs,
+            minhash_signatures, shingles)
+        sh = shingles(d)
+        cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
+                                    bands=4, k=16)
+        pairs = (jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+                 .select("doc_a", "doc_b"))
+        caches = []
+        duplicate_clusters(d.select("doc_id"), pairs, caches=caches) \
+            .write.format("noop").mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -187,7 +202,24 @@ def main():
         ("quantize_embeddings", "embeddings", quantize),
         ("bm25", "documents", bm25),
         ("funnel", "events", funnel_case),
+        ("dedup_clusters", "documents", dedup_clusters),
     ]
+    if case_filter:
+        cases = [c for c in cases if c[0] in case_filter]
+        missing = case_filter - {c[0] for c in cases}
+        if missing:
+            raise SystemExit(f"unknown cases: {sorted(missing)}")
+
+    # materialize 1x and Nx inputs so scans are comparable parquet
+    # reads — only the tables the selected cases actually use
+    datasets = {}
+    for name in sorted({ds for _, ds, _ in cases}):
+        df, idc = source_tables[name]
+        df.write.mode("overwrite").parquet(f"{WORK}/{name}_1x")
+        (scaled(df, factor, idc).repartition(32)
+         .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
+        datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
+                          spark.read.parquet(f"{WORK}/{name}_{factor}x"))
 
     results = {}
     for name, ds, fn in cases:
