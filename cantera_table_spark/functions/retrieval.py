@@ -23,22 +23,30 @@ def bm25_scores(postings: DataFrame, k1: float = 1.2,
     with dl = document token count (sum of tf over the doc) and avgdl
     its corpus mean.
 
-    Scale shape: df/dl are two map-side-combinable aggregations over
-    the postings (keyword- and doc-keyed); N and avgdl ride a
-    broadcast one-row aggregate; the scoring join hits pre-aggregated
-    tables only.  Everything stays in whole-stage codegen.
+    Scale shape: dl is computed IN PLACE by a window sum over doc_id —
+    one shuffle of the postings, no join.  The former agg-then-join
+    formulation shuffled a one-row-per-DOCUMENT aggregate into a
+    sort-merge join with the full postings once the corpus outgrew the
+    broadcast threshold (measured superlinear at 16x volume); the
+    window spends the same single doc_id shuffle and sorts the
+    postings once, with spillable per-key buffers.  df stays an
+    aggregation join: its table is VOCABULARY-sized (orders smaller
+    than the corpus), so AQE broadcasts it.  N and avgdl ride a
+    broadcast one-row aggregate.  Everything stays JVM-side.
     """
+    w_doc = Window.partitionBy("doc_id")
     dfreq = postings.groupBy("keyword").agg(F.count("*").alias("__df"))
-    dlen = postings.groupBy("doc_id").agg(F.sum("score").alias("__dl"))
-    corpus = dlen.agg(F.count("*").cast("double").alias("__N"),
-                      F.avg("__dl").alias("__avgdl"))
+    corpus = (postings.groupBy("doc_id")
+              .agg(F.sum("score").alias("__dl"))
+              .agg(F.count("*").cast("double").alias("__N"),
+                   F.avg("__dl").alias("__avgdl")))
     tf = F.col("score")
     idf = F.log((F.col("__N") - F.col("__df") + 0.5) /
                 (F.col("__df") + 0.5) + 1)
     norm = tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
     return (postings
+            .withColumn("__dl", F.sum("score").over(w_doc))
             .join(dfreq, "keyword")
-            .join(dlen, "doc_id")
             .crossJoin(F.broadcast(corpus))
             .select("keyword", "doc_id",
                     F.round(idf * tf * (k1 + 1) / norm, 6)

@@ -543,8 +543,11 @@ def tpch_q5_region_volume(spark, sf_dir):
         n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
                n.n_regionkey == F.col("r_regionkey"))),
         s.s_nationkey == F.col("n_nationkey")))
-    return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+    # broadcast-reduce lineitem to ASIA-supplier rows (~1/|regions|)
+    # BEFORE the orderkey sort-merge join — the shuffled lineitem side
+    # shrinks ~5x, same reorder rationale as tpch_q3
+    return (l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
             .join(c, (c.c_custkey == o.o_custkey) &
                   (c.c_nationkey == F.col("s_nationkey")))
             .groupBy("n_name")
@@ -3352,3 +3355,41 @@ def sim08_quantized_ivf(spark, sf_dir):
     indexed = ivf_assign(base, cents)
     return ivf_topk(indexed, cents,
                     base.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+# ORACLE_CC with identity edges: the exact-then-near pipeline also
+# merges byte-identical documents too short to shingle, so the oracle
+# adds a star of identity edges (doc <-> its content-hash group's min
+# id) to the near-dup edge set before the reachability CTE.
+_IDENT_EDGES = """ident AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_id, rep FROM ident WHERE doc_id <> rep
+  UNION SELECT rep, doc_id FROM ident WHERE doc_id <> rep
+),"""
+_PLAIN_EDGES = """edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),"""
+assert _PLAIN_EDGES in ORACLE_CC
+ORACLE_CC_IDENT = ORACLE_CC.replace(_PLAIN_EDGES, _IDENT_EDGES)
+
+
+@gate("dd13_dedup_pipeline", ORACLE_SHINGLES + ORACLE_CC_IDENT + """
+SELECT doc_id, canonical_id FROM cc
+""")
+def dd13_dedup_pipeline(spark, sf_dir):
+    """The production dedup composition: exact-collapse identical texts
+    by content hash, run MinHash/LSH/Jaccard/connected-components on
+    unique-text representatives only, expand labels over the corpus —
+    clone-count-invariant near-dup work (functions/dedup.py
+    near_dup_clusters docstring has the equivalence argument).  The
+    oracle runs the near-dup reachability over the FULL corpus plus
+    identity edges, which the collapsed pipeline must reproduce."""
+    from cantera_table_spark.functions.dedup import near_dup_clusters
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, caches=_GATE_CACHES)

@@ -180,6 +180,32 @@ def test_duplicate_clusters_transitivity(spark):
     assert out == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
 
 
+def test_near_dup_clusters_clone_invariant(spark):
+    """The exact-then-near pipeline must (a) produce the same clusters
+    as the raw near-dup stack for shingled docs, regardless of how many
+    byte-identical clones exist, and (b) merge identical docs too short
+    to shingle (which the raw stack leaves as singletons)."""
+    from cantera_table_spark.functions.dedup import near_dup_clusters
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and then"
+    rows = [(1, base), (2, near), (50, "totally different text about " +
+                                   "spark engines and parquet files ok")]
+    # clones of doc 1 (exact dups) and two identical too-short docs
+    rows += [(10 + i, base) for i in range(5)]
+    rows += [(30, "hi there"), (31, "hi there")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.canonical_id
+           for r in near_dup_clusters(docs, min_jaccard=0.5).collect()}
+    # base + its clones + the near-dup all collapse to min id 1
+    assert out[1] == 1 and out[2] == 1
+    assert all(out[10 + i] == 1 for i in range(5))
+    # identical unshingleable docs merge to their min id
+    assert out[30] == 30 and out[31] == 30
+    # the unrelated doc stays a singleton
+    assert out[50] == 50
+    assert len(out) == len(rows)
+
+
 def test_ivf_trained_centroids_recall_not_worse(spark):
     from cantera_table_spark.functions.similarity import (
         brute_force_topk, ivf_assign, ivf_topk, ivf_train, seed_centroids)

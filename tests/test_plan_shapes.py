@@ -389,6 +389,11 @@ def test_bm25_broadcasts_corpus_stats_and_stays_jvm(spark):
     facts = plan_facts(bm25_scores(p))
     assert facts.n_broadcasts >= 1
     assert not facts.has_python_eval
+    # dl rides a window over the doc_id shuffle, never a sort-merge
+    # join against a per-document aggregate (superlinear once that
+    # aggregate outgrows the broadcast threshold)
+    assert "SortMergeJoin" not in facts.text
+    assert "Window" in facts.text
 
 
 def test_rrf_fuse_is_one_aggregation(spark):

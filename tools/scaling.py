@@ -171,19 +171,23 @@ def main():
             .format("noop").mode("overwrite").save()
 
     def dedup_clusters(d):
-        # the full dd06 pipeline: shingle -> MinHash -> LSH candidates
-        # -> exact-Jaccard verify -> connected components.  Iterative:
-        # per-round shuffle is O(candidate pairs), corpus touched once.
-        from cantera_table_spark.functions.dedup import (
-            duplicate_clusters, jaccard_pairs, lsh_candidate_pairs,
-            minhash_signatures, shingles)
-        sh = shingles(d)
-        cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
-                                    bands=4, k=16)
-        pairs = (jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
-                 .select("doc_a", "doc_b"))
+        # the end-to-end dedup decision ON ITS SCALE PATH
+        # (near_dup_clusters = exact-collapse -> MinHash/LSH/Jaccard/CC
+        # on unique-text representatives -> expand).  The collapse
+        # matters here by construction: scaled() clones every document
+        # `factor` times, so an UNCOLLAPSED near-dup stack grows
+        # factor^2 in within-bucket pairs and co-shingle join rows
+        # (measured: it spilled >57 GB of shuffle and died at 64x even
+        # with the hot-bucket star cap, because the Jaccard verify's
+        # co-shingle join squares each shingle's document frequency) —
+        # exactly the boilerplate-heavy shape of a real pretraining
+        # corpus.  Collapsed, the near-dup stage is clone-invariant and
+        # the factor-dependent work is one hash aggregation + one
+        # expand join.
+        from cantera_table_spark.functions.dedup import near_dup_clusters
         caches = []
-        duplicate_clusters(d.select("doc_id"), pairs, caches=caches) \
+        near_dup_clusters(d, min_jaccard=0.12, max_bucket=32,
+                          caches=caches) \
             .write.format("noop").mode("overwrite").save()
         for c in caches:
             c.unpersist()
