@@ -192,8 +192,8 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
     ones.  Pairs whose only shared shingles are stop-shingles vanish
     entirely; both trades are the documented recall cost.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pair_sh = sh
+    sizes_src = sh
     if max_df is not None:
         df_counts = (sh.groupBy("shingle")
                      .agg(F.count("*").alias("__df"))
@@ -207,6 +207,13 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
                      .distinct())
         # compose with (not replace) the stop-shingle filter above
         pair_sh = pair_sh.join(cand_docs, "doc_id", "left_semi")
+        # sizes are only consumed through inner joins against candidate
+        # pairs, so prune the per-doc size aggregation to candidate
+        # docs too — the sizes table stays candidate-bounded instead of
+        # corpus-sized (sizes still count EVERY shingle of those docs;
+        # the stop-shingle filter applies to pair formation only)
+        sizes_src = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sizes_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = pair_sh.alias("a")
     b = pair_sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &

@@ -30,11 +30,23 @@ def with_bands(ts: DataFrame, key_col: str = "key",
                value_col: str = "value") -> DataFrame:
     """Attach the series-level bands to every posting — the shape the
     reference stores (nullable band columns per row) and dumps
-    (ca-dump.cc:148-216).  No broadcast hint: the bands table is one
-    row per series key, unbounded at scale — Catalyst/AQE broadcasts
-    it automatically when (and only when) it is actually small."""
-    bands = prediction_bands(ts, key_col, value_col)
-    return ts.join(bands, key_col)
+    (ca-dump.cc:148-216).
+
+    Window formulation: the four percentiles compute IN PLACE over one
+    hash shuffle of the postings by series key (a single Window node).
+    The former aggregate-then-join carried a one-row-per-SERIES table —
+    broadcastable in tests, but past the threshold at corpus scale it
+    flips to a sort-merge join that shuffles the postings a second
+    time (the asof_prior/bm25 failure class)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col)
+    v = F.col(value_col)
+    return ts.select(
+        "*",
+        F.round(F.percentile(v, F.lit(0.05)).over(w), 4).alias("pct5"),
+        F.round(F.percentile(v, F.lit(0.25)).over(w), 4).alias("pct25"),
+        F.round(F.percentile(v, F.lit(0.75)).over(w), 4).alias("pct75"),
+        F.round(F.percentile(v, F.lit(0.95)).over(w), 4).alias("pct95"))
 
 
 def band_outliers(ts: DataFrame, key_col: str = "key",
@@ -143,17 +155,26 @@ def retention_cohorts(events: DataFrame, key_col: str = "user_id",
     period; for each (cohort, periods-since-cohort) cell, the count of
     distinct active keys.  The standard activation/retention matrix.
 
-    Two aggregations: first-activity per key (map-side combinable),
-    then the cohort matrix over (key, period) pairs — both keyed by
-    uniform ids, no skew.  Period = floor(epoch_days / period_days).
+    ONE shuffle of the events carries the whole computation: the
+    per-key active-period SET is a map-side-combinable collect_set
+    (bounded by the calendar, not the event count), the cohort period
+    is its array_min, and the matrix cells count the exploded unique
+    (key, period) pairs.  The former formulation joined a
+    one-row-per-KEY first-activity aggregate back to the activity
+    pairs — broadcastable in tests, a second corpus shuffle at scale
+    (the asof_prior/bm25 failure class).  Period =
+    floor(epoch_days / period_days).
     """
     per = (F.floor(F.unix_micros(F.col(ts_col)) /
                    F.lit(86_400_000_000 * period_days))).cast("long")
-    acts = events.select(F.col(key_col).alias("k"), per.alias("p")) \
-        .distinct()
-    first = acts.groupBy("k").agg(F.min("p").alias("cohort_p"))
-    return (acts.join(first, "k")
+    per_key = (events.select(F.col(key_col).alias("k"), per.alias("p"))
+               .groupBy("k").agg(F.collect_set("p").alias("__ps")))
+    # rows after the explode are unique (k, p) pairs by construction,
+    # so count(*) per cell IS the distinct-key count
+    return (per_key.select("k",
+                           F.array_min("__ps").alias("cohort_p"),
+                           F.explode("__ps").alias("p"))
             .groupBy(F.col("cohort_p").alias("cohort_period"),
                      (F.col("p") - F.col("cohort_p"))
                      .alias("periods_since"))
-            .agg(F.countDistinct("k").alias("n_active")))
+            .agg(F.count("*").alias("n_active")))

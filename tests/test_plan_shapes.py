@@ -279,6 +279,33 @@ def test_funnel_is_single_pass(spark):
     assert facts.text.count("Range (") == 1
 
 
+def test_with_bands_is_single_shuffle_window(spark):
+    """Per-row band attachment = ONE shuffle by series key with the
+    percentiles in a Window — never a join against a per-series
+    aggregate (the agg-then-join broadcast-flip class)."""
+    from cantera_table_spark.functions.timeseries import with_bands
+    ts = spark.range(5000).select(
+        (F.col("id") % 97).cast("string").alias("key"),
+        (F.col("id") % 13).cast("double").alias("value"))
+    facts = plan_facts(with_bands(ts))
+    assert facts.n_shuffles == 1
+    assert "Join" not in facts.text
+    assert "Window" in facts.text
+
+
+def test_retention_is_two_aggregations_no_join(spark):
+    """Retention = collect_set per key + the matrix aggregation; the
+    cohort period is array_min of the per-key set, never a
+    first-activity join back over the activity pairs."""
+    from cantera_table_spark.functions.timeseries import retention_cohorts
+    e = spark.range(5000).select(
+        (F.col("id") % 89).alias("user_id"),
+        (F.col("id") * 3600_000_000).cast("timestamp").alias("ts"))
+    facts = plan_facts(retention_cohorts(e))
+    assert facts.n_shuffles == 2
+    assert "Join" not in facts.text
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark shingle set must broadcast — corpus shingles never
     shuffle for the overlap join; the only hash shuffle is the per-doc
