@@ -400,8 +400,15 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
 
     Returns (doc_id, canonical_id) over the FULL corpus.
     """
+    # null-safe content hash: md5(NULL) is NULL and a NULL key never
+    # matches itself in the membership join, which would silently drop
+    # NULL-text docs from the output.  The sentinel groups all
+    # NULL-text docs as one identity class ("-" cannot collide with a
+    # 32-hex md5), matching the SQL oracle's PARTITION BY md5(text),
+    # which also buckets NULLs together.
     member = docs.select(F.col(id_col).alias("doc_id"),
-                         F.md5(F.col(text_col)).alias("__h"))
+                         F.coalesce(F.md5(F.col(text_col)), F.lit("-"))
+                         .alias("__h"))
     groups = member.groupBy("__h").agg(F.min("doc_id").alias("rep_id"))
     membership = member.join(groups, "__h").select("doc_id", "rep_id")
     reps = (docs.select(F.col(id_col).alias("doc_id"),

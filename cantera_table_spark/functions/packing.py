@@ -55,10 +55,13 @@ def pack_sequences(df: DataFrame, capacity: int, n_shards: int = 4,
     local to the shard and starts at 0.
     """
     cap = int(capacity)
+    # NULL text counts as zero tokens (occupies no bin capacity) —
+    # size(NULL) is NULL, which would reach the Arrow fold as None
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_shards).alias("shard"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long").alias("n_tokens"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -101,7 +101,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint over token lengths — a cheap
     shift-resistant signature (polynomial accumulate mod 1e9+7).
-    DuckDB equivalent: list_reduce over the same token array."""
+    DuckDB equivalent: list_reduce over the same token array.
+    NULL text yields a NULL fingerprint (unknown, distinct from the
+    empty string's 0) — the oracle carries the same CASE."""
     toks = tokens(F.col(text_col))
     fp = F.aggregate(
         toks, F.lit(0).cast("long"),

@@ -825,9 +825,10 @@ SELECT doc_id,
   len(list_distinct(toks)) AS n_unique_tokens,
   round(len(list_distinct(toks)) / greatest(len(toks), 1), 4)
     AS type_token_ratio,
+  CASE WHEN text IS NULL THEN NULL ELSE
   round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
                     (a, b) -> a + b) / greatest(len(toks), 1), 4)
-    AS avg_token_len,
+  END AS avg_token_len,
   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         / greatest(length(text), 1), 4) AS alpha_ratio,
   round(length(regexp_replace(text, concat('[^.,;:!?', chr(39),
@@ -898,12 +899,13 @@ def tx03_lang_id(spark, sf_dir):
 
 @gate("tx04_fingerprint", """
 SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
   list_reduce(
     list_prepend(0::BIGINT, list_transform(
       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                   x -> x <> ''),
       x -> length(x)::BIGINT)),
-    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
 FROM documents
 """)
 def tx04_fingerprint(spark, sf_dir):
@@ -2679,8 +2681,9 @@ def tx10_lm_score(spark, sf_dir):
 @gate("ds03_pack_sequences", """
 WITH RECURSIVE base AS (
   SELECT doc_id, doc_id % 4 AS shard,
-         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                         x -> x <> ''))::BIGINT AS n_tokens,
+         coalesce(len(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '')), 0)::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % 4
                             ORDER BY doc_id) AS rn
   FROM documents

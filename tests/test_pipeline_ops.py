@@ -499,6 +499,63 @@ def test_multimodal_gates_survive_non_ascii_text(spark, tmp_path):
     con.close()
 
 
+def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
+    """NULL/empty/whitespace text is the other fixture shape a
+    regeneration can introduce.  Pin Spark == oracle on it for the
+    text/dedup/packing gates: NULL text means NULL stats and NULL
+    fingerprint (not 0), zero pack tokens (not a Python crash), and
+    dd13 must not drop NULL-text docs through a null-key join."""
+    import math
+
+    import duckdb
+
+    from cantera_table_spark import gate as G
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, None), (3, ""), (4, "   "), (5, "short"),
+         (6, "the quick brown fox jumps over the lazy dog"),
+         (7, None)],
+        "doc_id long, text string")
+    docs = docs.withColumn("lang", F.lit("xx")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars",
+                    F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    def skey(row):
+        return tuple((x is None, str(type(x)), 0 if x is None else x)
+                     for x in row)
+
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("tx01_text_stats", "tx04_fingerprint", "tx10_lm_score",
+                 "ds03_pack_sequences", "dd01_exact_dedup",
+                 "dd13_dedup_pipeline", "dd10_line_dedup"):
+        sdf = qs[name](spark, sf_dir)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(norm(r[c]) for c in cols)
+                      for r in sdf.collect()), key=skey)
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        want = sorted((tuple(norm(dict(zip(ocols, r))[c]) for c in cols)
+                       for r in cur.fetchall()), key=skey)
+        assert got == want, name
+    # dd13 specifically: both NULL-text docs present, merged together
+    out = {r.doc_id: r.canonical_id
+           for r in qs["dd13_dedup_pipeline"](spark, sf_dir).collect()}
+    assert out[2] == 2 and out[7] == 2
+    con.close()
+
+
 def test_wav_codec_roundtrip(spark):
     import numpy as np
     from cantera_table_spark.functions.multimodal import (
