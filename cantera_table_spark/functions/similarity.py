@@ -354,7 +354,12 @@ def quantize_embeddings(emb: DataFrame, stats: DataFrame | None = None,
     The stats row joins in as a broadcast nested-loop of one row — no
     shuffle on the corpus side; everything else is per-row JVM
     transforms inside codegen.
+
+    NULL and empty embeddings are dropped (they cannot carry codes and
+    a SQL oracle's unnest(range(1, len+1)) drops them the same way);
+    note sequence(1, 0) would count DOWN and fault element_at.
     """
+    emb = emb.filter(F.size(F.col(vec_col)) > 0)
     if stats is None:
         stats = quantization_stats(emb, vec_col)
     lv = F.lit(float(levels))

@@ -163,7 +163,8 @@ def retention_cohorts(events: DataFrame, key_col: str = "user_id",
     one-row-per-KEY first-activity aggregate back to the activity
     pairs — broadcastable in tests, a second corpus shuffle at scale
     (the asof_prior/bm25 failure class).  Period =
-    floor(epoch_days / period_days).
+    floor(epoch_days / period_days).  NULL-timestamp events contribute
+    no activity (collect_set skips NULL; the oracle filters the same).
     """
     per = (F.floor(F.unix_micros(F.col(ts_col)) /
                    F.lit(86_400_000_000 * period_days))).cast("long")

@@ -558,15 +558,20 @@ def tpch_q5_region_volume(spark, sf_dir):
 
 @gate("ev01_user_running", """
 SELECT event_id, user_id,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS FIRST, event_id) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
        AS running_value
 FROM events WHERE user_id < 50
 """)
 def ev01_user_running(spark, sf_dir):
     """Window functions (SURVEY.md §2.8 — the Spark-side analogue of the
-    reference's prefix-sum scans)."""
+    reference's prefix-sum scans).  Null ordering is EXPLICIT in the
+    oracle: Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST —
+    a NULL-ts fixture row would silently renumber every seq after it.
+    """
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3254,7 +3259,7 @@ def ev03_funnel(spark, sf_dir):
 WITH acts AS (
   SELECT DISTINCT user_id AS k,
          epoch_us(ts) // (86400000000 * 7) AS p
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 first AS (SELECT k, min(p) AS c FROM acts GROUP BY 1)
 SELECT c AS cohort_period, p - c AS periods_since,

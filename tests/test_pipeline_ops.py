@@ -556,6 +556,67 @@ def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     con.close()
 
 
+def test_embedding_event_gates_survive_null_shapes(spark, tmp_path):
+    """NULL/empty embeddings and NULL ts/value/type events: quantize
+    must drop code-less vectors like the oracle's unnest does (not
+    fault element_at on sequence(1,0)); window ordering pins NULLS
+    FIRST explicitly (Spark and DuckDB defaults DIFFER); retention
+    ignores NULL-ts activity on both sides."""
+    import math
+    import random
+
+    import duckdb
+
+    from cantera_table_spark import gate as G
+    rnd = random.Random(7)
+    rows = [(i, [round(rnd.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(30)] + [(30, None), (31, [])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.createDataFrame(
+        [(i, i % 5, f"2024-01-{(i % 27) + 1:02d} 10:00:00",
+          ["view", "click", "purchase"][i % 3], float(i % 7))
+         for i in range(40)]
+        + [(100, 1, None, "view", 1.0),
+           (101, 2, "2024-01-05 10:00:00", None, 2.0),
+           (102, 3, "2024-01-06 10:00:00", "view", None)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double")
+    ev.withColumn("ts", F.to_timestamp("ts")).coalesce(1) \
+        .write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    for t in ("embeddings", "events"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 5)
+        return v
+
+    def skey(row):
+        return tuple((x is None, str(type(x)), 0 if x is None else x)
+                     for x in row)
+
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("sim01_brute_topk", "sim04_ivf_assign",
+                 "sim07_quantized_topk", "dd05_embedding_neardup",
+                 "ts01_daily_rollup", "ts04_asof_prior",
+                 "ev01_user_running", "ev03_funnel", "ev04_retention"):
+        sdf = qs[name](spark, sf_dir)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(norm(r[c]) for c in cols)
+                      for r in sdf.collect()), key=skey)
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        want = sorted((tuple(norm(dict(zip(ocols, r))[c]) for c in cols)
+                       for r in cur.fetchall()), key=skey)
+        assert got == want, name
+    con.close()
+
+
 def test_wav_codec_roundtrip(spark):
     import numpy as np
     from cantera_table_spark.functions.multimodal import (
