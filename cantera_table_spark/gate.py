@@ -2287,8 +2287,14 @@ def sk01_salted_rollup(spark, sf_dir):
 @gate("x02_export_results", ORACLE_POSTINGS + """
 SELECT p.doc_id,
        '{"_key":"doc' || (CASE WHEN length(p.doc_id::VARCHAR) > 6 THEN p.doc_id::VARCHAR ELSE lpad(p.doc_id::VARCHAR, 6, '0') END)
-       || '.example.com","lang":"' || d.lang || '","source":"'
-       || d.source || '","n_chars":' || d.n_chars || '}' AS result_json
+       || '.example.com"'
+       || (CASE WHEN d.lang IS NULL THEN ''
+                ELSE ',"lang":"' || d.lang || '"' END)
+       || (CASE WHEN d.source IS NULL THEN ''
+                ELSE ',"source":"' || d.source || '"' END)
+       || (CASE WHEN d.n_chars IS NULL THEN ''
+                ELSE ',"n_chars":' || d.n_chars END)
+       || '}' AS result_json
 FROM idx p JOIN documents d ON d.doc_id = p.doc_id
 WHERE p.keyword = 'slow'
 """)

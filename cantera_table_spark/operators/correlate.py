@@ -84,11 +84,12 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
 
     n_a = a.count()
     n_b = b.count()
-    if n_a == 0 or n_b == 0:
-        return postings.sparkSession.createDataFrame(
-            [], "log_odds double, match_count_a long, match_count_b long, "
-                "keyword string, min_score double, max_score double")
-
+    # An EMPTY class is not a short-circuit: the +1-smoothed prior and
+    # counts are all well-defined with n=0, and features concentrated
+    # in the non-empty class still clear the logit cutoff (count_b=0
+    # rows are real output — e.g. CORRELATE against a class whose
+    # query matched nothing).  Both-empty falls through to an empty
+    # result via the support filters.
     prior_logit = math.log((n_a + 1.0) / (n_b + 1.0))
     limit_a = max(n_a // 20, 1)
     limit_b = max(n_b // 20, 1)

@@ -556,6 +556,63 @@ def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     con.close()
 
 
+def test_engine_gates_survive_null_doc_fields(spark, tmp_path):
+    """NULL text/lang/source through the ENGINE path (derived postings,
+    label postings, JSON export, CORRELATE): the export oracle must
+    omit null JSON fields the way to_json does (not null the whole
+    line), and CORRELATE with an empty class still reports the
+    concentrated features with count 0 on the empty side."""
+    import math
+
+    import duckdb
+
+    from cantera_table_spark import gate as G
+    docs = spark.createDataFrame(
+        [(1, "spark is fast and spark is slow sometimes", "en", "src1"),
+         (2, None, "en", "src1"), (3, "", "de", "src2"),
+         (4, "fast queries need fast storage", "de", None),
+         (5, "slow spark fast", None, "src2"),
+         (6, "spark is fast and spark is slow sometimes", "en", "src1")],
+        "doc_id long, text string, lang string, source string")
+    docs = docs.withColumn(
+        "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    def skey(row):
+        return tuple((x is None, str(type(x)), 0 if x is None else x)
+                     for x in row)
+
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("q01_and", "q02_or", "q07_order_by", "q15_select_matrix",
+                 "dp01_dump_index", "x02_export_results", "tx05_tfidf",
+                 "corr01_feature_mining", "a06_posting_counts",
+                 "cat01_multi_table"):
+        sdf = qs[name](spark, sf_dir)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(norm(r[c]) for c in cols)
+                      for r in sdf.collect()), key=skey)
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        want = sorted((tuple(norm(dict(zip(ocols, r))[c]) for c in cols)
+                       for r in cur.fetchall()), key=skey)
+        assert got == want, name
+    # corr01 here exercises the empty-es-class path: features exist
+    got = qs["corr01_feature_mining"](spark, sf_dir).collect()
+    assert len(got) == 6
+    assert all(r.match_count_b == 0 for r in got)
+    con.close()
+
+
 def test_embedding_event_gates_survive_null_shapes(spark, tmp_path):
     """NULL/empty embeddings and NULL ts/value/type events: quantize
     must drop code-less vectors like the oracle's unnest does (not
