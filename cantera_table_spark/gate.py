@@ -1388,7 +1388,7 @@ WITH marked AS (
     CASE WHEN lag(ts) OVER w IS NULL
          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
     THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sid AS (
@@ -1867,6 +1867,7 @@ def in02_tsv_timeseries(spark, sf_dir):
 @gate("st01_stream_ingest", """
 SELECT event_type AS key, date_trunc('second', ts) AS ts, value
 FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 """)
 def st01_stream_ingest(spark, sf_dir):
     """Streaming ingest edge end-to-end (reference stdin ingest,
@@ -1883,6 +1884,10 @@ def st01_stream_ingest(spark, sf_dir):
     from cantera_table_spark.streaming.ingest import (start_parquet_sink,
                                                       stream_tsv_timeseries)
     e = load_table(spark, sf_dir, "events")
+    # only well-formed rows are TSV-representable: concat_ws SKIPS null
+    # fields, which would silently shift columns in the drop
+    e = e.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("value").isNotNull())
     lines = e.select(F.concat_ws(
         "\t", F.col("event_type"),
         F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
@@ -1903,7 +1908,9 @@ def st01_stream_ingest(spark, sf_dir):
 
 @gate("st02_stream_windowed_rollup", """
 WITH e AS (SELECT event_type AS key, date_trunc('second', ts) AS ts,
-                  value FROM events),
+                  value FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
 mx AS (SELECT max(ts) AS m FROM e)
 SELECT key, date_trunc('hour', ts) AS window_start,
        count(*) AS n, round(sum(value), 3) AS total
@@ -1926,6 +1933,8 @@ def st02_stream_windowed_rollup(spark, sf_dir):
     from cantera_table_spark.streaming.ingest import (
         start_parquet_sink, stream_tsv_timeseries, windowed_rollup)
     e = load_table(spark, sf_dir, "events")
+    e = e.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("value").isNotNull())
     lines = e.select(F.concat_ws(
         "\t", F.col("event_type"),
         F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
@@ -2899,7 +2908,7 @@ WITH marked AS (
     CASE WHEN lag(ts) OVER w IS NULL
          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
     THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sid AS (
@@ -2914,7 +2923,8 @@ sess AS (
                             ORDER BY min(ts) DESC) AS rk
   FROM sid GROUP BY user_id, s
 ),
-mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events)
+mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL)
 SELECT user_id, session_start, session_end, n_events, total_value
 FROM sess, mx
 WHERE rk > 1
@@ -2937,6 +2947,7 @@ def st04_stream_sessionize(spark, sf_dir):
     from cantera_table_spark.streaming.ingest import start_parquet_sink
     from cantera_table_spark.streaming.sessionize import sessionize_stream
     e = load_table(spark, sf_dir, "events")
+    e = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     lines = e.select(F.concat_ws(
         "\t", F.col("user_id").cast("string"),
         F.unix_micros("ts").cast("string"),

@@ -46,9 +46,11 @@ STATE_SCHEMA = T.StructType([
 def sessionize_batch(events: DataFrame, gap_seconds: int = 1800
                      ) -> DataFrame:
     """Batch sessionization: window boundaries where the inter-event gap
-    exceeds ``gap_seconds``."""
+    exceeds ``gap_seconds``.  Rows without an event time are dropped —
+    sessionization is an event-time operator, and the streaming form's
+    watermark would drop them anyway."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    marked = (events
+    marked = (events.filter(F.col("ts").isNotNull())
               .withColumn("__prev", F.lag("ts").over(w))
               .withColumn("__new", (F.col("__prev").isNull() |
                                     ((F.unix_micros("ts") -
@@ -98,15 +100,25 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             # holding them would need unbounded state — documented
             # divergence).
             sessions: list[list] = []
+
+            def _add(total, val):
+                # SQL-sum null semantics: skip NaN/None values; a
+                # session whose values are ALL null sums to null
+                if pd.isna(val):
+                    return total
+                if total is None:
+                    return float(val)
+                return total + float(val)
+
             for t_us, val in zip(ts_us, rows["value"]):
                 t_us = int(t_us)
                 if sessions and t_us - sessions[-1][1] <= gap_us:
                     s = sessions[-1]
                     s[1] = max(s[1], t_us)
                     s[2] += 1
-                    s[3] += float(val)
+                    s[3] = _add(s[3], val)
                 else:
-                    sessions.append([t_us, t_us, 1, float(val)])
+                    sessions.append([t_us, t_us, 1, _add(None, val)])
             if state.exists:
                 sessions.append(list(state.get))
                 sessions.sort(key=lambda s: s[0])
@@ -116,7 +128,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                         m = merged[-1]
                         m[1] = max(m[1], s[1])
                         m[2] += s[2]
-                        m[3] += s[3]
+                        m[3] = (s[3] if m[3] is None
+                                else m[3] if s[3] is None
+                                else m[3] + s[3])
                     else:
                         merged.append(s)
                 sessions = merged
@@ -135,7 +149,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                 "total_value": [c[4] for c in closed],
             })
 
-    return (events
+    # explicit null-event-time drop (the watermark would drop them
+    # anyway; the filter keeps batch and stream forms identical)
+    return (events.filter(F.col("ts").isNotNull())
             .withWatermark("ts", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(

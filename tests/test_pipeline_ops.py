@@ -556,6 +556,60 @@ def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     con.close()
 
 
+def test_streaming_gates_survive_null_events(spark, tmp_path):
+    """NULL ts/type/value events through the STREAMING path: concat_ws
+    SKIPS null fields, so an unfiltered TSV drop silently shifts
+    columns; sessionization (batch AND stream) drops null event times
+    like the watermark would; the stream fold's session sum skips null
+    values like SQL sum.  Gate == oracle on a null-shaped events
+    fixture."""
+    import math
+
+    import duckdb
+
+    from cantera_table_spark import gate as G
+    ev = spark.createDataFrame(
+        [(i, i % 5, f"2024-01-{(i % 27) + 1:02d} {(i % 23):02d}:00:00",
+          ["view", "click", "purchase"][i % 3], float(i % 7))
+         for i in range(60)]
+        + [(100, 1, None, "view", 1.0),
+           (101, 2, "2024-01-05 10:00:00", None, 2.0),
+           (102, 3, "2024-01-06 10:00:00", "view", None)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double")
+    sf_dir = str(tmp_path)
+    ev.withColumn("ts", F.to_timestamp("ts")).coalesce(1) \
+        .write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 5)
+        return v
+
+    def skey(row):
+        return tuple((x is None, str(type(x)), 0 if x is None else x)
+                     for x in row)
+
+    qs, oracles = G.queries(), G.oracle_sql()
+    for name in ("st01_stream_ingest", "st02_stream_windowed_rollup",
+                 "st04_stream_sessionize", "ev02_sessionize",
+                 "dp02_dump_timeseries", "ts07_union_merge"):
+        sdf = qs[name](spark, sf_dir)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(norm(r[c]) for c in cols)
+                      for r in sdf.collect()), key=skey)
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        want = sorted((tuple(norm(dict(zip(ocols, r))[c]) for c in cols)
+                       for r in cur.fetchall()), key=skey)
+        assert got == want, name
+    con.close()
+
+
 def test_engine_gates_survive_null_doc_fields(spark, tmp_path):
     """NULL text/lang/source through the ENGINE path (derived postings,
     label postings, JSON export, CORRELATE): the export oracle must
