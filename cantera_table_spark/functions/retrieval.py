@@ -33,6 +33,13 @@ def bm25_scores(postings: DataFrame, k1: float = 1.2,
     aggregation join: its table is VOCABULARY-sized (orders smaller
     than the corpus), so AQE broadcasts it.  N and avgdl ride a
     broadcast one-row aggregate.  Everything stays JVM-side.
+
+    Feed this a MATERIALIZED postings table (the engine's build-once
+    query-many model): the plan is a diamond (scoring + df + corpus
+    branches over the same input), and a derived input pipeline is
+    re-evaluated once per branch — measured 3x the cost when the
+    postings were a live tokenize->explode->groupBy chain instead of
+    a parquet scan.
     """
     w_doc = Window.partitionBy("doc_id")
     dfreq = postings.groupBy("keyword").agg(F.count("*").alias("__df"))
