@@ -59,7 +59,11 @@ def logreg_train_score(df: DataFrame, feature_cols: list[str],
         aggs += [(F.sum(e * F.col(c)) / n).alias(f"g{j + 1}")
                  for j, c in enumerate(feature_cols)]
         g = df.agg(*aggs).first()
-        w = [wj - lr * float(g[f"g{j}"]) for j, wj in enumerate(w)]
+        # an empty training frame yields NULL gradients (sum over no
+        # rows); zero steps leave the zero weights — the scored output
+        # is empty anyway, and crashing on float(None) helps nobody
+        w = [wj if g[f"g{j}"] is None else wj - lr * float(g[f"g{j}"])
+             for j, wj in enumerate(w)]
 
     scored = df.withColumn(out_col, F.round(_sigmoid(z_expr(w)), 4))
     return scored, w

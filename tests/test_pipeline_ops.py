@@ -556,6 +556,32 @@ def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     con.close()
 
 
+def test_gates_survive_empty_tables(spark, tmp_path):
+    """Zero-row tables must yield zero-row results, not crashes —
+    notably logreg training, whose full-batch gradient aggregate
+    returns NULLs over an empty frame (zero update steps, not a
+    float(None) fault)."""
+    from cantera_table_spark import gate as G
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long").coalesce(1) \
+        .write.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double").coalesce(1) \
+        .write.parquet(f"{sf_dir}/events.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>").coalesce(1) \
+        .write.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = G.queries()
+    for name in ("q01_and", "corr01_feature_mining", "dd06_dedup_clusters",
+                 "dd13_dedup_pipeline", "tx10_lm_score",
+                 "ds03_pack_sequences", "sim07_quantized_topk",
+                 "ml01_logreg_quality", "ev03_funnel", "ir01_bm25"):
+        assert qs[name](spark, sf_dir).count() == 0, name
+
+
 def test_streaming_gates_survive_null_events(spark, tmp_path):
     """NULL ts/type/value events through the STREAMING path: concat_ws
     SKIPS null fields, so an unfiltered TSV drop silently shifts
