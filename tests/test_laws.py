@@ -339,3 +339,98 @@ def test_lzw_roundtrip_law(idx):
         _lzw_decode, _lzw_encode)
     data = bytes(idx)
     assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 5),          # user
+              st.integers(0, 50),         # ts (seconds)
+              st.integers(0, 3)),         # stage idx (3 = noise)
+    max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=events_strategy)
+def test_funnel_ordering_laws(spark, evs):
+    """Laws of the single-pass funnel fold, any event stream:
+    (1) depth = number of defined stage timestamps, in 1..n;
+    (2) defined stage timestamps are strictly increasing;
+    (3) stage k defined implies stage k-1 defined;
+    (4) stage_0_ts is the user's minimum stage-0 timestamp;
+    (5) exactly the users with a stage-0 event appear."""
+    from pyspark.sql import functions as F
+
+    from cantera_table_spark.functions.timeseries import funnel
+    stages = ["s0", "s1", "s2"]
+    df = spark.createDataFrame(
+        [(u, t, (stages + ["noise"])[k]) for u, t, k in evs] or [],
+        "user_id long, tsec long, event_type string") \
+        .select("user_id", F.col("tsec").cast("timestamp").alias("ts"),
+                "event_type")
+    out = {r.user_id: r for r in funnel(df, stages).collect()}
+    want_users = {u for u, t, k in evs if k == 0}
+    assert set(out) == want_users
+    for u, r in out.items():
+        ts_list = [r.stage_0_ts, r.stage_1_ts, r.stage_2_ts]
+        defined = [t for t in ts_list if t is not None]
+        assert r.funnel_depth == len(defined) >= 1
+        assert all(a < b for a, b in zip(defined, defined[1:]))
+        for k in range(1, 3):
+            if ts_list[k] is not None:
+                assert ts_list[k - 1] is not None
+        min_s0 = min(t for uu, t, k in evs if uu == u and k == 0)
+        assert int(r.stage_0_ts.timestamp()) == min_s0
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 40)),
+                    max_size=25))
+def test_retention_cohort_laws(spark, evs):
+    """Retention matrix laws: the periods_since=0 diagonal counts every
+    active user exactly once (each user belongs to one cohort), and
+    total cell mass equals the distinct (user, period) activity."""
+    from pyspark.sql import functions as F
+
+    from cantera_table_spark.functions.timeseries import retention_cohorts
+    df = spark.createDataFrame(
+        [(u, d * 86400) for u, d in evs] or [],
+        "user_id long, tsec long") \
+        .select("user_id", F.col("tsec").cast("timestamp").alias("ts"))
+    cells = retention_cohorts(df, period_days=7).collect()
+    users = {u for u, d in evs}
+    acts = {(u, d // 7) for u, d in evs}
+    assert sum(c.n_active for c in cells if c.periods_since == 0) == \
+        len(users)
+    assert sum(c.n_active for c in cells) == len(acts)
+    assert all(c.periods_since >= 0 for c in cells)
+
+
+@settings(max_examples=4, deadline=None)
+@given(mult=st.lists(st.integers(1, 3), min_size=3, max_size=3))
+def test_near_dup_clusters_clone_count_invariance_law(spark, mult):
+    """Cloning any document (with HIGHER ids) never changes the
+    canonical assignment of the originals, and every clone maps to its
+    original's canonical — the exact-collapse equivalence argument as
+    a law over random clone multiplicities."""
+    from cantera_table_spark.functions.dedup import near_dup_clusters
+    texts = ["the quick brown fox jumps over the lazy dog again",
+             "the quick brown fox jumps over the lazy dog anew",
+             "completely unrelated words about parquet shuffles here"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    base_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.doc_id: r.canonical_id
+            for r in near_dup_clusters(base_docs,
+                                       min_jaccard=0.5).collect()}
+    cloned = list(rows)
+    nxt = 100
+    for i, m in enumerate(mult):
+        for _ in range(m - 1):
+            cloned.append((nxt, texts[i]))
+            nxt += 1
+    cdf = spark.createDataFrame(cloned, "doc_id long, text string")
+    got = {r.doc_id: r.canonical_id
+           for r in near_dup_clusters(cdf, min_jaccard=0.5).collect()}
+    orig_of = {d: t for d, t in cloned}
+    canon_of_text = {texts[i]: base[i] for i in range(3)}
+    assert len(got) == len(cloned)
+    for d, _t in cloned:
+        assert got[d] == canon_of_text[orig_of[d]], (d, got[d])
