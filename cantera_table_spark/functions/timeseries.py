@@ -37,7 +37,12 @@ def with_bands(ts: DataFrame, key_col: str = "key",
     The former aggregate-then-join carried a one-row-per-SERIES table —
     broadcastable in tests, but past the threshold at corpus scale it
     flips to a sort-merge join that shuffles the postings a second
-    time (the asof_prior/bm25 failure class)."""
+    time (the asof_prior/bm25 failure class).  Contract: parallelism
+    is bounded by DISTINCT SERIES COUNT (each key's rows land in one
+    window group) — with many series (the band use case) that exceeds
+    the cluster; for a handful of giant series, pre-aggregate
+    per-series instead (measured: 64x volume over 5 keys ratio 7.5,
+    window-group bound, vs 2-3 for the key-rich operators)."""
     from pyspark.sql import Window
     w = Window.partitionBy(key_col)
     v = F.col(value_col)

@@ -208,6 +208,18 @@ def main():
         for c in caches:
             c.unpersist()
 
+    def retention(e):
+        from cantera_table_spark.functions.timeseries import (
+            retention_cohorts)
+        retention_cohorts(e).write.format("noop") \
+            .mode("overwrite").save()
+
+    def bands(e):
+        from cantera_table_spark.functions.timeseries import with_bands
+        (with_bands(e.select(F.col("event_type").alias("key"), "ts",
+                             F.col("value").alias("value")))
+         .write.format("noop").mode("overwrite").save())
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -223,6 +235,8 @@ def main():
         ("bm25", "documents", bm25),
         ("funnel", "events", funnel_case),
         ("dedup_clusters", "documents", dedup_clusters),
+        ("retention", "events", retention),
+        ("bands", "events", bands),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
