@@ -42,8 +42,14 @@ def with_bands(ts: DataFrame, key_col: str = "key",
     window group) — with many series (the band use case) that exceeds
     the cluster; for a handful of giant series, pre-aggregate
     per-series instead (measured: 64x volume over 5 keys ratio 7.5,
-    window-group bound, vs 2-3 for the key-rich operators)."""
+    window-group bound, vs 2-3 for the key-rich operators).
+
+    Rows with a NULL series key are dropped — they belong to no
+    series (the former join formulation dropped them as inner-join
+    non-matches, and a window would otherwise lump them into one
+    meaningless NULL group)."""
     from pyspark.sql import Window
+    ts = ts.filter(F.col(key_col).isNotNull())
     w = Window.partitionBy(key_col)
     v = F.col(value_col)
     return ts.select(
@@ -82,9 +88,12 @@ def asof_prior(events: DataFrame, anchor_filter,
     task), which crosses the broadcast threshold long before the true
     aggregate does — measured on 64x events it stays a SortMergeJoin.
     Keys with no anchor row get a NULL ``p_ts`` and are dropped by the
-    strict < filter, matching the join's inner semantics.
+    strict < filter, matching the join's inner semantics.  NULL keys
+    are dropped too: an equi-join never matches them, while a window
+    would lump them into one group and anchor unrelated rows.
     """
     from pyspark.sql import Window
+    events = events.filter(F.col(key_col).isNotNull())
     w = Window.partitionBy(key_col)
     p_ts = F.min(F.when(anchor_filter, F.col(ts_col))).over(w)
     return (events.withColumn("p_ts", p_ts)
@@ -122,10 +131,14 @@ def funnel(events: DataFrame, stages: list[str],
     idx = F.when(F.col(type_col) == stages[0], F.lit(0))
     for k, s in enumerate(stages[1:], start=1):
         idx = idx.when(F.col(type_col) == s, F.lit(k))
+    # funnel is an event-time operator over per-key journeys: rows
+    # with no event time or no key cannot advance any user's funnel
+    # (a NULL key would otherwise fold into one meaningless group)
     ev = (events
           .select(F.col(key_col), F.col(ts_col).alias("_ts"),
                   idx.alias("_s"))
-          .filter(F.col("_s").isNotNull()))
+          .filter(F.col("_s").isNotNull() & F.col("_ts").isNotNull() &
+                  F.col(key_col).isNotNull()))
     grouped = ev.groupBy(key_col).agg(
         F.sort_array(F.collect_list(F.struct("_ts", "_s"))).alias("_evs"))
     init = F.array(*[F.lit(None).cast(ts_type) for _ in range(n)])
@@ -173,7 +186,10 @@ def retention_cohorts(events: DataFrame, key_col: str = "user_id",
     """
     per = (F.floor(F.unix_micros(F.col(ts_col)) /
                    F.lit(86_400_000_000 * period_days))).cast("long")
-    per_key = (events.select(F.col(key_col).alias("k"), per.alias("p"))
+    # NULL keys are no user — drop them (collect_set already skips
+    # NULL periods; a NULL key would otherwise form its own cohort)
+    per_key = (events.filter(F.col(key_col).isNotNull())
+               .select(F.col(key_col).alias("k"), per.alias("p"))
                .groupBy("k").agg(F.collect_set("p").alias("__ps")))
     # rows after the explode are unique (k, p) pairs by construction,
     # so count(*) per cell IS the distinct-key count

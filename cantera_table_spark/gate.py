@@ -69,9 +69,11 @@ def gate(name: str, oracle: str | None = None):
 _DRIVER_ORDER = [
     # sentinels (driver-green every round they were in-window); the
     # multimodal sentinel slot goes to the new f32 THRESHOLDS gate —
-    # mm02-mm07 cover the codec surface in-window this round
+    # mm02-mm07 cover the codec surface in-window this round — and the
+    # minhash sentinel slot to the new exact-then-near pipeline gate
+    # (dd07 keeps the minhash family in-window)
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
-    "dd02_minhash", "f32_02_threshold_fidelity",
+    "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
     # ingest front door + dump + export (SURVEY S6, S7, S10, S11, F7, F8, X3, X5, S17)
     "in01_tsv_postings", "in02_tsv_timeseries",
     "dp01_dump_index", "dp02_dump_timeseries", "x02_export_results",
@@ -123,8 +125,9 @@ def release_gate_caches() -> None:
 
 
 def _ordered(names_to_vals: dict) -> dict:
+    order = set(_DRIVER_ORDER)
     head = [n for n in _DRIVER_ORDER if n in names_to_vals]
-    tail = [n for n in names_to_vals if n not in set(_DRIVER_ORDER)]
+    tail = [n for n in names_to_vals if n not in order]
     return {n: names_to_vals[n] for n in head + tail}
 
 
@@ -3241,20 +3244,24 @@ def ml01_logreg_quality(spark, sf_dir):
 
 
 @gate("ev03_funnel", """
-WITH s0 AS (
-  SELECT user_id, min(ts) AS stage_0_ts FROM events
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+s0 AS (
+  SELECT user_id, min(ts) AS stage_0_ts FROM ev
   WHERE event_type = 'view' GROUP BY 1
 ),
 s1 AS (
   SELECT e.user_id, min(e.ts) AS stage_1_ts
-  FROM events e JOIN s0 USING (user_id)
+  FROM ev e JOIN s0 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > s0.stage_0_ts GROUP BY 1
 ),
 j1 AS (SELECT s0.user_id, s0.stage_0_ts, s1.stage_1_ts
        FROM s0 LEFT JOIN s1 USING (user_id)),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS stage_2_ts
-  FROM events e JOIN j1 USING (user_id)
+  FROM ev e JOIN j1 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > j1.stage_1_ts GROUP BY 1
 )
 SELECT j1.user_id, j1.stage_0_ts, j1.stage_1_ts, s2.stage_2_ts,

@@ -717,7 +717,19 @@ def test_embedding_event_gates_survive_null_shapes(spark, tmp_path):
          for i in range(40)]
         + [(100, 1, None, "view", 1.0),
            (101, 2, "2024-01-05 10:00:00", None, 2.0),
-           (102, 3, "2024-01-06 10:00:00", "view", None)],
+           (102, 3, "2024-01-06 10:00:00", "view", None),
+           # NULL user: a full ordered journey that must advance no
+           # funnel, join no retention cohort, band no series
+           (103, None, "2024-01-07 10:00:00", "view", 1.0),
+           (104, None, "2024-01-07 11:00:00", "click", 2.0),
+           (105, None, "2024-01-07 12:00:00", "purchase", 3.0),
+           # user whose ONLY view has a NULL ts: event-time ops skip it
+           (106, 90, None, "view", 1.0),
+           (107, 90, "2024-01-08 10:00:00", "click", 1.0),
+           # NULL event_type with spread values: these form no series,
+           # so the band gates must not emit a NULL-key band group
+           (108, 4, "2024-01-09 10:00:00", None, 0.001),
+           (109, 4, "2024-01-09 11:00:00", None, 999.0)],
         "event_id long, user_id long, ts string, event_type string, "
         "value double")
     ev.withColumn("ts", F.to_timestamp("ts")).coalesce(1) \
@@ -741,6 +753,7 @@ def test_embedding_event_gates_survive_null_shapes(spark, tmp_path):
     for name in ("sim01_brute_topk", "sim04_ivf_assign",
                  "sim07_quantized_topk", "dd05_embedding_neardup",
                  "ts01_daily_rollup", "ts04_asof_prior",
+                 "ts06_band_outliers",
                  "ev01_user_running", "ev03_funnel", "ev04_retention"):
         sdf = qs[name](spark, sf_dir)
         cols = sorted(sdf.columns)
