@@ -200,3 +200,134 @@ def retention_cohorts(events: DataFrame, key_col: str = "user_id",
                      (F.col("p") - F.col("cohort_p"))
                      .alias("periods_since"))
             .agg(F.count("*").alias("n_active")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              key_col: str = "user_id", ts_col: str = "ts",
+              value_cols: tuple[str, ...] = ("value",),
+              direction: str = "backward", strict: bool = False,
+              tolerance_us: int | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """General as-of join (pandas ``merge_asof`` semantics family): for
+    every LEFT row, attach the temporally nearest RIGHT row of the same
+    key — backward (latest right ts <= left ts), forward (earliest
+    right ts >= left ts), ``strict`` makes the comparison < / >, and
+    ``tolerance_us`` nulls out matches farther than that many
+    microseconds.  Generalizes :func:`asof_prior` (A11 family,
+    correlate.cc:360-462) from "filter by one anchor" to "attach
+    payload columns from any right table".
+
+    Formulated as UNION + ONE WINDOW, not a join: left and right rows
+    interleave in one shuffle partitioned by ``key_col``, ordered by
+    (ts, side); the match is ``max`` (backward) / ``min`` (forward) of
+    the right-row struct over the unbounded-preceding frame, so every
+    left row sees exactly the right rows at-or-before it in the scan.
+    The aggregate-then-join alternative shuffles BOTH tables for the
+    join and loses to this plan at scale for the same reason documented
+    on asof_prior (AQE sees pre-aggregation map stats, keeps a
+    SortMergeJoin).  Determinism: equal right timestamps tie-break by
+    the value struct's lexicographic order (max/min of the full
+    struct), so the result is engine-order-independent.
+
+    NULL semantics: NULL-key rows on either side are dropped (an
+    equi-join would never match them; one window group would lump
+    them); right rows with NULL ts are dropped; left rows with NULL ts
+    survive with NULL match columns.
+
+    Returns the left rows + ``<prefix><ts_col>`` (matched right ts) +
+    ``<prefix><col>`` for each of ``value_cols`` (NULL when no match
+    within tolerance).
+    """
+    from pyspark.sql import Window
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
+    lp = [c for c in left.columns if c not in (key_col, ts_col)]
+    rv = list(value_cols)
+    rtypes = {c: right.schema[c].dataType for c in rv}
+    ltypes = {c: left.schema[c].dataType for c in lp}
+    lsel = (left.filter(F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(ts_col).alias("__ts"),
+                    F.lit(1).alias("__side"),
+                    *[F.col(c) for c in lp],
+                    *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
+                      for c in rv]))
+    rsel = (right.filter(F.col(key_col).isNotNull() &
+                         F.col(ts_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(ts_col).alias("__ts"),
+                    F.lit(0).alias("__side"),
+                    *[F.lit(None).cast(ltypes[c]).alias(c) for c in lp],
+                    *[F.col(c).alias(f"__r_{c}") for c in rv]))
+    u = lsel.unionByName(rsel)
+    # NULL-ts left rows must sort FIRST in both directions (they see no
+    # right rows -> NULL match); desc's default is NULLS LAST
+    ts_ord = (F.col("__ts").asc_nulls_first() if backward
+              else F.col("__ts").desc_nulls_first())
+    # at equal ts the right row is visible to the left row iff the
+    # comparison is non-strict -> right sorts before left
+    side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (Window.partitionBy("__k").orderBy(ts_ord, side_ord)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rstruct = F.struct(F.col("__ts").alias("__rts"),
+                       *[F.col(f"__r_{c}").alias(c) for c in rv])
+    agg = F.max if backward else F.min
+    m = agg(F.when(F.col("__side") == 0, rstruct)).over(w)
+    out = u.withColumn("__m", m).filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        diff = F.abs(F.unix_micros(F.col("__ts")) -
+                     F.unix_micros(F.col("__m.__rts")))
+        out = out.withColumn(
+            "__m", F.when(diff <= F.lit(int(tolerance_us)), F.col("__m")))
+    return out.select(
+        F.col("__k").alias(key_col), F.col("__ts").alias(ts_col), *lp,
+        F.col("__m.__rts").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in rv])
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", key_col: str | None = None,
+                  bin_width_s: int = 3600) -> DataFrame:
+    """Range/interval join without a cartesian product: each point row
+    matches every interval row with ``start <= ts < end`` (same key
+    when ``key_col`` is given).
+
+    A naive theta join is a BroadcastNestedLoop (or worse, a cartesian)
+    — quadratic at scale.  This operator BINS the time axis: intervals
+    explode to the ``bin_width_s``-wide bins they overlap, points
+    compute their single containing bin, and the match becomes an
+    EQUI-join on (key, bin) + a residual range predicate — Catalyst
+    shuffles both sides on hashed keys like any join, AQE handles
+    skewed hot bins.  Each (point, interval) match is produced exactly
+    once because the point's single bin selects exactly one exploded
+    copy of each overlapping interval.
+
+    Cost model: shuffle volume multiplies the interval side by its
+    average bin count — pick ``bin_width_s`` near the typical interval
+    length (1 bin per interval when width >= durations).  Degenerate
+    or NULL intervals (end <= start) and NULL-ts points drop out.
+
+    Column contract: ``points`` and ``intervals`` must not share
+    column names (besides ``key_col``); the output carries all columns
+    of both.
+    """
+    w_us = int(bin_width_s) * 1_000_000
+    overlap = [c for c in points.columns if c in intervals.columns
+               and c != key_col]
+    if overlap:
+        raise ValueError(f"column collision between sides: {overlap}")
+    p = points.filter(F.col(ts_col).isNotNull()).withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / w_us))
+    iv = (intervals
+          .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+                  & (F.col(start_col) < F.col(end_col)))
+          .withColumn("__bin", F.explode(F.sequence(
+              F.floor(F.unix_micros(F.col(start_col)) / w_us),
+              F.floor((F.unix_micros(F.col(end_col)) - 1) / w_us)))))
+    on = ["__bin"] if key_col is None else [key_col, "__bin"]
+    return (p.join(iv, on)
+            .filter((F.col(start_col) <= F.col(ts_col)) &
+                    (F.col(ts_col) < F.col(end_col)))
+            .drop("__bin"))

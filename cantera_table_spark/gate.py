@@ -3425,3 +3425,83 @@ def dd13_dedup_pipeline(spark, sf_dir):
     from cantera_table_spark.functions.dedup import near_dup_clusters
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_clusters(docs, caches=_GATE_CACHES)
+
+
+@gate("ts09_asof_join", """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+),
+u AS (
+  SELECT user_id, ts, 1 AS side, event_id FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL FROM r
+),
+m AS (
+  SELECT user_id, ts, side, event_id,
+         max(CASE WHEN side = 0 THEN ts END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, side ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r_ts
+  FROM u
+),
+rmax AS (SELECT user_id, ts, max(value) AS value FROM r GROUP BY 1, 2)
+SELECT m.user_id, m.ts, m.event_id, m.r_ts, rmax.value AS r_value
+FROM m LEFT JOIN rmax
+  ON m.user_id = rmax.user_id AND m.r_ts = rmax.ts
+WHERE m.side = 1
+""")
+def ts09_asof_join(spark, sf_dir):
+    """General as-of JOIN (A11 family generalized, correlate.cc:360-462;
+    pandas merge_asof semantics): every view event gets the latest
+    at-or-before purchase of the same user, with the purchase's value
+    attached — union + one window, no join of the two event sets.  The
+    oracle replays the same visibility rule with a window max and
+    resolves the equal-timestamp tie (max value) via an aggregated
+    right side."""
+    from cantera_table_spark.functions.timeseries import asof_join
+    e = load_table(spark, sf_dir, "events")
+    left = (e.filter(F.col("event_type") == "view")
+            .select("user_id", "ts", "event_id"))
+    right = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value"))
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     value_cols=("value",))
+
+
+@gate("ev05_interval_join", """
+SELECT c.event_id AS click_id, c.user_id, c.ts,
+       p.event_id AS purchase_id, p.ts AS win_start
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts <= c.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""")
+def ev05_interval_join(spark, sf_dir):
+    """Binned interval join: clicks landing inside [purchase_ts,
+    purchase_ts + 1h) windows of the same user.  The theta condition
+    becomes an equi-join on (user_id, hour-bin) + residual predicate —
+    no BroadcastNestedLoop/cartesian (timeseries.interval_join
+    docstring has the cost model)."""
+    from cantera_table_spark.functions.timeseries import interval_join
+    e = load_table(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", "ts"))
+    pur = (e.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"), "user_id",
+                   F.col("ts").alias("win_start"),
+                   (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                   .alias("win_end")))
+    out = interval_join(clicks, pur, ts_col="ts", start_col="win_start",
+                        end_col="win_end", key_col="user_id",
+                        bin_width_s=3600)
+    return out.select("click_id", "user_id", "ts", "purchase_id",
+                      "win_start")
