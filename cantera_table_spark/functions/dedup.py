@@ -548,3 +548,76 @@ def apply_dedup(df: DataFrame, clusters: DataFrame,
             .join(absorbed,
                   df[id_col] == absorbed["canonical_id"])
             .drop("canonical_id"))
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, k: int = 16, bands: int = 4,
+                      min_jaccard: float = 0.5,
+                      max_bucket: int | None = None,
+                      max_df: int | None = None,
+                      corpus_sh: DataFrame | None = None) -> DataFrame:
+    """Incremental (cross-batch) dedup: admit the NEW-batch documents
+    that duplicate neither the existing corpus nor an earlier batch
+    document — the production shape where a crawl lands daily against
+    a corpus that is already deduplicated.
+
+    Rules (greedy first-come-first-kept, the standard MinHashLSH
+    incremental policy):
+
+    1. exact: batch docs collapse to one representative per content
+       hash (min id); representatives whose hash already exists in the
+       corpus are rejected.
+    2. near: the surviving representatives join the corpus in ONE
+       shingle->MinHash->LSH->Jaccard pass; a batch doc is rejected if
+       it verifies (jaccard >= ``min_jaccard``) against ANY corpus doc
+       or any smaller-id batch doc — even one that is itself rejected
+       (greedy order-dependence, documented; transitive clustering is
+       :func:`near_dup_clusters`' job for the full-corpus pass).
+
+    Scale posture: the corpus side never re-tokenizes when
+    ``corpus_sh`` (its stored shingle table, the thing a production
+    index persists) is passed — only the batch is shingled, and the
+    LSH band join + candidate-restricted verification touch corpus
+    rows only where buckets collide.  Requires disjoint id spaces
+    between batch and corpus (ids are the only pair labels).
+
+    Returns admitted batch representatives: (doc_id, n_copies) where
+    n_copies counts the batch-internal exact-duplicate group.
+    """
+    bh = batch.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("__text"),
+                      F.coalesce(F.md5(F.col(text_col)), F.lit("-"))
+                      .alias("__h"))
+    reps = bh.groupBy("__h").agg(F.min("doc_id").alias("doc_id"),
+                                 F.count("*").alias("n_copies"))
+    ch = (corpus.select(F.coalesce(F.md5(F.col(text_col)), F.lit("-"))
+                        .alias("__h")).distinct())
+    surv0 = reps.join(ch, "__h", "left_anti").select("doc_id", "n_copies")
+    surv0_text = surv0.join(bh.select("doc_id", "__text"), "doc_id")
+    batch_sh = shingles(surv0_text, text_col="__text", n=n)
+    if corpus_sh is None:
+        corpus_sh = shingles(
+            corpus.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("__text")),
+            text_col="__text", n=n)
+    sh = corpus_sh.select("doc_id", "shingle").unionByName(batch_sh)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k=k),
+                                bands=bands, k=k, max_bucket=max_bucket)
+    pairs = (jaccard_pairs(sh, min_jaccard=min_jaccard,
+                           candidates=cands, max_df=max_df)
+             .select("doc_a", "doc_b"))
+    batch_ids = surv0.select("doc_id")
+    # pair (a, b) has a < b: b rejected whenever b is a batch doc
+    # (a is corpus or an earlier batch doc); a rejected when a is a
+    # batch doc near-matching a corpus doc b
+    rej_b = (pairs.join(batch_ids.select(F.col("doc_id").alias("doc_b")),
+                        "doc_b", "left_semi")
+             .select(F.col("doc_b").alias("doc_id")))
+    rej_a = (pairs.join(batch_ids.select(F.col("doc_id").alias("doc_a")),
+                        "doc_a", "left_semi")
+             .join(batch_ids.select(F.col("doc_id").alias("doc_b")),
+                   "doc_b", "left_anti")
+             .select(F.col("doc_a").alias("doc_id")))
+    rejected = rej_b.unionByName(rej_a).distinct()
+    return surv0.join(rejected, "doc_id", "left_anti")

@@ -3505,3 +3505,89 @@ def ev05_interval_join(spark, sf_dir):
                         bin_width_s=3600)
     return out.select("click_id", "user_id", "ts", "purchase_id",
                       "win_start")
+
+
+@gate("dd14_incremental_dedup", """
+WITH h AS (
+  SELECT doc_id, text, coalesce(md5(text), '-') AS ch, doc_id % 2 AS side
+  FROM documents
+),
+corpus AS (SELECT * FROM h WHERE side = 0),
+batch AS (SELECT * FROM h WHERE side = 1),
+reps AS (
+  SELECT min(doc_id) AS doc_id, ch, count(*) AS n_copies
+  FROM batch GROUP BY ch
+),
+surv0 AS (
+  SELECT r.doc_id, r.n_copies, b.text
+  FROM reps r JOIN batch b USING (doc_id)
+  WHERE r.ch NOT IN (SELECT ch FROM corpus)
+),
+pool AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id, text FROM surv0
+),
+arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM pool
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM arrs, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+),
+sigs AS (
+  SELECT doc_id, i AS h_idx,
+         min(((2 * i + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+              + 12345 * i + 1) % 4294967311) AS sig
+  FROM sh, unnest(range(0, 16)) AS h(i)
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, (h_idx // 4) AS band,
+         md5(string_agg(h_idx || ':' || sig, ','
+                        ORDER BY h_idx || ':' || sig)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.12
+),
+rej AS (
+  SELECT doc_b AS doc_id FROM ver WHERE doc_b % 2 = 1
+  UNION
+  SELECT doc_a FROM ver WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+)
+SELECT doc_id, n_copies FROM surv0
+WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+""")
+def dd14_incremental_dedup(spark, sf_dir):
+    """Incremental cross-batch dedup: even doc_ids play the existing
+    corpus, odd doc_ids the newly-crawled batch; admitted = batch reps
+    that are neither exact- nor near-duplicates (jaccard >= 0.12) of
+    the corpus or an earlier batch doc.  The oracle replays the exact
+    hash screen, the MinHash/LSH banding, the candidate-restricted
+    Jaccard verify, and the greedy rejection rule."""
+    from cantera_table_spark.functions.dedup import incremental_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, corpus, min_jaccard=0.12)

@@ -1140,3 +1140,44 @@ def test_funnel_strict_ordering_and_retention(spark):
     ret = {(r.cohort_period, r.periods_since): r.n_active
            for r in retention_cohorts(e, period_days=7).collect()}
     assert ret[(0, 0)] == 5
+
+
+def test_incremental_dedup_laws(spark):
+    from cantera_table_spark.functions.dedup import incremental_dedup, shingles
+    from pyspark.sql import functions as F
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "for the full length of the document body text")
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus content here "
+                        "about sailing ships across the northern sea")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, base),                                   # exact dup of corpus
+         (3, base + " with one tiny suffix edit"),    # near dup of corpus
+         (5, "entirely novel text about gardening tomatoes in clay soil "
+             "with compost and careful irrigation schedules"),
+         (7, "entirely novel text about gardening tomatoes in clay soil "
+             "with compost and careful irrigation schedules"),  # exact dup of 5
+         (9, None)],                                  # NULL text: novel
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_copies"]
+           for r in incremental_dedup(batch, corpus,
+                                      min_jaccard=0.5).collect()}
+    assert got == {5: 2, 9: 1}
+    # precomputed corpus shingles give the identical result
+    pre = shingles(corpus)
+    got2 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_dedup(batch, corpus, min_jaccard=0.5,
+                                       corpus_sh=pre).collect()}
+    assert got2 == got
+    # greedy rule: a batch doc matching only an EARLIER batch doc is
+    # rejected even though the corpus never saw either
+    batch2 = spark.createDataFrame(
+        [(1, "novel text body alpha beta gamma delta epsilon zeta eta "
+             "theta iota kappa"),
+         (3, "novel text body alpha beta gamma delta epsilon zeta eta "
+             "theta iota kappa slightly changed")],
+        "doc_id long, text string")
+    got3 = sorted(r["doc_id"] for r in incremental_dedup(
+        batch2, corpus, min_jaccard=0.5).collect())
+    assert got3 == [1]
