@@ -103,3 +103,86 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     if quotas is not None:
         out = out.filter(F.col("sample_rank") <= F.col("__q")).drop("__q")
     return out.drop("__h")
+
+
+def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
+                   strata_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id", token_col: str | None = None,
+                   coarse: bool = True) -> DataFrame:
+    """Domain-mixture resampling to a TOKEN budget: each stratum
+    (source domain, language, quality bucket) gets ``total_tokens *
+    w/sum(w)`` tokens, filled greedily in the deterministic md5-hash
+    order shared with :func:`stratified_sample` — a document is
+    admitted iff the tokens of the hash-earlier documents of its
+    stratum are still under the stratum quota (the last admitted doc
+    may overshoot by part of itself; strata without a weight drop).
+    This is the static data-mixing step of pretraining pipelines
+    (fixed per-domain token budgets); re-running after a crawl only
+    moves docs whose hashes cross the cutoff.
+
+    Plan shape: the naive formulation is an exclusive running sum over
+    each FULL stratum — one sequential window scan per stratum, the
+    classic single-partition bottleneck at 100 TB.  With
+    ``coarse=True`` (default) the cumsum runs at two granularities:
+
+    1. docs bucket by their hash's first byte (256 buckets); per
+       (stratum, bucket) token totals are one map-side-combinable
+       aggregation (#strata * 256 rows), and the exclusive bucket-start
+       offsets are a window over THAT tiny table;
+    2. buckets entirely under quota admit wholesale and buckets
+       starting past quota reject wholesale — NO window touches their
+       rows; only each stratum's single boundary bucket (~1/256 of the
+       stratum) runs the exact within-bucket cumsum, seeded with its
+       bucket-start offset.
+
+    Both paths return IDENTICAL rows (the hash orders by (first-byte
+    bucket, rest) exactly like the flat hash string; equivalence
+    pinned in tests).  Returns (strata_col, doc_id, n_tokens).
+    """
+    from pyspark.sql import types as T
+    w_sum = float(sum(weights.values()))
+    quotas = {s: int(total_tokens * w / w_sum) for s, w in weights.items()}
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()],
+        T.StructType([df.schema[strata_col],
+                      T.StructField("__q", T.LongType())]))
+    if token_col is None:
+        from cantera_table_spark.functions.text import tokens
+        n_tok = F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+    else:
+        n_tok = F.coalesce(F.col(token_col), F.lit(0))
+    base = (df.select(F.col(strata_col), F.col(id_col).alias("doc_id"),
+                      n_tok.cast("long").alias("n_tokens"),
+                      sample_hash(F.col(id_col)).alias("__h"))
+            .join(F.broadcast(qdf), strata_col))
+    out_cols = [strata_col, "doc_id", "n_tokens"]
+    if not coarse:
+        w = (Window.partitionBy(strata_col)
+             .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return (base.withColumn("__cum", cum)
+                .filter(F.col("__cum") < F.col("__q"))
+                .select(*out_cols))
+    b = base.withColumn("__b", F.substring("__h", 1, 2))
+    coarse_tbl = (b.groupBy(strata_col, "__b")
+                  .agg(F.sum("n_tokens").alias("__bt")))
+    wb = (Window.partitionBy(strata_col).orderBy(F.col("__b").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    starts = coarse_tbl.withColumn(
+        "__bs", F.coalesce(F.sum("__bt").over(wb), F.lit(0)))
+    j = b.join(F.broadcast(starts), [strata_col, "__b"])
+    full = (j.filter(F.col("__bs") + F.col("__bt") <= F.col("__q"))
+            .select(*out_cols))
+    boundary = j.filter((F.col("__bs") < F.col("__q")) &
+                        (F.col("__bs") + F.col("__bt") > F.col("__q")))
+    wf = (Window.partitionBy(strata_col, "__b")
+          .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    fine = (boundary
+            .withColumn("__cum", F.col("__bs") +
+                        F.coalesce(F.sum("n_tokens").over(wf), F.lit(0)))
+            .filter(F.col("__cum") < F.col("__q"))
+            .select(*out_cols))
+    return full.unionByName(fine)

@@ -3591,3 +3591,36 @@ def dd14_incremental_dedup(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup(batch, corpus, min_jaccard=0.12)
+
+
+@gate("ds06_mixture_sample", """
+WITH d AS (
+  SELECT source, doc_id,
+         coalesce(len(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '')), 0)::BIGINT AS n_tokens,
+         md5('samp:' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+q AS (SELECT * FROM (VALUES ('src0', 1200), ('src1', 400), ('src2', 400))
+      t(source, quota)),
+c AS (
+  SELECT d.source, d.doc_id, d.n_tokens, q.quota,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY d.source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM d JOIN q USING (source)
+)
+SELECT source, doc_id, n_tokens FROM c WHERE cum < quota
+""")
+def ds06_mixture_sample(spark, sf_dir):
+    """Domain-mixture token-budget sampling: sources src0/src1/src2
+    weighted 3:1:1 over a 2000-token budget, filled greedily in
+    deterministic hash order.  The Spark side runs the COARSE two-phase
+    plan (bucket cumsum + boundary-bucket refinement) while the oracle
+    is the naive per-stratum running sum — the hash match IS the
+    equivalence proof at gate scale."""
+    from cantera_table_spark.functions.sampling import mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+                          total_tokens=2000)

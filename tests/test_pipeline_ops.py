@@ -1181,3 +1181,25 @@ def test_incremental_dedup_laws(spark):
     got3 = sorted(r["doc_id"] for r in incremental_dedup(
         batch2, corpus, min_jaccard=0.5).collect())
     assert got3 == [1]
+
+
+def test_mixture_sample_coarse_equals_naive(spark):
+    from cantera_table_spark.functions.sampling import mixture_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 2.0, "src1": 1.0, "src3": 5.0}
+    a = sorted(tuple(r) for r in mixture_sample(
+        docs, w, total_tokens=900, coarse=True).collect())
+    b = sorted(tuple(r) for r in mixture_sample(
+        docs, w, total_tokens=900, coarse=False).collect())
+    assert a == b and len(a) > 0
+    # budget larger than the whole stratum admits everything in it
+    big = sorted(tuple(r) for r in mixture_sample(
+        docs, {"src0": 1.0}, total_tokens=10_000_000).collect())
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert len(big) == n_src0
+    # token budget respected: admitted-before-last under quota
+    from pyspark.sql import functions as F
+    got = mixture_sample(docs, {"src0": 1.0}, total_tokens=500).collect()
+    total = sum(r["n_tokens"] for r in got)
+    mx = max(r["n_tokens"] for r in got)
+    assert total - mx < 500 <= total or total < 500
