@@ -383,3 +383,99 @@ def quantize_embeddings(emb: DataFrame, stats: DataFrame | None = None,
             .withColumn("qcode", F.transform(idx, per_dim))
             .withColumn("embedding_q", F.transform(idx, deq))
             .drop("mins", "maxs"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance with double accumulation (sequential left
+    fold, same order as the oracle's list_reduce over DOUBLE[])."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebook: the vector space splits into
+    ``m`` contiguous subspaces; each subspace gets ``ksub`` centroids.
+    Seeding is deterministic like :func:`seed_centroids` — the ksub
+    lowest-id vectors' subvectors, code = the seed's id rank — so a
+    SQL oracle reproduces the codebook exactly (k-means refinement
+    per subspace would drop in here for recall; the seeded form keeps
+    the gate deterministic).  Returns (sub_idx, code, cv) —
+    m * ksub small rows, always broadcast.
+    """
+    from pyspark.sql import Window
+    seeds = (emb.orderBy(id_col).limit(ksub)
+             .withColumn("code",
+                         F.row_number().over(Window.orderBy(id_col)) - 1))
+    sublen = (F.size(F.col("__v")) / m).cast("int")
+    return (seeds.select(
+        "code", F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select("sub_idx", "code",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias("cv")))
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to ``m`` one-byte codes: per subspace, the
+    code of the L2-nearest codebook centroid (ties -> lowest code).
+    m rows per vector of (vec_id, sub_idx, code) — the stored index is
+    m bytes/vector vs 4*dim for raw float32 (32x at dim=32, m=4).
+    Plan: explode to subvectors, broadcast-join the codebook per
+    subspace, one min(struct) aggregation — no shuffle of the raw
+    vectors beyond the explode's narrow rows."""
+    sublen = (F.size(F.col("__v")) / m).cast("int")
+    subs = (emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select("vec_id", "sub_idx",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias("sv")))
+    scored = (subs.join(F.broadcast(codebook), "sub_idx")
+              .withColumn("__d", _l2sq(F.col("sv"), F.col("cv"))))
+    return (scored.groupBy("vec_id", "sub_idx")
+            .agg(F.min(F.struct("__d", "code")).alias("__m"))
+            .select("vec_id", "sub_idx", F.col("__m.code").alias("code")))
+
+
+def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+            k: int = 5, m: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its m * ksub lookup table of subspace distances to the
+    codebook (broadcast both ways — LUT rows = |Q| * m * ksub), the
+    stored codes equi-join the LUT on (sub_idx, code), and the
+    approximate distance is the per-(query, vector) SUM of m partial
+    distances — the classic PQ search, with the raw vectors never read
+    at query time.  Returns (query_id, neighbor_id, approx_d2, rank),
+    rank 1..k ascending distance (ties -> lowest neighbor id).
+    """
+    from pyspark.sql import Window
+    sublen = (F.size(F.col("__v")) / m).cast("int")
+    qsubs = (queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select("query_id", "sub_idx",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias("qv")))
+    lut = (qsubs.join(F.broadcast(codebook), "sub_idx")
+           .select("query_id", "sub_idx", "code",
+                   _l2sq(F.col("qv"), F.col("cv")).alias("pd")))
+    scored = (codes.join(F.broadcast(lut), ["sub_idx", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
+                   F.count("*").alias("__np"))
+              # a vector scores only with all m partials present (the
+              # codes table always has m rows per vector; the guard
+              # documents the invariant rather than trusting it)
+              .filter(F.col("__np") == m).drop("__np"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -3624,3 +3624,78 @@ def ds06_mixture_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return mixture_sample(docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0},
                           total_tokens=2000)
+
+
+@gate("sim09_pq_topk", """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+seeds0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM seeds0
+),
+cb AS (
+  SELECT s.sub_idx, code,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS cv
+  FROM seeds, unnest(range(0, 4)) AS s(sub_idx)
+),
+subs AS (
+  SELECT vec_id, s.sub_idx,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS sv
+  FROM vecs, unnest(range(0, 4)) AS s(sub_idx)
+),
+enc_scored AS (
+  SELECT subs.vec_id, subs.sub_idx, cb.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(sv) + 1),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+           (a, b) -> a + b) AS d
+  FROM subs JOIN cb USING (sub_idx)
+),
+codes AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_idx
+                                 ORDER BY d, code) AS rk
+    FROM enc_scored) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, sub_idx, sv AS qv
+      FROM subs WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, q.sub_idx, cb.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(qv) + 1),
+             i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+           (a, b) -> a + b) AS pd
+  FROM q JOIN cb USING (sub_idx)
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         round(sum(l.pd), 6) AS approx_d2
+  FROM codes c JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def sim09_pq_topk(spark, sf_dir):
+    """Product-quantization ANN end-to-end: m=4 subspaces, 8 centroids
+    each (seeded deterministically), vectors stored as 4 one-byte
+    codes, search by asymmetric-distance LUT join — every stage
+    (codebook, encoding argmin, ADC sum, ranking) replayed and
+    hash-verified by the oracle."""
+    from cantera_table_spark.functions.similarity import (
+        pq_codebook, pq_encode, pq_topk)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=4, ksub=8)
+    codes = pq_encode(emb, cb, m=4)
+    return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)

@@ -1203,3 +1203,33 @@ def test_mixture_sample_coarse_equals_naive(spark):
     total = sum(r["n_tokens"] for r in got)
     mx = max(r["n_tokens"] for r in got)
     assert total - mx < 500 <= total or total < 500
+
+
+def test_pq_encoding_laws(spark):
+    from cantera_table_spark.functions.similarity import (
+        pq_codebook, pq_encode, pq_topk)
+    import itertools
+    # 8 seed vectors (ids 0-7) in 8 dims; ids 100+ are exact copies of
+    # seeds -> must encode to the seed's code in every subspace and
+    # have ADC distance 0 to a query equal to that seed
+    seeds = [[float(i + 1)] * 8 for i in range(8)]
+    rows = [(i, seeds[i]) for i in range(8)]
+    rows += [(100 + i, seeds[i]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb, m=4, ksub=8)
+    assert cb.count() == 32  # 4 subspaces x 8 codes
+    codes = pq_encode(emb, cb, m=4)
+    rows_c = codes.collect()
+    assert all(0 <= r["code"] < 8 for r in rows_c)
+    per_vec = {}
+    for r in rows_c:
+        per_vec.setdefault(r["vec_id"], {})[r["sub_idx"]] = r["code"]
+    assert all(len(v) == 4 for v in per_vec.values())
+    for i in range(8):
+        assert per_vec[100 + i] == per_vec[i] == {j: i for j in range(4)}
+    top = pq_topk(codes, cb, emb.filter("vec_id < 8"), k=2, m=4).collect()
+    for r in top:
+        if r["rank"] == 1:
+            # nearest neighbour of seed q is its exact copy at ADC 0
+            assert r["approx_d2"] == 0.0
+            assert r["neighbor_id"] == 100 + r["query_id"]
