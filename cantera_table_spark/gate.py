@@ -3699,3 +3699,59 @@ def sim09_pq_topk(spark, sf_dir):
     cb = pq_codebook(emb, m=4, ksub=8)
     codes = pq_encode(emb, cb, m=4)
     return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
+
+
+@gate("st05_stream_stream_join", """
+SELECT v.user_id::VARCHAR AS key,
+       date_trunc('second', v.ts) AS l_ts,
+       v.event_id AS view_id,
+       date_trunc('second', p.ts) AS r_ts,
+       p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND date_trunc('second', p.ts) <= date_trunc('second', v.ts)
+ AND date_trunc('second', v.ts) <
+     date_trunc('second', p.ts) + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND v.user_id IS NOT NULL AND p.user_id IS NOT NULL
+  AND v.ts IS NOT NULL AND p.ts IS NOT NULL
+  AND v.event_id IS NOT NULL AND p.event_id IS NOT NULL
+""")
+def st05_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream join end-to-end: view and purchase
+    events arrive as two independent TSV file streams, inner-join on
+    user inside [purchase_ts, purchase_ts + 1h), availableNow into a
+    checkpointed parquet sink.  One batch + flush processes everything,
+    so the emitted pairs equal the batch interval join — which is
+    exactly what the oracle replays (state-eviction semantics are the
+    streaming-only difference, documented on stream_stream_join)."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import (
+        start_parquet_sink, stream_stream_join, stream_tsv_timeseries)
+    e = load_table(spark, sf_dir, "events")
+    ok = (F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+          & F.col("event_id").isNotNull())
+    base = _gate_tmp(sf_dir, "st05")
+    shutil.rmtree(base, ignore_errors=True)
+    for kind, sub in [("view", "views"), ("purchase", "purchases")]:
+        (e.filter(ok & (F.col("event_type") == kind))
+         .select(F.concat_ws(
+             "\t", F.col("user_id"),
+             F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+             F.col("event_id").cast("string")).alias("value"))
+         .coalesce(2).write.mode("overwrite").text(f"{base}/{sub}"))
+    views = (stream_tsv_timeseries(spark, f"{base}/views",
+                                   date_format="yyyy/MM/dd HH:mm:ss")
+             .select("key", F.col("ts").alias("l_ts"),
+                     F.col("value").cast("long").alias("view_id")))
+    purchases = (stream_tsv_timeseries(spark, f"{base}/purchases",
+                                       date_format="yyyy/MM/dd HH:mm:ss")
+                 .select("key", F.col("ts").alias("r_ts"),
+                         F.col("value").cast("long").alias("purchase_id")))
+    joined = stream_stream_join(views, purchases, key_col="key",
+                                left_ts="l_ts", right_ts="r_ts",
+                                max_span="1 hour", watermark="2 hours")
+    q = start_parquet_sink(joined, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/sink")
+            .select("key", "l_ts", "view_id", "r_ts", "purchase_id"))

@@ -90,3 +90,36 @@ def streaming_exact_dedup(stream: DataFrame, hash_cols=("text",),
         return out.dropDuplicates(["content_hash"])
     return (out.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       key_col: str = "key",
+                       left_ts: str = "l_ts", right_ts: str = "r_ts",
+                       max_span: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream INNER join: left rows pair with right
+    rows of the same key inside ``[right_ts, right_ts + max_span)`` —
+    the streaming form of the batch binned interval join
+    (functions/timeseries.interval_join).
+
+    Both sides carry an event-time watermark; with the time-range
+    predicate bounding the buffered span, Spark can evict join state
+    older than ``watermark + max_span`` instead of buffering both
+    streams forever — the required shape for an always-on 100 TB
+    pipeline.  The availableNow gate run processes all data in one
+    batch, so the emitted set equals the batch join (st05 pins that);
+    in continuous runs, rows later than the watermark are dropped —
+    the same late-data layering as the windowed rollup.
+
+    Columns besides ``key_col`` must be disjoint between the sides.
+    """
+    overlap = [c for c in left.columns if c in right.columns
+               and c != key_col]
+    if overlap:
+        raise ValueError(f"column collision between sides: {overlap}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[key_col] == rw[key_col]) &
+            (rw[right_ts] <= lw[left_ts]) &
+            (lw[left_ts] < rw[right_ts] + F.expr(f"INTERVAL {max_span}")))
+    return lw.join(rw, cond, "inner").drop(rw[key_col])
