@@ -418,3 +418,30 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 256,
                 F.col("w.start").alias("chunk_start"),
                 F.size("w.c").alias("n_chunk_tokens"),
                 F.array_join("w.c", " ").alias("chunk_text")))
+
+
+def ppl_buckets(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity bucketing: score the corpus with
+    :func:`lm_quality_score`, then split into head / middle / tail by
+    the corpus's own avg_nll terciles (head = most fluent third, the
+    part CCNet keeps by default; tail = candidate discard).
+
+    Scale shape: the cutoffs are ONE broadcast percentile row over the
+    per-doc score table — not a global ntile window, which would total-
+    sort every score through a single partition; bucketing is then a
+    map-side CASE.  Documents without bigrams (< 2 tokens) bucket as
+    'empty'.  Returns (doc_id, avg_nll, ppl_bucket).
+    """
+    sc = lm_quality_score(df, text_col=text_col, id_col=id_col)
+    cut = sc.agg(
+        F.percentile(F.col("avg_nll"), F.lit(1.0 / 3.0)).alias("__q1"),
+        F.percentile(F.col("avg_nll"), F.lit(2.0 / 3.0)).alias("__q2"))
+    return (sc.crossJoin(F.broadcast(cut))
+            .withColumn(
+                "ppl_bucket",
+                F.when(F.col("avg_nll").isNull(), F.lit("empty"))
+                .when(F.col("avg_nll") <= F.col("__q1"), F.lit("head"))
+                .when(F.col("avg_nll") <= F.col("__q2"), F.lit("middle"))
+                .otherwise(F.lit("tail")))
+            .select(id_col, "avg_nll", "ppl_bucket"))

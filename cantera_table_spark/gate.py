@@ -3755,3 +3755,51 @@ def st05_stream_stream_join(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(f"{base}/sink")
             .select("key", "l_ts", "view_id", "r_ts", "purchase_id"))
+
+
+@gate("tx15_ppl_buckets", """
+WITH toks AS (
+  SELECT doc_id, t.i, l[t.i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS l
+        FROM documents),
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL
+),
+uni AS (SELECT tok AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT count(*)::DOUBLE AS vv FROM uni),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+sc AS (
+  SELECT b.doc_id, ln((c.c12 + 1) / (u.c1 + v.vv)) AS logp
+  FROM big b JOIN c12 c USING (w1, w2) JOIN uni u USING (w1), v
+),
+agg AS (
+  SELECT doc_id, round(-avg(logp), 6) AS avg_nll FROM sc GROUP BY 1
+),
+scores AS (
+  SELECT d.doc_id, a.avg_nll FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+cut AS (
+  SELECT quantile_cont(avg_nll, 1.0/3.0) AS q1,
+         quantile_cont(avg_nll, 2.0/3.0) AS q2
+  FROM scores
+)
+SELECT doc_id, avg_nll,
+       CASE WHEN avg_nll IS NULL THEN 'empty'
+            WHEN avg_nll <= cut.q1 THEN 'head'
+            WHEN avg_nll <= cut.q2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scores, cut
+""")
+def tx15_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets from the corpus's own
+    avg_nll terciles — broadcast percentile cutoffs + map-side CASE,
+    no global sort.  The oracle replays the bigram LM (tx10's CTEs)
+    and the tercile split with the shared interpolation definition."""
+    from cantera_table_spark.functions.text import ppl_buckets
+    return ppl_buckets(load_table(spark, sf_dir, "documents"))
