@@ -201,9 +201,11 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
                      .select("shingle"))
         pair_sh = sh.join(df_counts, "shingle", "left_semi")
     if candidates is not None:
-        cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
-                     .unionByName(candidates.select(
-                         F.col("doc_b").alias("doc_id")))
+        # one consumption of the candidate plan (the full LSH banding
+        # pipeline) — a two-branch union would execute it twice
+        cand_docs = (candidates
+                     .select(F.explode(F.array("doc_a", "doc_b"))
+                             .alias("doc_id"))
                      .distinct())
         # compose with (not replace) the stop-shingle filter above
         pair_sh = pair_sh.join(cand_docs, "doc_id", "left_semi")
@@ -308,11 +310,17 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     # the one-time materialization costs ~15% — the recompute it
     # avoids is trivial there; at corpus scale the recompute is the
     # whole dedup pipeline per round, which is the case that matters.)
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst")))
-             .distinct()).cache()
+    # symmetrize with ONE consumption of the pairs plan: a union of two
+    # differently-projected selects defeats ReuseExchange, so the whole
+    # upstream LSH -> jaccard pipeline would execute twice (measured 2x
+    # on the dd06 bench phase); the explode reads it once
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("src"),
+                 F.col("doc_b").alias("dst")),
+        F.struct(F.col("doc_b").alias("src"),
+                 F.col("doc_a").alias("dst")))).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()).cache()
     # Materialize the edge cache NOW: both the node set below and every
     # iteration read it, and without this the first job would compute
     # the whole upstream candidate pipeline once per branch.
