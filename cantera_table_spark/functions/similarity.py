@@ -479,3 +479,44 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
         F.col("approx_d2").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
+                   n_clusters: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, and
+    within each cluster drop every vector whose cosine similarity to a
+    LOWER-id cluster member reaches ``threshold`` — semantic
+    near-duplicates that string-level dedup cannot see.
+
+    The pairwise comparison is restricted to WITHIN-cluster pairs —
+    the O(N^2/k) SemDeDup economics; the cross-cluster quadratic never
+    materializes.  ``centroids`` defaults to the deterministic seeded
+    set (:func:`seed_centroids`); production passes k-means centroids
+    from :func:`ivf_train`.  At 100 TB the within-cluster self-join
+    shuffles on ``cluster`` — cluster count scales with corpus so the
+    per-cluster membership stays bounded (the paper's setting).
+
+    Returns (vec_id, cluster, kept): every vector with its cluster and
+    the keep/drop decision (kept = no lower-id member at >= threshold).
+    """
+    if centroids is None:
+        centroids = seed_centroids(emb, n=n_clusters, id_col=id_col,
+                                   vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &
+                    (F.col("a.vec_id") < F.col("b.vec_id")))
+             .withColumn("__cos", F.round(
+                 cosine(F.col("a.v"), F.col("b.v")), 6))
+             .filter(F.col("__cos") >= threshold)
+             .select(F.col("b.vec_id").alias("vec_id"))
+             .distinct())
+    return (assigned.select("vec_id", "cluster")
+            .join(drops.withColumn("__drop", F.lit(True)),
+                  "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(~F.col("__drop"), F.lit(True))
+                    .alias("kept")))

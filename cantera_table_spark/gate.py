@@ -3803,3 +3803,121 @@ def tx15_ppl_buckets(spark, sf_dir):
     and the tercile split with the shared interpolation definition."""
     from cantera_table_spark.functions.text import ppl_buckets
     return ppl_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@gate("tx16_kmv_distinct", """
+WITH toks AS (
+  SELECT d.source, t.tok
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+),
+h AS (
+  SELECT DISTINCT source,
+         ((('0x' || substr(md5(tok), 1, 8))::BIGINT + 1)
+          / 4294967296.0) AS u
+  FROM toks
+),
+rk AS (
+  SELECT source, u,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS r
+  FROM h
+),
+agg AS (
+  SELECT source, count(*) AS nd,
+         max(CASE WHEN r = 64 THEN u END) AS uk
+  FROM rk GROUP BY 1
+)
+SELECT source,
+       CASE WHEN nd < 64 THEN nd::DOUBLE
+            ELSE round(63.0 / uk, 4) END AS est_distinct,
+       least(nd, 64)::INT AS n_mins
+FROM agg
+""")
+def tx16_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch: per-source distinct-token estimates
+    from the 64 smallest portable hashes — bounded mergeable state
+    (mapInPandas partials + one k-min merge), and because
+    k-min-of-distinct is order- and partition-independent, the oracle
+    replays the APPROXIMATE estimator exactly."""
+    from cantera_table_spark.functions.sketches import kmv_distinct
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"),
+                           lambda x: x != "")).alias("tok"))
+    return kmv_distinct(toks, value_col="tok", group_col="source", k=64)
+
+
+@gate("ev07_rollup_day", """
+SELECT event_type, date_trunc('day', ts) AS day,
+       2 * grouping(event_type) + grouping(date_trunc('day', ts)) AS gid,
+       count(*) AS n, round(sum(value), 3) AS total
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""")
+def ev07_rollup_day(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (event_type -> day subtotals ->
+    grand total) with explicit grouping flags to separate subtotal
+    NULLs from data NULLs — Spark's one-pass expand-and-aggregate vs
+    the SQL ROLLUP replay."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (e.rollup(F.col("event_type"), day)
+            .agg((2 * F.grouping("event_type") +
+                  F.grouping(day)).alias("gid"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum("value"), 3).alias("total"))
+            .select("event_type", "day", "gid", "n", "total"))
+
+
+@gate("dd15_semantic_dedup", """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv
+      FROM vecs ORDER BY vec_id LIMIT 8),
+sc AS (
+  SELECT e.vec_id, c.centroid_id, e.v,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+      i -> v[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS acos
+  FROM vecs e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cluster, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rk
+    FROM sc) t
+  WHERE rk = 1
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+      i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])), (x, y) -> x + y))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])), (x, y) -> x + y))),
+    6) >= 0.35
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+""")
+def dd15_semantic_dedup(spark, sf_dir):
+    """SemDeDup: embeddings cluster to the 8 seeded centroids; within
+    each cluster, vectors at cosine >= 0.35 to a lower-id member are
+    dropped — semantic near-dup pruning with the quadratic restricted
+    to within-cluster pairs.  The oracle replays assignment, the
+    within-cluster pair scan, and the keep/drop rule."""
+    from cantera_table_spark.functions.similarity import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_clusters=8)

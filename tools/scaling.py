@@ -220,6 +220,53 @@ def main():
                              F.col("value").alias("value")))
          .write.format("noop").mode("overwrite").save())
 
+    def asof_join_general(e):
+        from cantera_table_spark.functions.timeseries import asof_join
+        left = (e.filter(F.col("event_type") == "view")
+                .select("user_id", "ts", "event_id"))
+        right = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+        asof_join(left, right).write.format("noop") \
+            .mode("overwrite").save()
+
+    def interval_join_case(e):
+        from cantera_table_spark.functions.timeseries import interval_join
+        clicks = (e.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          "user_id", "ts"))
+        pur = (e.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purchase_id"), "user_id",
+                       F.col("ts").alias("s"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                       .alias("en")))
+        interval_join(clicks, pur, ts_col="ts", start_col="s",
+                      end_col="en", key_col="user_id") \
+            .write.format("noop").mode("overwrite").save()
+
+    def mixture(d):
+        from cantera_table_spark.functions.sampling import mixture_sample
+        mixture_sample(d, {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+                       total_tokens=20_000) \
+            .write.format("noop").mode("overwrite").save()
+
+    def pq_ann(em):
+        from cantera_table_spark.functions.similarity import (
+            pq_codebook, pq_encode, pq_topk)
+        cb = pq_codebook(em, m=4, ksub=8)
+        codes = pq_encode(em, cb, m=4)
+        pq_topk(codes, cb, em.filter(F.col("vec_id") < 10), k=5, m=4) \
+            .write.format("noop").mode("overwrite").save()
+
+    def incremental(d):
+        # scaled() clones every doc, so the batch side collapses against
+        # the corpus in the exact screen; max_bucket bounds the clone-
+        # flooded LSH buckets exactly as in dedup_clusters
+        from cantera_table_spark.functions.dedup import incremental_dedup
+        incremental_dedup(d.filter(F.col("doc_id") % 2 == 1),
+                          d.filter(F.col("doc_id") % 2 == 0),
+                          min_jaccard=0.12, max_bucket=32) \
+            .write.format("noop").mode("overwrite").save()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -237,6 +284,11 @@ def main():
         ("dedup_clusters", "documents", dedup_clusters),
         ("retention", "events", retention),
         ("bands", "events", bands),
+        ("asof_join_general", "events", asof_join_general),
+        ("interval_join", "events", interval_join_case),
+        ("mixture_sample", "documents", mixture),
+        ("pq_ann", "embeddings", pq_ann),
+        ("incremental_dedup", "documents", incremental),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
