@@ -2690,15 +2690,22 @@ agg AS (
          round(exp(-avg(logp)), 4) AS ppl
   FROM sc GROUP BY 1
 )
-SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_nll, a.ppl
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       a.avg_nll AS nll_avg, a.ppl
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """)
 def tx10_lm_score(spark, sf_dir):
     """Bigram-LM perplexity quality score (CCNet/KenLM-shaped filter)
     trained on the corpus itself with add-one smoothing; identical
-    double expression tree on both engines, averages rounded."""
+    double expression tree on both engines, averages rounded.  avg_nll
+    is surfaced as nll_avg so the comparator's alphabetical column
+    sort leads with the non-null unique doc_id (avg_nll is NULL for
+    sub-2-token docs, and a NULL in the first sorted column breaks
+    row ordering)."""
     from cantera_table_spark.functions.text import lm_quality_score
-    return lm_quality_score(load_table(spark, sf_dir, "documents"))
+    return (lm_quality_score(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", "n_bigrams",
+                    F.col("avg_nll").alias("nll_avg"), "ppl"))
 
 
 @gate("ds03_pack_sequences", """
@@ -3789,7 +3796,7 @@ cut AS (
          quantile_cont(avg_nll, 2.0/3.0) AS q2
   FROM scores
 )
-SELECT doc_id, avg_nll,
+SELECT doc_id, avg_nll AS nll_avg,
        CASE WHEN avg_nll IS NULL THEN 'empty'
             WHEN avg_nll <= cut.q1 THEN 'head'
             WHEN avg_nll <= cut.q2 THEN 'middle'
@@ -3802,7 +3809,9 @@ def tx15_ppl_buckets(spark, sf_dir):
     no global sort.  The oracle replays the bigram LM (tx10's CTEs)
     and the tercile split with the shared interpolation definition."""
     from cantera_table_spark.functions.text import ppl_buckets
-    return ppl_buckets(load_table(spark, sf_dir, "documents"))
+    return (ppl_buckets(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", F.col("avg_nll").alias("nll_avg"),
+                    "ppl_bucket"))
 
 
 @gate("tx16_kmv_distinct", """
@@ -3850,25 +3859,38 @@ def tx16_kmv_distinct(spark, sf_dir):
 
 
 @gate("ev07_rollup_day", """
-SELECT event_type, date_trunc('day', ts) AS day,
-       2 * grouping(event_type) + grouping(date_trunc('day', ts)) AS gid,
+SELECT CASE WHEN grouping(event_type) = 1 THEN '(all)'
+            ELSE coalesce(event_type, '(null)') END AS event_type,
+       CASE WHEN grouping(d) = 1 THEN '(all)'
+            ELSE coalesce(strftime(d, '%Y-%m-%d'), '(null)') END AS day,
+       2 * grouping(event_type) + grouping(d) AS gid,
        count(*) AS n, round(sum(value), 3) AS total
-FROM events
-GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
+GROUP BY ROLLUP (event_type, d)
 """)
 def ev07_rollup_day(spark, sf_dir):
     """Hierarchical ROLLUP aggregate (event_type -> day subtotals ->
-    grand total) with explicit grouping flags to separate subtotal
-    NULLs from data NULLs — Spark's one-pass expand-and-aggregate vs
-    the SQL ROLLUP replay."""
-    e = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
-    return (e.rollup(F.col("event_type"), day)
-            .agg((2 * F.grouping("event_type") +
-                  F.grouping(day)).alias("gid"),
+    grand total), one expand-and-aggregate pass.  Subtotal levels are
+    labeled '(all)' via the grouping() flags — distinct from genuine
+    NULL data, which labels '(null)' — so the result is null-free and
+    comparator-safe on every column."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("day"), "value"))
+    lab_et = (F.when(F.grouping("event_type") == 1, F.lit("(all)"))
+              .otherwise(F.coalesce(F.col("event_type"),
+                                    F.lit("(null)"))))
+    lab_day = (F.when(F.grouping("day") == 1, F.lit("(all)"))
+               .otherwise(F.coalesce(
+                   F.date_format("day", "yyyy-MM-dd"), F.lit("(null)"))))
+    return (e.rollup("event_type", "day")
+            .agg(lab_et.alias("__et"), lab_day.alias("__day"),
+                 (2 * F.grouping("event_type") +
+                  F.grouping("day")).alias("gid"),
                  F.count("*").alias("n"),
                  F.round(F.sum("value"), 3).alias("total"))
-            .select("event_type", "day", "gid", "n", "total"))
+            .select(F.col("__et").alias("event_type"),
+                    F.col("__day").alias("day"), "gid", "n", "total"))
 
 
 @gate("dd15_semantic_dedup", """
