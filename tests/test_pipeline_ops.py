@@ -1233,3 +1233,50 @@ def test_pq_encoding_laws(spark):
             # nearest neighbour of seed q is its exact copy at ADC 0
             assert r["approx_d2"] == 0.0
             assert r["neighbor_id"] == 100 + r["query_id"]
+
+
+def test_semantic_dedup_laws(spark):
+    from cantera_table_spark.functions.similarity import semantic_dedup
+    # seeds 0-7 get clusters; 100+i is an exact copy of seed i -> same
+    # cluster, cosine 1 -> dropped; 200 is axis-unique -> kept
+    import numpy as np
+    rng = [[float((i * 7 + j * 3) % 11 - 5) for j in range(8)]
+           for i in range(8)]
+    rows = [(i, rng[i]) for i in range(8)]
+    rows += [(100 + i, rng[i]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(emb, threshold=0.999999).collect()}
+    assert len(out) == 16
+    for i in range(8):
+        ci, ki = out[i]
+        cc, kc = out[100 + i]
+        assert ci == cc            # copy lands in the seed's cluster
+        assert ki and not kc       # lower id kept, copy dropped
+    # with an impossible threshold nothing drops
+    all_kept = semantic_dedup(emb, threshold=1.000001).collect()
+    assert all(r["kept"] for r in all_kept)
+
+
+def test_kmv_distinct_laws(spark):
+    from cantera_table_spark.functions.sketches import kmv_distinct
+    from pyspark.sql import functions as F
+    # small group: exact count; duplicates don't move the sketch
+    small = spark.createDataFrame(
+        [("a", f"v{i % 10}") for i in range(300)] +
+        [("b", f"w{i}") for i in range(40)],
+        "g string, v string")
+    got = {r["g"]: (r["est_distinct"], r["n_mins"])
+           for r in kmv_distinct(small, "v", "g", k=64).collect()}
+    assert got == {"a": (10.0, 10), "b": (40.0, 40)}
+    # partition invariance: the merged sketch is a pure function of
+    # the value SET
+    big = spark.range(5000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    a = kmv_distinct(big.repartition(1), "v", "g", k=64).collect()[0]
+    b = kmv_distinct(big.repartition(13), "v", "g", k=64).collect()[0]
+    assert (a["est_distinct"], a["n_mins"]) == (b["est_distinct"],
+                                                b["n_mins"])
+    # estimator accuracy: KMV stderr ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert a["n_mins"] == 64
+    assert abs(a["est_distinct"] - 5000) / 5000 < 0.4
