@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "tx11_length_quantiles", "tx12_bpe_pairs", "ds05_packed_text",
     "tx13_chunking", "ir01_bm25", "ir02_rrf_hybrid", "ml01_logreg_quality",
     "ev03_funnel", "ev04_retention", "sim08_quantized_ivf",
+    # round 4 additions: general as-of join, binned interval join,
+    # incremental cross-batch dedup, domain-mixture sampling, PQ ANN,
+    # semantic dedup, KMV sketch, rollup subtotals
+    "ts09_asof_join", "ev05_interval_join", "dd14_incremental_dedup",
+    "ds06_mixture_sample", "sim09_pq_topk", "dd15_semantic_dedup",
+    "tx16_kmv_distinct", "ev07_rollup_day",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]
