@@ -605,10 +605,23 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     surv0_text = surv0.join(bh.select("doc_id", "__text"), "doc_id")
     batch_sh = shingles(surv0_text, text_col="__text", n=n)
     if corpus_sh is None:
-        corpus_sh = shingles(
-            corpus.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("__text")),
-            text_col="__text", n=n)
+        # exact-collapse the corpus to one representative per content
+        # hash before shingling.  A production corpus is already
+        # deduplicated (no-op); a degenerate corpus with byte-identical
+        # clones would otherwise flood the LSH buckets AND square each
+        # shingle's document frequency in the Jaccard verify (the dd13
+        # failure class).  Decision-invariant: identical texts have
+        # identical signatures and identical jaccard against any batch
+        # doc, so the batch rejection set is unchanged.
+        creps = (corpus.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("__text"),
+                               F.coalesce(F.md5(F.col(text_col)),
+                                          F.lit("-")).alias("__ch"))
+                 .withColumn("__rep", F.min("doc_id").over(
+                     Window.partitionBy("__ch")))
+                 .filter(F.col("doc_id") == F.col("__rep"))
+                 .select("doc_id", "__text"))
+        corpus_sh = shingles(creps, text_col="__text", n=n)
     sh = corpus_sh.select("doc_id", "shingle").unionByName(batch_sh)
     cands = lsh_candidate_pairs(minhash_signatures(sh, k=k),
                                 bands=bands, k=k, max_bucket=max_bucket)
