@@ -520,3 +520,59 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
             .select("vec_id", "cluster",
                     F.coalesce(~F.col("__drop"), F.lit(True))
                     .alias("kept")))
+
+
+def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
+               codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+               k: int = 5, nprobe: int = 2, m: int = 4,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """The composed IVF+PQ index — the FAISS IVFADC search shape
+    (non-residual variant): queries probe their ``nprobe`` nearest
+    centroid buckets, and ONLY the probed buckets' PQ codes are scored
+    with the asymmetric-distance LUT.  Search cost is
+    O(N * nprobe / n_centroids) candidate codes * m byte lookups — the
+    raw vectors are never read at query time, and the candidate scan
+    never leaves the probed partitions (pair naturally with a
+    ``cluster``-partitioned codes layout, as write_ivf_index does for
+    raw vectors).
+
+    ``indexed`` is ivf_assign's output, ``codes``/``codebook`` come
+    from pq_encode/pq_codebook.  Probing ranks centroids by cosine
+    (the IVF convention here) while ADC distances are L2 — the
+    standard mixed setup, documented rather than hidden.  Returns
+    (query_id, neighbor_id, approx_d2, rank).
+    """
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    probes = (q.join(F.broadcast(centroids), F.lit(True))
+              .withColumn("ccos", cosine(F.col("qv"), F.col("cv"))))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc())
+    probed = (probes.withColumn("rk", F.row_number().over(wp))
+              .filter(F.col("rk") <= nprobe)
+              .select("query_id", F.col("centroid_id").alias("cluster")))
+    cand = (indexed.select("vec_id", "cluster").join(probed, "cluster")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    sublen = (F.size(F.col("__v")) / m).cast("int")
+    qsubs = (queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select("query_id", "sub_idx",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias("qv")))
+    lut = (qsubs.join(F.broadcast(codebook), "sub_idx")
+           .select("query_id", "sub_idx", "code",
+                   _l2sq(F.col("qv"), F.col("cv")).alias("pd")))
+    scored = (codes.join(cand, "vec_id")
+              .join(F.broadcast(lut), ["query_id", "sub_idx", "code"])
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
+                   F.count("*").alias("__np"))
+              .filter(F.col("__np") == m).drop("__np"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -3943,3 +3943,129 @@ def dd15_semantic_dedup(spark, sf_dir):
     from cantera_table_spark.functions.similarity import semantic_dedup
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.35, n_clusters=8)
+
+
+@gate("sim10_ivfpq_topk", """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv
+      FROM vecs ORDER BY vec_id LIMIT 8),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+      i -> v[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS acos
+  FROM vecs e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rk
+    FROM assign_scored) t
+  WHERE rk = 1
+),
+seeds0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM seeds0
+),
+cb AS (
+  SELECT s.sub_idx, code,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS cv
+  FROM seeds, unnest(range(0, 4)) AS s(sub_idx)
+),
+subs AS (
+  SELECT vec_id, s.sub_idx,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS sv
+  FROM vecs, unnest(range(0, 4)) AS s(sub_idx)
+),
+enc_scored AS (
+  SELECT subs.vec_id, subs.sub_idx, cb.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(sv) + 1),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+           (a, b) -> a + b) AS d
+  FROM subs JOIN cb USING (sub_idx)
+),
+codes AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_idx
+                                 ORDER BY d, code) AS rk
+    FROM enc_scored) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+probe_scored AS (
+  SELECT q.query_id, c.centroid_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+      i -> qv[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS ccos
+  FROM q, c
+),
+probes AS (
+  SELECT query_id, centroid_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, centroid_id) AS rk
+    FROM probe_scored) t
+  WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+),
+qsubs AS (
+  SELECT vec_id AS query_id, sub_idx, sv AS qv
+  FROM subs WHERE vec_id < 10
+),
+lut AS (
+  SELECT q.query_id, q.sub_idx, cb.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(qv) + 1),
+             i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+           (a, b) -> a + b) AS pd
+  FROM qsubs q JOIN cb USING (sub_idx)
+),
+scored AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         round(sum(l.pd), 6) AS approx_d2
+  FROM codes cd
+  JOIN cand ca ON ca.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = ca.query_id
+            AND l.sub_idx = cd.sub_idx AND l.code = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def sim10_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed (FAISS IVFADC shape): probe 2 of 8 centroid
+    buckets per query, ADC-score only the probed buckets' 4-byte PQ
+    codes.  Every stage — assignment, codebook, encoding, probing,
+    candidate restriction, ADC ranking — is replayed by the oracle."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivfpq_topk, pq_codebook, pq_encode, seed_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n=8)
+    indexed = ivf_assign(emb, cents)
+    cb = pq_codebook(emb, m=4, ksub=8)
+    codes = pq_encode(emb, cb, m=4)
+    return ivfpq_topk(indexed, cents, codes, cb,
+                      emb.filter(F.col("vec_id") < 10),
+                      k=5, nprobe=2, m=4)
