@@ -445,3 +445,88 @@ def ppl_buckets(df: DataFrame, text_col: str = "text",
                 .when(F.col("avg_nll") <= F.col("__q2"), F.lit("middle"))
                 .otherwise(F.lit("tail")))
             .select(id_col, "avg_nll", "ppl_bucket"))
+
+
+def wordpiece_encode_words(words: DataFrame, vocab: list,
+                           word_col: str = "tok",
+                           unk: str = "[UNK]") -> DataFrame:
+    """Greedy longest-match subword encoding of a word table (the
+    application side of tokenizer training — simplified wordpiece
+    without the ## continuation convention): at each position take the
+    longest vocab piece matching the remaining word (ties impossible —
+    lengths differ); if none matches, emit ``unk`` and advance one
+    character.
+
+    The 100 TB trick is the INPUT, not the kernel: encode the DISTINCT
+    word table (vocabulary-sized, like bpe_pair_stats) and join the
+    corpus against the result — the corpus text itself never passes
+    through Python.  The kernel is an Arrow-batched mapInPandas with
+    the vocab as a closure set (tokenizer vocabularies are bounded
+    artifacts — 30-250k pieces — exactly what production tokenizers
+    ship as files).
+
+    Returns (word_col, pieces array<string>, n_pieces, n_unk).
+    """
+    import pandas as pd
+
+    vset = frozenset(vocab)
+    max_len = max((len(p) for p in vocab), default=1)
+
+    def encode(batches):
+        for pdf in batches:
+            out_p, out_n, out_u = [], [], []
+            for w in pdf[word_col]:
+                pieces = []
+                n_unk = 0
+                pos = 0
+                while pos < len(w):
+                    for l in range(min(max_len, len(w) - pos), 0, -1):
+                        cand = w[pos:pos + l]
+                        if cand in vset:
+                            pieces.append(cand)
+                            pos += l
+                            break
+                    else:
+                        pieces.append(unk)
+                        n_unk += 1
+                        pos += 1
+                out_p.append(pieces)
+                out_n.append(len(pieces))
+                out_u.append(n_unk)
+            yield pd.DataFrame({word_col: pdf[word_col], "pieces": out_p,
+                                "n_pieces": out_n, "n_unk": out_u})
+
+    return words.mapInPandas(
+        encode, f"{word_col} string, pieces array<string>, "
+                "n_pieces int, n_unk int")
+
+
+def wordpiece_doc_stats(df: DataFrame, vocab: list,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document subword statistics under a fixed tokenizer vocab:
+    total piece count and UNK count — the real token accounting that
+    sequence packing and mixture budgeting consume (the whitespace
+    token count is the cheap approximation).
+
+    One corpus shuffle builds the per-(doc, word) counts; the greedy
+    encoder runs over DISTINCT words only; the final join multiplies
+    encodes by occurrence counts.  Documents with no tokens (or NULL
+    text) report zeros.
+    """
+    toks = tokens(F.col(text_col))
+    wcnt = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count("*").alias("cnt")))
+    words = wcnt.select("tok").distinct()
+    enc = wordpiece_encode_words(words, vocab)
+    per_doc = (wcnt.join(enc, "tok")
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("cnt") * F.col("n_pieces"))
+                    .alias("n_pieces"),
+                    F.sum(F.col("cnt") * F.col("n_unk")).alias("n_unk")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+                    F.coalesce("n_unk", F.lit(0)).alias("n_unk")))

@@ -4069,3 +4069,70 @@ def sim10_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(indexed, cents, codes, cb,
                       emb.filter(F.col("vec_id") < 10),
                       k=5, nprobe=2, m=4)
+
+
+@gate("tx17_wordpiece", """
+WITH RECURSIVE
+toks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+              x -> x <> '')) AS t(tok)
+),
+wcnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+words AS (SELECT DISTINCT tok FROM wcnt),
+vocab AS (
+  SELECT tok AS piece FROM toks
+  GROUP BY 1 HAVING count(*) >= 20 AND len(tok) <= 8
+  UNION
+  SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m',
+                 'n','o','p','q','r','s','t','u','v','w','x','y','z'])
+),
+r AS (
+  SELECT tok, 1 AS pos, 0 AS n_pieces, 0 AS n_unk FROM words
+  UNION ALL
+  SELECT tok, pos + coalesce(step, 1), n_pieces + 1,
+         n_unk + CASE WHEN step IS NULL THEN 1 ELSE 0 END
+  FROM (
+    SELECT tok, pos, n_pieces, n_unk,
+      CASE WHEN substr(tok, pos, 8) IN (SELECT piece FROM vocab) THEN 8
+           WHEN substr(tok, pos, 7) IN (SELECT piece FROM vocab) THEN 7
+           WHEN substr(tok, pos, 6) IN (SELECT piece FROM vocab) THEN 6
+           WHEN substr(tok, pos, 5) IN (SELECT piece FROM vocab) THEN 5
+           WHEN substr(tok, pos, 4) IN (SELECT piece FROM vocab) THEN 4
+           WHEN substr(tok, pos, 3) IN (SELECT piece FROM vocab) THEN 3
+           WHEN substr(tok, pos, 2) IN (SELECT piece FROM vocab) THEN 2
+           WHEN substr(tok, pos, 1) IN (SELECT piece FROM vocab) THEN 1
+           END AS step
+    FROM r WHERE pos <= len(tok)
+  ) s
+),
+fin AS (SELECT tok, n_pieces, n_unk FROM r WHERE pos > len(tok)),
+perdoc AS (
+  SELECT w.doc_id, sum(w.cnt * f.n_pieces) AS n_pieces,
+         sum(w.cnt * f.n_unk) AS n_unk
+  FROM wcnt w JOIN fin f USING (tok) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_pieces, 0) AS n_pieces,
+       coalesce(p.n_unk, 0) AS n_unk
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+""")
+def tx17_wordpiece(spark, sf_dir):
+    """Tokenizer APPLICATION: greedy longest-match subword encoding
+    under a corpus-derived vocab (frequent whole words <= 8 chars +
+    single characters), reported as per-doc piece/UNK counts.  The
+    greedy kernel runs over DISTINCT words only (the corpus joins the
+    encoded word table); the oracle replays the same greedy recurrence
+    as a recursive CTE.  The driver-side vocab collect is the bounded
+    tokenizer artifact every production tokenizer ships as a file."""
+    from cantera_table_spark.functions.text import wordpiece_doc_stats
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"),
+                 lambda x: x != "")).alias("tok"))
+    vdf = (tok.groupBy("tok").agg(F.count("*").alias("c"))
+           .filter((F.col("c") >= 20) & (F.length("tok") <= 8))
+           .select("tok"))
+    vocab = sorted({r["tok"] for r in vdf.collect()} |
+                   set("abcdefghijklmnopqrstuvwxyz"))
+    return wordpiece_doc_stats(docs, vocab)

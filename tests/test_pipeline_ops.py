@@ -1280,3 +1280,25 @@ def test_kmv_distinct_laws(spark):
     # estimator accuracy: KMV stderr ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
     assert a["n_mins"] == 64
     assert abs(a["est_distinct"] - 5000) / 5000 < 0.4
+
+
+def test_wordpiece_greedy_laws(spark):
+    from cantera_table_spark.functions.text import (wordpiece_doc_stats,
+                                                    wordpiece_encode_words)
+    words = spark.createDataFrame(
+        [("unhappiness",), ("zzq",), ("the",)], "tok string")
+    vocab = ["un", "happiness", "happy", "ness", "the", "z"]
+    got = {r["tok"]: (list(r["pieces"]), r["n_pieces"], r["n_unk"])
+           for r in wordpiece_encode_words(words, vocab).collect()}
+    # greedy longest-match: "un" + "happiness" (not un|happy|ness)
+    assert got["unhappiness"] == (["un", "happiness"], 2, 0)
+    # q is not in vocab -> UNK with single-char advance
+    assert got["zzq"] == (["z", "z", "[UNK]"], 3, 1)
+    assert got["the"] == (["the"], 1, 0)
+    # doc stats multiply by occurrence counts and zero-fill empty docs
+    docs = spark.createDataFrame(
+        [(1, "the the unhappiness"), (2, None)],
+        "doc_id long, text string")
+    stats = {r["doc_id"]: (r["n_pieces"], r["n_unk"])
+             for r in wordpiece_doc_stats(docs, vocab).collect()}
+    assert stats == {1: (2 * 1 + 2, 0), 2: (0, 0)}
