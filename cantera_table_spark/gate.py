@@ -102,6 +102,11 @@ _DRIVER_ORDER = [
     "ir01_bm25", "ir02_rrf_hybrid", "ml01_logreg_quality",
     "ev03_funnel", "ev04_retention", "sk01_salted_rollup",
 ]
+# Round-5 rotation plan: once CORRECTNESS_r04 lands driver rows for the
+# 50 above, rotate the still-unverified tail into the window — the
+# round-4 additions (ts09, ev05, dd14, ds06, sim09, sim10, dd15, st05,
+# tx15, tx16, tx17, ev07) plus the r2/r3-verified gates that rotated
+# out.  Keep ~5 sentinels for cross-round continuity as before.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
