@@ -484,7 +484,8 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
 def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
                    n_clusters: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   caches: list | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, and
     within each cluster drop every vector whose cosine similarity to a
     LOWER-id cluster member reaches ``threshold`` — semantic
@@ -505,6 +506,13 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
         centroids = seed_centroids(emb, n=n_clusters, id_col=id_col,
                                    vec_col=vec_col)
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    if caches is not None:
+        # the self-join consumes the assignment pipeline (cross join +
+        # per-vector argmin window) twice and the final keep-join a
+        # third time; cache it when the caller manages a cache registry
+        # (measured 2x on the dd15 bench phase uncached)
+        assigned = assigned.cache()
+        caches.append(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
     drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &
