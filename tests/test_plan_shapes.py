@@ -436,3 +436,82 @@ def test_rrf_fuse_is_one_aggregation(spark):
     facts = plan_facts(rrf_fuse({"a": a, "b": b}))
     assert "Join" not in facts.text
     assert not facts.has_python_eval
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """General as-of join = ONE shuffle of the union by key + one
+    Window; never a join of the two event sets (the asof_prior /
+    with_bands AQE-broadcast-flip argument applies verbatim)."""
+    from cantera_table_spark.functions.timeseries import asof_join
+    left = spark.range(4000).select(
+        (F.col("id") % 67).alias("user_id"),
+        (F.col("id") * 60_000_000).cast("timestamp").alias("ts"),
+        F.col("id").alias("event_id"))
+    right = spark.range(1000).select(
+        (F.col("id") % 67).alias("user_id"),
+        (F.col("id") * 240_000_000).cast("timestamp").alias("ts"),
+        (F.col("id") % 9).cast("double").alias("value"))
+    facts = plan_facts(asof_join(left, right))
+    assert facts.n_shuffles == 1
+    assert "Join" not in facts.text
+    assert "Window" in facts.text
+
+
+def test_interval_join_is_equi_join_no_nested_loop(spark):
+    """The binned interval join must plan as a hash/sort-merge EQUI
+    join on (key, bin) — never BroadcastNestedLoopJoin or
+    CartesianProduct, which is what the raw range predicate gives."""
+    from cantera_table_spark.functions.timeseries import interval_join
+    pts = spark.range(4000).select(
+        F.col("id").alias("pid"), (F.col("id") % 67).alias("user_id"),
+        (F.col("id") * 60_000_000).cast("timestamp").alias("ts"))
+    iv = spark.range(500).select(
+        F.col("id").alias("iid"), (F.col("id") % 67).alias("user_id"),
+        (F.col("id") * 480_000_000).cast("timestamp").alias("s"),
+        (F.col("id") * 480_000_000 + 3_600_000_000)
+        .cast("timestamp").alias("e"))
+    facts = plan_facts(interval_join(pts, iv, ts_col="ts", start_col="s",
+                                     end_col="e", key_col="user_id"))
+    assert "BroadcastNestedLoop" not in facts.text
+    assert "CartesianProduct" not in facts.text
+    assert "Join" in facts.text
+
+
+def test_mixture_sample_coarse_windows_only_boundary_bucket(spark):
+    """The coarse plan's full-corpus path must carry NO window — the
+    running sum runs over the tiny (stratum, bucket) aggregate and the
+    boundary bucket only; bucket offsets join back via broadcast."""
+    from cantera_table_spark.functions.sampling import mixture_sample
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.lit("some words here repeated for tokens").alias("text"))
+    w = {"0": 1.0, "1": 2.0, "2": 1.0}
+    plan = mixture_sample(docs, w, total_tokens=5000)
+    facts = plan_facts(plan)
+    # windows exist (bucket offsets + boundary refinement) but every
+    # window input is either the tiny (stratum, bucket) aggregate or
+    # the single boundary bucket — the corpus-sized rows NEVER flow
+    # through a window.  Plan text shows the offsets window once per
+    # union branch (2) + the boundary refinement window (1); a naive
+    # full-stratum cumsum plan would add a window over the corpus scan
+    # and push the count higher with no broadcast.
+    assert facts.text.count("Window") <= 3
+    assert "BroadcastExchange" in facts.text
+
+
+def test_pq_search_broadcasts_lut_no_vector_shuffle(spark):
+    """ADC search: the per-query LUT must broadcast; the only
+    aggregation shuffle is keyed by (query, vector) partial sums —
+    the raw vectors never appear in the search plan."""
+    from cantera_table_spark.functions.similarity import (
+        pq_codebook, pq_encode, pq_topk)
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double")
+                  for i in range(8)]).alias("embedding"))
+    cb = pq_codebook(emb, m=4, ksub=8)
+    codes = pq_encode(emb, cb, m=4)
+    facts = plan_facts(pq_topk(codes, cb, emb.filter(F.col("vec_id") < 5),
+                               k=3, m=4))
+    assert "BroadcastExchange" in facts.text
