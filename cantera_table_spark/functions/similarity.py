@@ -584,3 +584,48 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
         F.col("approx_d2").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined PQ codebook: start from the seeded codebook and
+    run k-means per SUBSPACE — assign every subvector to its nearest
+    centroid (L2), recompute centroids as assignment means, repeat.
+    One aggregation per iteration over the exploded subvector rows
+    (map-side combinable per-dimension sums); empty codes keep their
+    previous centroid.  The refined codebook drops into
+    pq_encode/pq_topk/ivfpq_topk unchanged; the seeded form stays the
+    oracle-deterministic gate path (same split as
+    seed_centroids/ivf_train)."""
+    cb = pq_codebook(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    sublen = (F.size(F.col("__v")) / m).cast("int")
+    subs = (emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select("vec_id", "sub_idx",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias("sv")))
+    for _ in range(iters):
+        assigned = (subs.join(F.broadcast(cb), "sub_idx")
+                    .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
+                    .groupBy("vec_id", "sub_idx")
+                    .agg(F.min(F.struct("__d", "code", "sv")).alias("__m"))
+                    .select("sub_idx", F.col("__m.code").alias("code"),
+                            F.col("__m.sv").alias("sv")))
+        means = (assigned
+                 .groupBy("sub_idx", "code")
+                 .agg(F.transform(
+                     F.aggregate(
+                         F.collect_list("sv"),
+                         F.expr("array_repeat(cast(0.0 as double), "
+                                "size(first(sv)))"),
+                         lambda acc, v: F.zip_with(
+                             acc, v, lambda a, b: a + b.cast("double"))),
+                     lambda x: x / F.count("sv")).alias("cv")))
+        prev = cb.select("sub_idx", "code",
+                         F.col("cv").alias("__prev"))
+        cb = (prev.join(means, ["sub_idx", "code"], "left")
+              .select("sub_idx", "code",
+                      F.coalesce("cv", "__prev").alias("cv")))
+    return cb

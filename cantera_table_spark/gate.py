@@ -4146,3 +4146,29 @@ def tx17_wordpiece(spark, sf_dir):
     vocab = sorted({r["tok"] for r in vdf.collect()} |
                    set("abcdefghijklmnopqrstuvwxyz"))
     return wordpiece_doc_stats(docs, vocab)
+
+
+@gate("tpch_q6_forecast", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): a pure filter+aggregate
+    whose entire WHERE clause must push into the parquet scan — the
+    canonical predicate-pushdown/row-group-pruning demonstration; no
+    shuffle beyond the single partial/final aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")) &
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
+        (F.col("l_quantity") < 24))
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_rows"))

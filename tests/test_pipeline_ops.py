@@ -1302,3 +1302,31 @@ def test_wordpiece_greedy_laws(spark):
     stats = {r["doc_id"]: (r["n_pieces"], r["n_unk"])
              for r in wordpiece_doc_stats(docs, vocab).collect()}
     assert stats == {1: (2 * 1 + 2, 0), 2: (0, 0)}
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    from cantera_table_spark.functions.similarity import (
+        _l2sq, pq_codebook, pq_train)
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def inertia(cb):
+        sublen = (F.size(F.col("__v")) / 4).cast("int")
+        subs = (emb.select(
+            F.col("vec_id"), F.col("embedding").alias("__v"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sub_idx"))
+            .select("vec_id", "sub_idx",
+                    F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                            sublen).alias("sv")))
+        d = (subs.join(F.broadcast(cb), "sub_idx")
+             .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
+             .groupBy("vec_id", "sub_idx").agg(F.min("__d").alias("d")))
+        return d.agg(F.sum("d")).collect()[0][0]
+
+    seeded = inertia(pq_codebook(emb, m=4, ksub=8))
+    trained = inertia(pq_train(emb, m=4, ksub=8, iters=2))
+    assert trained <= seeded
+    # codebook shape invariants survive refinement
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    rows = cb.collect()
+    assert len(rows) == 32 and all(len(r["cv"]) == 16 for r in rows)
