@@ -4172,3 +4172,41 @@ def tpch_q6_forecast(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
         .alias("revenue"),
         F.count("*").alias("n_rows"))
+
+
+@gate("ds07_sample_quantiles", """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         md5('samp:' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+rk AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r
+  FROM d
+),
+s AS (SELECT * FROM rk WHERE r <= 15)
+SELECT source,
+       round(quantile_cont(n_chars, 0.25), 4) AS q25,
+       round(quantile_cont(n_chars, 0.50), 4) AS q50,
+       round(quantile_cont(n_chars, 0.75), 4) AS q75
+FROM s GROUP BY source
+""")
+def ds07_sample_quantiles(spark, sf_dir):
+    """Sample-based quantile estimation, the 100 TB alternative to
+    exact per-stratum percentiles (tx11): a deterministic 15-doc
+    hash-order sample per source (stratified_sample's
+    WindowGroupLimit-bounded plan — shuffle O(partitions * quota), not
+    the corpus) feeds an exact percentile over the SAMPLE.  The
+    estimator is approximate against the corpus but an exact, replayed
+    function of the hash sample — so the driver hash-gate applies."""
+    from cantera_table_spark.functions.sampling import stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    samp = (stratified_sample(docs.select("source", "doc_id"),
+                              "source", quota=15)
+            .join(docs.select("doc_id", "n_chars"), "doc_id"))
+    v = F.col("n_chars")
+    return (samp.groupBy("source")
+            .agg(F.round(F.percentile(v, F.lit(0.25)), 4).alias("q25"),
+                 F.round(F.percentile(v, F.lit(0.50)), 4).alias("q50"),
+                 F.round(F.percentile(v, F.lit(0.75)), 4).alias("q75")))
