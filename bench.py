@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "ts09_asof_join", "ev05_interval_join", "dd14_incremental_dedup",
     "ds06_mixture_sample", "sim09_pq_topk", "dd15_semantic_dedup",
     "tx16_kmv_distinct", "ev07_rollup_day",
-    "sim10_ivfpq_topk", "tx17_wordpiece",
+    "sim10_ivfpq_topk", "tx17_wordpiece", "tpch_q6_forecast",
+    "ds07_sample_quantiles",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]
