@@ -515,3 +515,29 @@ def test_pq_search_broadcasts_lut_no_vector_shuffle(spark):
     facts = plan_facts(pq_topk(codes, cb, emb.filter(F.col("vec_id") < 5),
                                k=3, m=4))
     assert "BroadcastExchange" in facts.text
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Bucketed co-located join: two tables bucketed 8-ways on the join
+    key must SortMergeJoin with NO shuffle exchange — the layout every
+    repeated big-big join (postings-to-postings at 100 TB) should be
+    written into.  Pinned here because it is a property of our write
+    path configuration, not of Catalyst defaults."""
+    d = str(tmp_path_factory.mktemp("buck"))
+    a = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("va"))
+    b = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("vb"))
+    for name, df in [("ta", a), ("tb", b)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.format("parquet").option("path", f"{d}/{name}")
+         .bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable(name))
+    try:
+        joined = spark.table("ta").join(spark.table("tb"), "doc_id")
+        facts = plan_facts(joined)
+        assert "SortMergeJoin" in facts.text or "Join" in facts.text
+        assert facts.n_shuffles == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ta")
+        spark.sql("DROP TABLE IF EXISTS tb")
