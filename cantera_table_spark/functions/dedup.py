@@ -631,14 +631,19 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     batch_ids = surv0.select("doc_id")
     # pair (a, b) has a < b: b rejected whenever b is a batch doc
     # (a is corpus or an earlier batch doc); a rejected when a is a
-    # batch doc near-matching a corpus doc b
-    rej_b = (pairs.join(batch_ids.select(F.col("doc_id").alias("doc_b")),
-                        "doc_b", "left_semi")
-             .select(F.col("doc_b").alias("doc_id")))
-    rej_a = (pairs.join(batch_ids.select(F.col("doc_id").alias("doc_a")),
-                        "doc_a", "left_semi")
-             .join(batch_ids.select(F.col("doc_id").alias("doc_b")),
-                   "doc_b", "left_anti")
-             .select(F.col("doc_a").alias("doc_id")))
-    rejected = rej_b.unionByName(rej_a).distinct()
+    # batch doc near-matching a corpus doc b.  Both rules evaluate in
+    # ONE consumption of the pairs plan (the whole LSH -> jaccard
+    # pipeline) — the two-branch semi-join formulation executed it
+    # twice (the dedup-edge/cand_docs lesson).
+    flag_b = (batch_ids.select(F.col("doc_id").alias("doc_b"))
+              .withColumn("__in_b", F.lit(1)))
+    flag_a = (batch_ids.select(F.col("doc_id").alias("doc_a"))
+              .withColumn("__in_a", F.lit(1)))
+    rejected = (pairs.join(flag_b, "doc_b", "left")
+                .join(flag_a, "doc_a", "left")
+                .select(F.when(F.col("__in_b") == 1, F.col("doc_b"))
+                        .when(F.col("__in_a") == 1, F.col("doc_a"))
+                        .alias("doc_id"))
+                .filter(F.col("doc_id").isNotNull())
+                .distinct())
     return surv0.join(rejected, "doc_id", "left_anti")

@@ -407,6 +407,7 @@ def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
     m * ksub small rows, always broadcast.
     """
     from pyspark.sql import Window
+    emb = emb.filter(F.col(vec_col).isNotNull())
     seeds = (emb.orderBy(id_col).limit(ksub)
              .withColumn("code",
                          F.row_number().over(Window.orderBy(id_col)) - 1))
@@ -429,6 +430,10 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
     Plan: explode to subvectors, broadcast-join the codebook per
     subspace, one min(struct) aggregation — no shuffle of the raw
     vectors beyond the explode's narrow rows."""
+    # NULL vectors get NO codes (a NULL subvector distance would win
+    # the min(struct) with an arbitrary code and surface the vector as
+    # a fake search result)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     sublen = (F.size(F.col("__v")) / m).cast("int")
     subs = (emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
@@ -456,6 +461,7 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     rank 1..k ascending distance (ties -> lowest neighbor id).
     """
     from pyspark.sql import Window
+    queries = queries.filter(F.col(vec_col).isNotNull())
     sublen = (F.size(F.col("__v")) / m).cast("int")
     qsubs = (queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),

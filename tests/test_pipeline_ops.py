@@ -1330,3 +1330,25 @@ def test_pq_train_reduces_quantization_error(spark):
     cb = pq_train(emb, m=4, ksub=8, iters=1)
     rows = cb.collect()
     assert len(rows) == 32 and all(len(r["cv"]) == 16 for r in rows)
+
+
+def test_pq_and_semantic_dedup_null_embeddings(spark):
+    """NULL embedding rows must flow through (no crash) and never
+    poison other rows: PQ gives them no codes (they can't be searched),
+    semantic dedup keeps them (cosine NULL never crosses a threshold)."""
+    from cantera_table_spark.functions.similarity import (
+        pq_codebook, pq_encode, pq_topk, semantic_dedup)
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(8)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb, m=4, ksub=8)
+    codes = pq_encode(emb, cb, m=4)
+    got = codes.collect()
+    # the NULL row contributes no codes; everyone else has 4
+    assert sum(1 for r in got if r["vec_id"] == 99) == 0
+    assert sum(1 for r in got if r["vec_id"] != 99) == 32
+    top = pq_topk(codes, cb, emb.filter("vec_id < 2"), k=3, m=4).collect()
+    assert all(r["neighbor_id"] != 99 for r in top)
+    sem = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(emb, threshold=0.999999).collect()}
+    assert sem[99] is True  # null vector: no similarity evidence, kept
