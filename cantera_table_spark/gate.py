@@ -4210,3 +4210,57 @@ def ds07_sample_quantiles(spark, sf_dir):
             .agg(F.round(F.percentile(v, F.lit(0.25)), 4).alias("q25"),
                  F.round(F.percentile(v, F.lit(0.50)), 4).alias("q50"),
                  F.round(F.percentile(v, F.lit(0.75)), 4).alias("q75")))
+
+
+@gate("st06_stream_quality_dedup", """
+WITH q AS (
+  SELECT text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT DISTINCT md5(text) AS content_hash
+FROM q
+WHERE len(toks) >= 40
+  AND length(regexp_replace(text, concat('[^.,;:!?', chr(39),
+      '"()\\[\\]-]'), '', 'g')) / greatest(length(text), 1) <= 0.2
+  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(length(text), 1) >= 0.6
+  AND len(list_distinct(toks)) / greatest(len(toks), 1) >= 0.1
+""")
+def st06_stream_quality_dedup(spark, sf_dir):
+    """The streaming form of the pretraining front door: documents
+    arrive as escaped TSV drops, the quality gate filters in-stream
+    (pure column predicates — stream-safe), bounded-state exact dedup
+    keeps the first arrival per content hash, availableNow commits the
+    survivors.  Deterministic output = the surviving hash SET of
+    quality-passing docs (st03's argument); the oracle is the batch
+    filter + distinct."""
+    import shutil
+    from cantera_table_spark.sources.ingest import (_unescape_tsv,
+                                                    escape_tsv)
+    from cantera_table_spark.functions.text import quality_filter
+    from cantera_table_spark.streaming.ingest import (
+        start_parquet_sink, streaming_exact_dedup)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    lines = d.select(F.concat_ws(
+        "\t", F.col("doc_id").cast("string"),
+        escape_tsv(F.col("text"))).alias("value"))
+    base = _gate_tmp(sf_dir, "st06")
+    shutil.rmtree(base, ignore_errors=True)
+    lines.coalesce(2).write.mode("overwrite").text(f"{base}/src")
+    raw = (spark.readStream.option("sep", "\t").option("quote", "")
+           .schema("doc_id long, text string").csv(f"{base}/src"))
+    stream = (raw.select("doc_id",
+                         _unescape_tsv(F.col("text")).alias("text"))
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1704067200) + F.col("doc_id"))))
+    passed = quality_filter(stream, min_tokens=40).select(
+        "doc_id", "text", "ts")
+    deduped = streaming_exact_dedup(passed, hash_cols=("text",),
+                                    ts_col="ts", watermark="1 hour")
+    q = start_parquet_sink(deduped, f"{base}/sink", f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/sink")
+            .select("content_hash").distinct())
