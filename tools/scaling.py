@@ -267,6 +267,41 @@ def main():
                           min_jaccard=0.12, max_bucket=32) \
             .write.format("noop").mode("overwrite").save()
 
+    def wordpiece(d):
+        from cantera_table_spark.functions.text import wordpiece_doc_stats
+        vocab = [c for c in "abcdefghijklmnopqrstuvwxyz"] + [
+            "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+            "the", "and", "ing", "ion", "tion", "ment"]
+        wordpiece_doc_stats(d, vocab).write.format("noop") \
+            .mode("overwrite").save()
+
+    def kmv(d):
+        from cantera_table_spark.functions.sketches import kmv_distinct
+        from cantera_table_spark.functions.text import tokens
+        toks = d.select("source",
+                        F.explode(tokens(F.col("text"))).alias("tok"))
+        kmv_distinct(toks, "tok", "source", k=64).write.format("noop") \
+            .mode("overwrite").save()
+
+    _semdedup_n: dict = {}
+
+    def semdedup(em):
+        # SemDeDup contract: cluster count scales with the corpus so
+        # per-cluster membership (and the O(N^2/k) pair work) stays
+        # bounded — n_clusters grows with the input here exactly as a
+        # production config would.  The sizing count is memoized per
+        # dataset so the timed region contains only the operator (the
+        # pack_sequences timing lesson).
+        from cantera_table_spark.functions.similarity import semantic_dedup
+        n = _semdedup_n.get(id(em))
+        if n is None:
+            n = _semdedup_n[id(em)] = max(8, em.count() // 600)
+        caches = []
+        semantic_dedup(em, threshold=0.35, n_clusters=n, caches=caches) \
+            .write.format("noop").mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -289,6 +324,9 @@ def main():
         ("mixture_sample", "documents", mixture),
         ("pq_ann", "embeddings", pq_ann),
         ("incremental_dedup", "documents", incremental),
+        ("wordpiece", "documents", wordpiece),
+        ("kmv_sketch", "documents", kmv),
+        ("semantic_dedup", "embeddings", semdedup),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
