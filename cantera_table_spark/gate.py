@@ -4264,3 +4264,53 @@ def st06_stream_quality_dedup(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(f"{base}/sink")
             .select("content_hash").distinct())
+
+
+@gate("in03_json_ingest", """
+SELECT event_id, date_trunc('second', ts) AS ts, user_id, event_type,
+       value
+FROM events
+WHERE event_id IS NOT NULL
+""")
+def in03_json_ingest(spark, sf_dir):
+    """JSON-lines source breadth (S8 columnfile analogue for the lake
+    formats Spark reads natively): events round-trip through a
+    JSON-lines drop with an EXPLICIT schema (schema-on-read without
+    inference jobs — the 100 TB posture; inference scans the corpus
+    twice) and must hash-match the canonical table."""
+    import shutil
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull())
+    base = _gate_tmp(sf_dir, "in03")
+    shutil.rmtree(base, ignore_errors=True)
+    (e.select("event_id",
+              F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+              "user_id", "event_type", "value")
+     .write.mode("overwrite").json(f"{base}/drop"))
+    back = (spark.read.schema(
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double").json(f"{base}/drop"))
+    return back.select(
+        "event_id",
+        F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id", "event_type", "value")
+
+
+@gate("in04_orc_ingest", """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_id IS NOT NULL
+""")
+def in04_orc_ingest(spark, sf_dir):
+    """ORC source breadth: the same canonical events through an ORC
+    round-trip — native columnar alternative to parquet with the same
+    pushdown/pruning machinery; exact timestamp fidelity (no
+    second-truncation needed, unlike the text formats)."""
+    import shutil
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull())
+    base = _gate_tmp(sf_dir, "in04")
+    shutil.rmtree(base, ignore_errors=True)
+    (e.select("event_id", "ts", "user_id", "event_type", "value")
+     .write.mode("overwrite").orc(f"{base}/drop"))
+    return spark.read.orc(f"{base}/drop")
