@@ -4314,3 +4314,76 @@ def in04_orc_ingest(spark, sf_dir):
     (e.select("event_id", "ts", "user_id", "event_type", "value")
      .write.mode("overwrite").orc(f"{base}/drop"))
     return spark.read.orc(f"{base}/drop")
+
+
+@gate("ir03_bm25_hybrid", ORACLE_POSTINGS + """
+, dfreq AS (SELECT keyword, count(*) AS df FROM postings GROUP BY 1),
+dlen AS (SELECT doc_id, sum(score) AS dl FROM postings GROUP BY 1),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dlen),
+bm AS (
+  SELECT p.doc_id,
+         round(ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1)
+               * p.score * 2.2
+               / (p.score + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl)), 6)
+           AS bm25
+  FROM postings p
+  JOIN dfreq f USING (keyword)
+  JOIN dlen l USING (doc_id), corpus c
+  WHERE p.keyword = 'spark'
+),
+kw AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+    list_reduce(list_prepend(0.0, list_transform(
+      range(1, len(qv) + 1), i -> qv[i] * e.embedding[i]::DOUBLE)),
+      (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(e.embedding) + 1),
+         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+         (a, b) -> a + b))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC,
+                                      doc_id) AS rank
+    FROM scored) t
+  WHERE rank <= 100
+),
+contrib AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM kw
+  UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM vec
+),
+fused AS (
+  SELECT doc_id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, rrf, n_lists,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM fused
+""")
+def ir03_bm25_hybrid(spark, sf_dir):
+    """The production hybrid-search composition: BM25-weighted keyword
+    ranking (not raw tf — ir02's simpler variant) fused with the
+    vector cosine ranking by reciprocal rank.  Every stage — BM25
+    arithmetic, both rankings, the RRF sum — replays in the oracle."""
+    from cantera_table_spark.functions.retrieval import (bm25_scores,
+                                                         rrf_fuse)
+    from cantera_table_spark.functions.similarity import brute_force_topk
+    from cantera_table_spark.model import derive_postings
+    bm = bm25_scores(derive_postings(spark, sf_dir))
+    kw = (bm.filter(F.col("keyword") == "spark")
+          .withColumn("rank", F.row_number().over(
+              Window.orderBy(F.col("bm25").desc(),
+                             F.col("doc_id").asc())))
+          .select("doc_id", "rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=100)
+           .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse({"kw": kw, "vec": vec}, k=60)
