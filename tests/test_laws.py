@@ -434,3 +434,84 @@ def test_near_dup_clusters_clone_count_invariance_law(spark, mult):
     assert len(got) == len(cloned)
     for d, _t in cloned:
         assert got[d] == canon_of_text[orig_of[d]], (d, got[d])
+
+
+# --- temporal join laws (round 4) -----------------------------------
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 40),           # minutes offset
+              st.integers(0, 9)),           # payload
+    max_size=10)
+
+
+def _ts_df(spark, rows, schema):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    out = [(k, base + dt.timedelta(minutes=m), float(v))
+           for k, m, v in rows]
+    return spark.createDataFrame(out or [], schema)
+
+
+@settings(max_examples=10, deadline=None)
+@given(l=_events, r=_events,
+       direction=st.sampled_from(["backward", "forward"]),
+       strict=st.booleans())
+def test_asof_join_matches_nested_loop_model(spark, l, r, direction,
+                                             strict):
+    from cantera_table_spark.functions.timeseries import asof_join
+    left = _ts_df(spark, [(k, m, float(i)) for i, (k, m, _) in
+                          enumerate(l)],
+                  "user_id long, ts timestamp, eid double")
+    right = _ts_df(spark, r, "user_id long, ts timestamp, value double")
+    got = {r_["eid"]: (r_["r_ts"], r_["r_value"]) for r_ in
+           asof_join(left, right, key_col="user_id", ts_col="ts",
+                     value_cols=("value",), direction=direction,
+                     strict=strict).collect()}
+    lrows = [tuple(x) for x in left.collect()]
+    rrows = [tuple(x) for x in right.collect()]
+    assert len(got) == len(lrows)
+    for (k, ts, eid) in lrows:
+        cands = []
+        for (rk, rts, rv) in rrows:
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rts < ts if strict else rts <= ts
+            else:
+                ok = rts > ts if strict else rts >= ts
+            if ok:
+                cands.append((rts, rv))
+        if not cands:
+            assert got[eid] == (None, None)
+        elif direction == "backward":
+            assert got[eid] == max(cands)
+        else:
+            assert got[eid] == min(cands)
+
+
+@settings(max_examples=10, deadline=None)
+@given(p=_events, iv=_events, width=st.sampled_from([60, 300, 3600]))
+def test_interval_join_matches_cross_filter(spark, p, iv, width):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from cantera_table_spark.functions.timeseries import interval_join
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(minutes=m))
+         for i, (k, m, _) in enumerate(p)] or [],
+        "pid long, user_id long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(minutes=m),
+          base + dt.timedelta(minutes=m + v * 7))   # v=0 -> degenerate
+         for i, (k, m, v) in enumerate(iv)] or [],
+        "iid long, user_id long, s timestamp, e timestamp")
+    got = sorted((r.pid, r.iid) for r in interval_join(
+        pts, ivs, ts_col="ts", start_col="s", end_col="e",
+        key_col="user_id", bin_width_s=width).collect())
+    want = sorted((r.pid, r.iid) for r in
+                  pts.crossJoin(ivs.withColumnRenamed("user_id", "u2"))
+                  .filter((F.col("user_id") == F.col("u2")) &
+                          (F.col("s") <= F.col("ts")) &
+                          (F.col("ts") < F.col("e"))).collect())
+    assert got == want
