@@ -186,3 +186,28 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
             .filter(F.col("__cum") < F.col("__q"))
             .select(*out_cols))
     return full.unionByName(fine)
+
+
+def hash_split(df: DataFrame, fractions: dict,
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment: the sample-hash
+    uniform u(id) buckets each row into the named fractions (dict of
+    name -> weight, normalized; insertion order fixes the cumulative
+    interval layout).  Stable under corpus growth — a document's split
+    NEVER changes when other documents are added or removed (the
+    property random splits lack, and the reason eval contamination
+    audits want hash splits).  Pure map, no shuffle.
+    """
+    total = float(sum(fractions.values()))
+    u = sample_u(F.col(id_col))
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

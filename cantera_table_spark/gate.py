@@ -4387,3 +4387,26 @@ def ir03_bm25_hybrid(spark, sf_dir):
     vec = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=100)
            .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"kw": kw, "vec": vec}, k=60)
+
+
+@gate("ds08_hash_split", """
+SELECT doc_id, source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT)
+         / 4294967296.0 AS u
+  FROM documents
+)
+""")
+def ds08_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test hash split: a document's
+    assignment is a pure function of its id — adding or removing other
+    documents never moves it (the stability property eval-contamination
+    audits need).  Pure map, zero shuffle."""
+    from cantera_table_spark.functions.sampling import hash_split
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id", "source"),
+                      {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -1352,3 +1352,22 @@ def test_pq_and_semantic_dedup_null_embeddings(spark):
     sem = {r["vec_id"]: r["kept"]
            for r in semantic_dedup(emb, threshold=0.999999).collect()}
     assert sem[99] is True  # null vector: no similarity evidence, kept
+
+
+def test_hash_split_stability_and_mass(spark):
+    from cantera_table_spark.functions.sampling import hash_split
+    from pyspark.sql import functions as F
+    big = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"]
+            for r in hash_split(big, w).collect()}
+    # stability: a subset corpus assigns identically
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(big.filter("doc_id % 3 = 0"), w).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # mass: within a few percent of the requested fractions
+    from collections import Counter
+    c = Counter(full.values())
+    assert abs(c["train"] / 10_000 - 0.8) < 0.02
+    assert abs(c["val"] / 10_000 - 0.1) < 0.01
+    assert abs(c["test"] / 10_000 - 0.1) < 0.01
