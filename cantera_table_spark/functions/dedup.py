@@ -647,3 +647,68 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                 .filter(F.col("doc_id").isNotNull())
                 .distinct())
     return surv0.join(rejected, "doc_id", "left_anti")
+
+
+def cut_repeated_spans(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2021):
+    rebuild each document's token stream with every cross-document
+    repeated span (as found by :func:`repeated_spans`, same window /
+    merge semantics) removed.  Output text is the canonical
+    space-joined token stream — the tokenized view this engine
+    dedups in, not the raw bytes.
+
+    Plan shape: identical to repeated_spans up to the merged spans,
+    which then collect into a PER-DOC span array (bounded by document
+    length) and join back — token filtering is a codegen
+    exists()-over-array per token, O(tokens * spans_per_doc), no
+    further shuffle.  Returns (doc_id, n_kept, clean_text) for every
+    non-NULL-text document; documents shorter than ``n`` tokens keep
+    everything.
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), toks.alias("__toks")))
+    eligible = base.filter(F.size("__toks") >= n)
+    wins = (eligible.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
+                .alias("wh")))).alias("w"))
+        .select("doc_id", "w.pos", "w.wh"))
+    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
+           .groupBy("wh").agg(F.count("*").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("wh"))
+    hits = wins.join(dup, "wh")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (hits
+             .withColumn("__new", F.when(
+                 F.col("pos") - F.lag("pos").over(wdoc) <= n, 0)
+                 .otherwise(1))
+             .withColumn("__sid", F.sum("__new").over(wdoc))
+             .groupBy("doc_id", "__sid")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + (n - 1)).alias("e")))
+    spansd = (spans.groupBy("doc_id")
+              .agg(F.collect_list(F.struct("s", "e")).alias("__spans")))
+    joined = base.join(spansd, "doc_id", "left").withColumn(
+        "__spans", F.coalesce(
+            "__spans", F.array().cast("array<struct<s:long,e:long>>")))
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size("__toks")),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.element_at("__toks", i).alias("t"))),
+        lambda p: ~F.exists(
+            "__spans",
+            lambda s: (p["i"] >= s["s"]) & (p["i"] <= s["e"])))
+    return joined.select(
+        "doc_id",
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["t"]))
+        .alias("clean_text"))

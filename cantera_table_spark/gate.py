@@ -4410,3 +4410,66 @@ def ds08_hash_split(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs.select("doc_id", "source"),
                       {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@gate("dd16_cut_spans", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+eligible AS (SELECT doc_id, toks, len(toks) AS n_tokens
+             FROM base WHERE len(toks) >= 3),
+wins AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(list_slice(toks, u.i, u.i + 2), ' ')) AS wh
+  FROM eligible, unnest(range(1, n_tokens - 1)) AS u(i)
+),
+dup AS (
+  SELECT wh FROM (SELECT wh, doc_id FROM wins GROUP BY 1, 2) t
+  GROUP BY wh HAVING count(*) >= 2
+),
+hits AS (SELECT w.* FROM wins w JOIN dup USING (wh)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= 3
+              THEN 0 ELSE 1 END AS newspan
+  FROM hits
+),
+sids AS (
+  SELECT doc_id, pos,
+         sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, sid, min(pos) AS s, max(pos) + 2 AS e
+  FROM sids GROUP BY 1, 2
+),
+keep AS (
+  SELECT b.doc_id, u.i AS pos, b.toks[u.i] AS tok
+  FROM base b, unnest(range(1, len(b.toks) + 1)) AS u(i)
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = b.doc_id
+                      AND u.i BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM keep GROUP BY 1
+)
+SELECT b.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+""")
+def dd16_cut_spans(spark, sf_dir):
+    """The exact-substring dedup APPLY step: every 3-token window
+    shared by >= 2 documents merges into spans (dd11's semantics) and
+    is CUT from the token stream — the Lee et al. find-then-cut
+    composition end-to-end, with the oracle replaying detection, span
+    merge, and the token-level cut."""
+    from cantera_table_spark.functions.dedup import cut_repeated_spans
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_repeated_spans(docs, n=3, min_docs=2)

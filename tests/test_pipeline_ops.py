@@ -1371,3 +1371,27 @@ def test_hash_split_stability_and_mass(spark):
     assert abs(c["train"] / 10_000 - 0.8) < 0.02
     assert abs(c["val"] / 10_000 - 0.1) < 0.01
     assert abs(c["test"] / 10_000 - 0.1) < 0.01
+
+
+def test_cut_repeated_spans_hand_case(spark):
+    from cantera_table_spark.functions.dedup import cut_repeated_spans
+    # the 3-token window "x y z" repeats across docs 1 and 2 -> cut
+    # from both; doc 3 has no shared windows -> canonical rejoin
+    docs = spark.createDataFrame(
+        [(1, "a b x y z c d"),
+         (2, "p x y z q r s"),
+         (3, "unique words only here now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_kept"], r["clean_text"])
+           for r in cut_repeated_spans(docs, n=3, min_docs=2).collect()}
+    assert got[1] == (4, "a b c d")
+    assert got[2] == (4, "p q r s")
+    assert got[3] == (5, "unique words only here now")
+    # overlapping windows merge into ONE span before cutting
+    docs2 = spark.createDataFrame(
+        [(1, "a x y z w c"), (2, "x y z w")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in cut_repeated_spans(docs2, n=3, min_docs=2).collect()}
+    # windows "x y z" and "y z w" both shared -> span covers x..w
+    assert got2[1] == "a c" and got2[2] == ""
