@@ -600,7 +600,10 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     centroid (L2), recompute centroids as assignment means, repeat.
     One aggregation per iteration over the exploded subvector rows
     (map-side combinable per-dimension sums); empty codes keep their
-    previous centroid.  The refined codebook drops into
+    previous centroid.  Refined centroid coordinates round to 6
+    decimals — a documented quantization that makes the trained
+    codebook independent of floating-point summation order, so a SQL
+    oracle replays the refinement exactly (gate sim11).  The refined codebook drops into
     pq_encode/pq_topk/ivfpq_topk unchanged; the seeded form stays the
     oracle-deterministic gate path (same split as
     seed_centroids/ivf_train)."""
@@ -628,7 +631,8 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
                                 "size(first(sv)))"),
                          lambda acc, v: F.zip_with(
                              acc, v, lambda a, b: a + b.cast("double"))),
-                     lambda x: x / F.count("sv")).alias("cv")))
+                     lambda x: F.round(x / F.count("sv"), 6))
+                 .alias("cv")))
         prev = cb.select("sub_idx", "code",
                          F.col("cv").alias("__prev"))
         cb = (prev.join(means, ["sub_idx", "code"], "left")

@@ -4473,3 +4473,105 @@ def dd16_cut_spans(spark, sf_dir):
     from cantera_table_spark.functions.dedup import cut_repeated_spans
     docs = load_table(spark, sf_dir, "documents")
     return cut_repeated_spans(docs, n=3, min_docs=2)
+
+
+@gate("sim11_pq_trained", """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+seeds0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM seeds0
+),
+cb0 AS (
+  SELECT s.sub_idx, code,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS cv
+  FROM seeds, unnest(range(0, 4)) AS s(sub_idx)
+),
+subs AS (
+  SELECT vec_id, s.sub_idx,
+         list_slice(v, s.sub_idx * (len(v) // 4) + 1,
+                    (s.sub_idx + 1) * (len(v) // 4)) AS sv
+  FROM vecs, unnest(range(0, 4)) AS s(sub_idx)
+),
+enc0 AS (
+  SELECT subs.vec_id, subs.sub_idx, cb0.code, subs.sv,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(sv) + 1),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+           (a, b) -> a + b) AS d
+  FROM subs JOIN cb0 USING (sub_idx)
+),
+codes0 AS (
+  SELECT vec_id, sub_idx, code, sv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_idx
+                                 ORDER BY d, code) AS rk
+    FROM enc0) t
+  WHERE rk = 1
+),
+memd AS (
+  SELECT sub_idx, code, u.i AS dim, round(avg(sv[u.i]), 6) AS m
+  FROM codes0, unnest(range(1, len(sv) + 1)) AS u(i)
+  GROUP BY 1, 2, 3
+),
+cb1v AS (SELECT sub_idx, code, list(m ORDER BY dim) AS cv
+         FROM memd GROUP BY 1, 2),
+cb1 AS (
+  SELECT c0.sub_idx, c0.code, coalesce(c1.cv, c0.cv) AS cv
+  FROM cb0 c0 LEFT JOIN cb1v c1 USING (sub_idx, code)
+),
+enc1 AS (
+  SELECT subs.vec_id, subs.sub_idx, cb1.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(sv) + 1),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+           (a, b) -> a + b) AS d
+  FROM subs JOIN cb1 USING (sub_idx)
+),
+codes1 AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_idx
+                                 ORDER BY d, code) AS rk
+    FROM enc1) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, sub_idx, sv AS qv
+      FROM subs WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, q.sub_idx, cb1.code,
+         list_reduce(list_prepend(0.0, list_transform(
+             range(1, len(qv) + 1),
+             i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+           (a, b) -> a + b) AS pd
+  FROM q JOIN cb1 USING (sub_idx)
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         round(sum(l.pd), 6) AS approx_d2
+  FROM codes1 c JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""")
+def sim11_pq_trained(spark, sf_dir):
+    """TRAINED product quantization, oracle-verified end-to-end: one
+    Lloyd iteration per subspace (assign to seeded codebook, recompute
+    centroids as member means rounded to 6 decimals — the quantization
+    that makes training summation-order independent), then encode and
+    ADC-search against the refined codebook.  The oracle replays
+    seeding, assignment, the mean update, re-encoding, and ranking."""
+    from cantera_table_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    codes = pq_encode(emb, cb, m=4)
+    return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
