@@ -4575,3 +4575,39 @@ def sim11_pq_trained(spark, sf_dir):
     cb = pq_train(emb, m=4, ksub=8, iters=1)
     codes = pq_encode(emb, cb, m=4)
     return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
+
+
+@gate("tpch_q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+""")
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the classic
+    aggregate-as-join-filter pattern — the HAVING subquery reduces to
+    a semi-filter key set BEFORE the 3-way join, so only qualifying
+    orders' lineitems shuffle into the final aggregation (AQE
+    broadcasts the tiny qualifying-key side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 300)
+           .select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey")
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(l, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")))
