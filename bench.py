@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "tx16_kmv_distinct", "ev07_rollup_day",
     "sim10_ivfpq_topk", "tx17_wordpiece", "tpch_q6_forecast",
     "ds07_sample_quantiles",
+    "sim11_pq_trained", "tpch_q18_large_orders",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]
