@@ -4611,3 +4611,65 @@ def tpch_q18_large_orders(spark, sf_dir):
             .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                      "o_totalprice")
             .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+
+
+@gate("ev08_top_events_per_user", """
+SELECT user_id, event_id, value, rk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+) t
+WHERE rk <= 3
+""")
+def ev08_top_events_per_user(spark, sf_dir):
+    """Top-N per group — the literal `row_number() <= N` filter form,
+    which Spark's InferWindowGroupLimit rewrites into a per-input-
+    partition partial top-N BEFORE the group exchange (pinned for
+    stratified_sample in test_plan_shapes): shuffle volume is
+    O(partitions * groups * N), not the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (e.filter(F.col("user_id").isNotNull() &
+                     F.col("value").isNotNull())
+            .select("user_id", "event_id", "value")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3))
+
+
+@gate("st07_stream_complete_totals", """
+SELECT event_type AS key, count(*) AS n, round(sum(value), 3) AS total
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1
+""")
+def st07_stream_complete_totals(spark, sf_dir):
+    """Complete-output-mode streaming aggregate (the live-dashboard
+    shape): the whole running aggregate re-emits per trigger; with
+    availableNow the final emission equals the batch group-by, which
+    the oracle replays.  Complete mode requires a sink that replaces —
+    parquet append cannot; memory sink stands in (at scale: a
+    key-value/console dashboard sink)."""
+    import shutil
+    from cantera_table_spark.streaming.ingest import stream_tsv_timeseries
+    e = load_table(spark, sf_dir, "events")
+    e = e.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("value").isNotNull())
+    base = _gate_tmp(sf_dir, "st07")
+    shutil.rmtree(base, ignore_errors=True)
+    (e.select(F.concat_ws(
+        "\t", F.col("event_type"),
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+        F.col("value").cast("string")).alias("value"))
+     .coalesce(2).write.mode("overwrite").text(f"{base}/src"))
+    stream = stream_tsv_timeseries(spark, f"{base}/src",
+                                   date_format="yyyy/MM/dd HH:mm:ss")
+    agg = (stream.groupBy("key")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 3).alias("total")))
+    q = (agg.writeStream.format("memory").queryName("st07_totals")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("st07_totals").select("key", "n", "total")
