@@ -699,14 +699,18 @@ def cut_repeated_spans(df: DataFrame, text_col: str = "text",
     joined = base.join(spansd, "doc_id", "left").withColumn(
         "__spans", F.coalesce(
             "__spans", F.array().cast("array<struct<s:long,e:long>>")))
-    kept = F.filter(
-        F.transform(F.sequence(F.lit(1), F.size("__toks")),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.element_at("__toks", i).alias("t"))),
-        lambda p: ~F.exists(
-            "__spans",
-            lambda s: (p["i"] >= s["s"]) & (p["i"] <= s["e"])))
+    # sequence(1, 0) counts DOWN for zero-token docs (the shingles()
+    # hazard, dedup.py:50-52) and element_at(toks, 0) then throws —
+    # letters-free documents keep an explicitly empty token list
+    kept = F.when(F.size("__toks") < 1, F.array().cast(
+        "array<struct<i:int,t:string>>")).otherwise(F.filter(
+            F.transform(F.sequence(F.lit(1), F.size("__toks")),
+                        lambda i: F.struct(
+                            i.alias("i"),
+                            F.element_at("__toks", i).alias("t"))),
+            lambda p: ~F.exists(
+                "__spans",
+                lambda s: (p["i"] >= s["s"]) & (p["i"] <= s["e"]))))
     return joined.select(
         "doc_id",
         F.size(kept).alias("n_kept"),

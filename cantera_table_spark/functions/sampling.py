@@ -173,10 +173,15 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
     starts = coarse_tbl.withColumn(
         "__bs", F.coalesce(F.sum("__bt").over(wb), F.lit(0)))
     j = b.join(F.broadcast(starts), [strata_col, "__b"])
-    full = (j.filter(F.col("__bs") + F.col("__bt") <= F.col("__q"))
+    # full-bucket admission must be STRICT: a zero-token doc sitting
+    # at a bucket end that lands exactly on the quota has exclusive
+    # cumsum == quota, which the naive rule (cum < quota) rejects —
+    # buckets ending exactly at the quota go through the exact
+    # boundary refinement instead
+    full = (j.filter(F.col("__bs") + F.col("__bt") < F.col("__q"))
             .select(*out_cols))
     boundary = j.filter((F.col("__bs") < F.col("__q")) &
-                        (F.col("__bs") + F.col("__bt") > F.col("__q")))
+                        (F.col("__bs") + F.col("__bt") >= F.col("__q")))
     wf = (Window.partitionBy(strata_col, "__b")
           .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
           .rowsBetween(Window.unboundedPreceding, -1))

@@ -558,6 +558,10 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
     (query_id, neighbor_id, approx_d2, rank).
     """
     from pyspark.sql import Window
+    # NULL-vector queries would probe arbitrary centroids and rank
+    # NULL distances first (asc sorts NULLs first) — same guard as
+    # pq_topk/pq_encode
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(centroids), F.lit(True))
@@ -600,10 +604,11 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     centroid (L2), recompute centroids as assignment means, repeat.
     One aggregation per iteration over the exploded subvector rows
     (map-side combinable per-dimension sums); empty codes keep their
-    previous centroid.  Refined centroid coordinates round to 6
-    decimals — a documented quantization that makes the trained
-    codebook independent of floating-point summation order, so a SQL
-    oracle replays the refinement exactly (gate sim11).  The refined codebook drops into
+    previous centroid.  The mean fold sorts its member list first
+    (run-deterministic regardless of partition order) and rounds the
+    refined coordinates to 6 decimals, absorbing the remaining ~1e-15
+    cross-engine summation-order difference — so a SQL oracle replays
+    the refinement (gate sim11).  The refined codebook drops into
     pq_encode/pq_topk/ivfpq_topk unchanged; the seeded form stays the
     oracle-deterministic gate path (same split as
     seed_centroids/ivf_train)."""
@@ -626,7 +631,7 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
                  .groupBy("sub_idx", "code")
                  .agg(F.transform(
                      F.aggregate(
-                         F.collect_list("sv"),
+                         F.array_sort(F.collect_list("sv")),
                          F.expr("array_repeat(cast(0.0 as double), "
                                 "size(first(sv)))"),
                          lambda acc, v: F.zip_with(

@@ -421,7 +421,8 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 256,
 
 
 def ppl_buckets(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                caches: list | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing: score the corpus with
     :func:`lm_quality_score`, then split into head / middle / tail by
     the corpus's own avg_nll terciles (head = most fluent third, the
@@ -434,6 +435,14 @@ def ppl_buckets(df: DataFrame, text_col: str = "text",
     'empty'.  Returns (doc_id, avg_nll, ppl_bucket).
     """
     sc = lm_quality_score(df, text_col=text_col, id_col=id_col)
+    if caches is not None:
+        # the cutoff aggregate AND the bucketing both read the scored
+        # table; uncached, the whole LM pipeline (corpus tokenize +
+        # two aggregation shuffles) executes twice.  The score table
+        # is one narrow row per doc — a funnel-narrowed frame, the
+        # kind that SHOULD cache (SCALE.md negative-result note)
+        sc = sc.cache()
+        caches.append(sc)
     cut = sc.agg(
         F.percentile(F.col("avg_nll"), F.lit(1.0 / 3.0)).alias("__q1"),
         F.percentile(F.col("avg_nll"), F.lit(2.0 / 3.0)).alias("__q2"))

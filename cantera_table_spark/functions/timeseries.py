@@ -313,6 +313,8 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     column names (besides ``key_col``); the output carries all columns
     of both.
     """
+    if int(bin_width_s) <= 0:
+        raise ValueError(f"bin_width_s must be positive: {bin_width_s}")
     w_us = int(bin_width_s) * 1_000_000
     overlap = [c for c in points.columns if c in intervals.columns
                and c != key_col]

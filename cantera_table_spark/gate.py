@@ -3645,7 +3645,7 @@ def ds06_mixture_sample(spark, sf_dir):
 @gate("sim09_pq_topk", """
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 seeds0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
 seeds AS (
@@ -3711,7 +3711,8 @@ def sim09_pq_topk(spark, sf_dir):
     hash-verified by the oracle."""
     from cantera_table_spark.functions.similarity import (
         pq_codebook, pq_encode, pq_topk)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull()))
     cb = pq_codebook(emb, m=4, ksub=8)
     codes = pq_encode(emb, cb, m=4)
     return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)
@@ -3818,7 +3819,8 @@ def tx15_ppl_buckets(spark, sf_dir):
     no global sort.  The oracle replays the bigram LM (tx10's CTEs)
     and the tercile split with the shared interpolation definition."""
     from cantera_table_spark.functions.text import ppl_buckets
-    return (ppl_buckets(load_table(spark, sf_dir, "documents"))
+    return (ppl_buckets(load_table(spark, sf_dir, "documents"),
+                        caches=_GATE_CACHES)
             .select("doc_id", F.col("avg_nll").alias("nll_avg"),
                     "ppl_bucket"))
 
@@ -3905,7 +3907,7 @@ def ev07_rollup_day(spark, sf_dir):
 @gate("dd15_semantic_dedup", """
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 c AS (SELECT vec_id AS centroid_id, v AS cv
       FROM vecs ORDER BY vec_id LIMIT 8),
@@ -3950,7 +3952,8 @@ def dd15_semantic_dedup(spark, sf_dir):
     to within-cluster pairs.  The oracle replays assignment, the
     within-cluster pair scan, and the keep/drop rule."""
     from cantera_table_spark.functions.similarity import semantic_dedup
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull()))
     return semantic_dedup(emb, threshold=0.35, n_clusters=8,
                           caches=_GATE_CACHES)
 
@@ -3958,7 +3961,7 @@ def dd15_semantic_dedup(spark, sf_dir):
 @gate("sim10_ivfpq_topk", """
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 c AS (SELECT vec_id AS centroid_id, v AS cv
       FROM vecs ORDER BY vec_id LIMIT 8),
@@ -4071,7 +4074,8 @@ def sim10_ivfpq_topk(spark, sf_dir):
     candidate restriction, ADC ranking — is replayed by the oracle."""
     from cantera_table_spark.functions.similarity import (
         ivf_assign, ivfpq_topk, pq_codebook, pq_encode, seed_centroids)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull()))
     cents = seed_centroids(emb, n=8)
     indexed = ivf_assign(emb, cents)
     cb = pq_codebook(emb, m=4, ksub=8)
@@ -4478,7 +4482,7 @@ def dd16_cut_spans(spark, sf_dir):
 @gate("sim11_pq_trained", """
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 seeds0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
 seeds AS (
@@ -4571,7 +4575,8 @@ def sim11_pq_trained(spark, sf_dir):
     seeding, assignment, the mean update, re-encoding, and ranking."""
     from cantera_table_spark.functions.similarity import (
         pq_encode, pq_topk, pq_train)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull()))
     cb = pq_train(emb, m=4, ksub=8, iters=1)
     codes = pq_encode(emb, cb, m=4)
     return pq_topk(codes, cb, emb.filter(F.col("vec_id") < 10), k=5, m=4)

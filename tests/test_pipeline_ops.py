@@ -1395,3 +1395,53 @@ def test_cut_repeated_spans_hand_case(spark):
             for r in cut_repeated_spans(docs2, n=3, min_docs=2).collect()}
     # windows "x y z" and "y z w" both shared -> span covers x..w
     assert got2[1] == "a c" and got2[2] == ""
+
+
+def test_review_fix_regressions(spark):
+    """Round-4 review fixes pinned: zero-token docs in span cutting,
+    NULL-query IVFPQ, zero-token mixture boundary, bin-width guard."""
+    import pytest
+    from pyspark.sql import functions as F
+    from cantera_table_spark.functions.dedup import cut_repeated_spans
+    docs = spark.createDataFrame(
+        [(1, "a b x y z c d"), (2, "p x y z q r s"), (3, "1234 !!! 999")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_kept"], r["clean_text"])
+           for r in cut_repeated_spans(docs, n=3, min_docs=2).collect()}
+    assert got[3] == (0, "")
+    assert got[1] == (4, "a b c d")
+
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivfpq_topk, pq_codebook, pq_encode, seed_centroids)
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(8)]
+    rows.append((9, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(emb.filter("embedding is not null"), n=4)
+    indexed = ivf_assign(emb.filter("embedding is not null"), cents)
+    cb = pq_codebook(emb, m=4, ksub=4)
+    codes = pq_encode(emb, cb, m=4)
+    top = ivfpq_topk(indexed, cents, codes, cb, emb, k=2, nprobe=2, m=4)
+    assert all(r["query_id"] != 9 and r["approx_d2"] is not None
+               for r in top.collect())
+
+    from cantera_table_spark.functions.sampling import mixture_sample
+    # zero-token docs at a quota-exact boundary: coarse == naive
+    zt = spark.createDataFrame(
+        [(i, "s", 5 if i < 4 else 0) for i in range(40)],
+        "doc_id long, source string, nt long")
+    for budget in (0, 10, 20):
+        a = sorted(r["doc_id"] for r in mixture_sample(
+            zt, {"s": 1.0}, budget, token_col="nt", coarse=True).collect())
+        b = sorted(r["doc_id"] for r in mixture_sample(
+            zt, {"s": 1.0}, budget, token_col="nt", coarse=False).collect())
+        assert a == b, (budget, a[:5], b[:5])
+
+    from cantera_table_spark.functions.timeseries import interval_join
+    pts = spark.createDataFrame([(1,)], "pid long").withColumn(
+        "ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="bin_width_s"):
+        interval_join(pts, pts.withColumnRenamed("pid", "iid")
+                      .withColumnRenamed("ts", "s")
+                      .withColumn("e", F.col("s")),
+                      ts_col="ts", start_col="s", end_col="e",
+                      bin_width_s=0)
