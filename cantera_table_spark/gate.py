@@ -4678,3 +4678,55 @@ def st07_stream_complete_totals(spark, sf_dir):
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table("st07_totals").select("key", "n", "total")
+
+
+@gate("ts10_asof_forward_tol", """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+),
+u AS (
+  SELECT user_id, ts, 1 AS side, event_id FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL FROM r
+),
+m AS (
+  SELECT user_id, ts, side, event_id,
+         min(CASE WHEN side = 0 THEN ts END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts DESC NULLS FIRST, side ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS m_ts
+  FROM u
+),
+rmin AS (SELECT user_id, ts, min(value) AS value FROM r GROUP BY 1, 2),
+tol AS (
+  SELECT m.user_id, m.ts, m.event_id,
+         CASE WHEN epoch_us(m.m_ts) - epoch_us(m.ts)
+                   <= 1800000000 THEN m.m_ts END AS r_ts
+  FROM m WHERE m.side = 1
+)
+SELECT t.user_id, t.ts, t.event_id, t.r_ts, rmin.value AS r_value
+FROM tol t LEFT JOIN rmin
+  ON t.user_id = rmin.user_id AND t.r_ts = rmin.ts
+""")
+def ts10_asof_forward_tol(spark, sf_dir):
+    """The FORWARD + tolerance as-of path under the oracle: every view
+    gets the earliest at-or-after purchase within 30 minutes (the
+    conversion-attribution shape).  Same union+window plan as ts09
+    mirrored (ts DESC NULLS FIRST; min struct; forward equal-ts ties
+    resolve to min value); the tolerance nulls both match columns."""
+    from cantera_table_spark.functions.timeseries import asof_join
+    e = load_table(spark, sf_dir, "events")
+    left = (e.filter(F.col("event_type") == "view")
+            .select("user_id", "ts", "event_id"))
+    right = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value"))
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     value_cols=("value",), direction="forward",
+                     tolerance_us=1_800_000_000)
