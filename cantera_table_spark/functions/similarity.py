@@ -394,6 +394,19 @@ def _l2sq(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _pq_sublen(m: int) -> Column:
+    """Subvector length dim/m over the ``__v`` vector column, with a
+    runtime divisibility guard: PQ requires d % m == 0 (FAISS's rule) —
+    a silent floor would drop the trailing d % m dimensions from every
+    code and ADC distance with no warning."""
+    sz = F.size(F.col("__v"))
+    ok = F.assert_true(
+        sz % m == 0,
+        F.concat(F.lit(f"PQ requires dim % m == 0: m={m}, dim="),
+                 sz.cast("string")))
+    return F.when(ok.isNull(), sz / m).cast("int")
+
+
 def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -411,7 +424,7 @@ def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
     seeds = (emb.orderBy(id_col).limit(ksub)
              .withColumn("code",
                          F.row_number().over(Window.orderBy(id_col)) - 1))
-    sublen = (F.size(F.col("__v")) / m).cast("int")
+    sublen = _pq_sublen(m)
     return (seeds.select(
         "code", F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
@@ -434,7 +447,7 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
     # the min(struct) with an arbitrary code and surface the vector as
     # a fake search result)
     emb = emb.filter(F.col(vec_col).isNotNull())
-    sublen = (F.size(F.col("__v")) / m).cast("int")
+    sublen = _pq_sublen(m)
     subs = (emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
@@ -462,7 +475,7 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     """
     from pyspark.sql import Window
     queries = queries.filter(F.col(vec_col).isNotNull())
-    sublen = (F.size(F.col("__v")) / m).cast("int")
+    sublen = _pq_sublen(m)
     qsubs = (queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
@@ -574,7 +587,7 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
     cand = (indexed.select("vec_id", "cluster").join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id"))
-    sublen = (F.size(F.col("__v")) / m).cast("int")
+    sublen = _pq_sublen(m)
     qsubs = (queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
@@ -603,17 +616,18 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     run k-means per SUBSPACE — assign every subvector to its nearest
     centroid (L2), recompute centroids as assignment means, repeat.
     One aggregation per iteration over the exploded subvector rows
-    (map-side combinable per-dimension sums); empty codes keep their
-    previous centroid.  The mean fold sorts its member list first
-    (run-deterministic regardless of partition order) and rounds the
-    refined coordinates to 6 decimals, absorbing the remaining ~1e-15
-    cross-engine summation-order difference — so a SQL oracle replays
-    the refinement (gate sim11).  The refined codebook drops into
-    pq_encode/pq_topk/ivfpq_topk unchanged; the seeded form stays the
-    oracle-deterministic gate path (same split as
-    seed_centroids/ivf_train)."""
+    (map-side combinable per-dimension sums, the ivf_train shape);
+    empty codes keep their previous centroid.  A code's membership is
+    O(N/ksub) vectors, so the mean step must never materialize the
+    member list in one aggregation buffer — per-dimension
+    posexplode + avg keeps every partial bounded, and the 6-decimal
+    rounding absorbs the ~1e-15 cross-engine summation-order
+    difference, so a SQL oracle replays the refinement (gate sim11).
+    The refined codebook drops into pq_encode/pq_topk/ivfpq_topk
+    unchanged; the seeded form stays the oracle-deterministic gate
+    path (same split as seed_centroids/ivf_train)."""
     cb = pq_codebook(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
-    sublen = (F.size(F.col("__v")) / m).cast("int")
+    sublen = _pq_sublen(m)
     subs = (emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
@@ -628,16 +642,15 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
                     .select("sub_idx", F.col("__m.code").alias("code"),
                             F.col("__m.sv").alias("sv")))
         means = (assigned
+                 .select("sub_idx", "code",
+                         F.posexplode(F.col("sv")).alias("pos", "x"))
+                 .groupBy("sub_idx", "code", "pos")
+                 .agg(F.round(F.avg(F.col("x").cast("double")), 6)
+                      .alias("mx"))
                  .groupBy("sub_idx", "code")
                  .agg(F.transform(
-                     F.aggregate(
-                         F.array_sort(F.collect_list("sv")),
-                         F.expr("array_repeat(cast(0.0 as double), "
-                                "size(first(sv)))"),
-                         lambda acc, v: F.zip_with(
-                             acc, v, lambda a, b: a + b.cast("double"))),
-                     lambda x: F.round(x / F.count("sv"), 6))
-                 .alias("cv")))
+                     F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                     lambda s: s["mx"]).alias("cv")))
         prev = cb.select("sub_idx", "code",
                          F.col("cv").alias("__prev"))
         cb = (prev.join(means, ["sub_idx", "code"], "left")

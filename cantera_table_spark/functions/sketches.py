@@ -29,7 +29,9 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
     groupBy merges the partial lists (flatten -> distinct -> sort ->
     slice k).  Shuffle volume is partitions * groups * k doubles, not
     the corpus.  Groups with fewer than k distinct hashes report the
-    exact count.  NULL values are ignored (count-distinct semantics);
+    exact count.  NULL values are ignored (count-distinct semantics) —
+    the NULL drop happens INSIDE the partial, so a group whose values
+    are all NULL still surfaces, with est_distinct = 0 and n_mins = 0;
     a NULL group is its own group.
 
     Returns (group_col, est_distinct, n_mins): the estimate (rounded
@@ -43,14 +45,14 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
         F.col(group_col).alias("g"),
         ((F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
                  16, 10).cast("double") + 1) /
-         F.lit(float(1 << 32))).alias("u")).filter(F.col("u").isNotNull())
+         F.lit(float(1 << 32))).alias("u"))
 
     def partial(batches):
         state: dict = {}
         for pdf in batches:
             for g, sub in pdf.groupby("g", dropna=False, sort=False):
                 gk = None if (not isinstance(g, str) and pd.isna(g)) else g
-                mins = np.unique(sub["u"].to_numpy())[:k]
+                mins = np.unique(sub["u"].dropna().to_numpy())[:k]
                 prev = state.get(gk)
                 state[gk] = (mins if prev is None else
                              np.unique(np.concatenate([prev, mins]))[:k])

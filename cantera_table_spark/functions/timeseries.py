@@ -227,7 +227,13 @@ def asof_join(left: DataFrame, right: DataFrame,
     on asof_prior (AQE sees pre-aggregation map stats, keeps a
     SortMergeJoin).  Determinism: equal right timestamps tie-break by
     the value struct's lexicographic order (max/min of the full
-    struct), so the result is engine-order-independent.
+    struct), so the result is engine-order-independent.  Spark's struct
+    comparison sorts a NULL field FIRST, which already makes backward's
+    ``max`` prefer a real payload over a NULL one at a tied timestamp;
+    forward's ``min`` would prefer the NULL, so its struct carries a
+    leading is-null flag on the first value column — both directions
+    therefore resolve a tie to a non-NULL payload when one exists
+    (matching a SQL ``min(value)``/``max(value)``, which skip NULLs).
 
     NULL semantics: NULL-key rows on either side are dropped (an
     equi-join would never match them; one window group would lump
@@ -270,8 +276,15 @@ def asof_join(left: DataFrame, right: DataFrame,
     side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (Window.partitionBy("__k").orderBy(ts_ord, side_ord)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    rstruct = F.struct(F.col("__ts").alias("__rts"),
-                       *[F.col(f"__r_{c}").alias(c) for c in rv])
+    rfields = [F.col("__ts").alias("__rts")]
+    if not backward:
+        # NULL fields sort first in struct comparison: under min a
+        # NULL payload at a tied ts would shadow a real one
+        rfields.append(
+            F.when(F.col(f"__r_{rv[0]}").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias("__nn"))
+    rfields += [F.col(f"__r_{c}").alias(c) for c in rv]
+    rstruct = F.struct(*rfields)
     agg = F.max if backward else F.min
     m = agg(F.when(F.col("__side") == 0, rstruct)).over(w)
     out = u.withColumn("__m", m).filter(F.col("__side") == 1)

@@ -67,46 +67,47 @@ def gate(name: str, oracle: str | None = None):
 # plus 5 long-green sentinels kept in-window for cross-round regression
 # continuity.  Everything else follows in decoration order.
 _DRIVER_ORDER = [
-    # sentinels (driver-green every round they were in-window); the
-    # multimodal sentinel slot goes to the new f32 THRESHOLDS gate —
-    # mm02-mm07 cover the codec surface in-window this round — and the
-    # minhash sentinel slot to the new exact-then-near pipeline gate
-    # (dd07 keeps the minhash family in-window)
+    # --- positions 1-25: the round-4 gates that have never had a driver
+    # row (registry grew to 128 vs the 50-entry window; all 25 verified
+    # green by the round-4 review's independent oracle sweep) ---
+    # time-series / events
+    "ts09_asof_join", "ts10_asof_forward_tol", "ev05_interval_join",
+    "ev07_rollup_day", "ev08_top_events_per_user",
+    # dedup round-4 additions
+    "dd14_incremental_dedup", "dd15_semantic_dedup", "dd16_cut_spans",
+    # dataset shaping round-4 additions
+    "ds06_mixture_sample", "ds07_sample_quantiles", "ds08_hash_split",
+    # PQ / IVFPQ ANN
+    "sim09_pq_topk", "sim10_ivfpq_topk", "sim11_pq_trained",
+    # streaming round-4 additions
+    "st05_stream_stream_join", "st06_stream_quality_dedup",
+    "st07_stream_complete_totals",
+    # text round-4 additions
+    "tx15_ppl_buckets", "tx16_kmv_distinct", "tx17_wordpiece",
+    # TPC-H + sources + hybrid retrieval
+    "tpch_q6_forecast", "tpch_q18_large_orders",
+    "in03_json_ingest", "in04_orc_ingest", "ir03_bm25_hybrid",
+    # --- positions 26-28: the three round-4 hash-red gates, re-cast
+    # this round (oracle HUGEINT sums -> ::BIGINT) so the fix is
+    # driver-proven ---
+    "dd11_repeated_spans", "tx12_bpe_pairs", "ds05_packed_text",
+    # --- positions 29-50: sentinels spanning every family, each
+    # driver-green in r2/r3/r4, kept in-window for cross-round
+    # regression continuity ---
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
     "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
-    # ingest front door + dump + export (SURVEY S6, S7, S10, S11, F7, F8, X3, X5, S17)
-    "in01_tsv_postings", "in02_tsv_timeseries",
-    "dp01_dump_index", "dp02_dump_timeseries", "x02_export_results",
-    # statements PARSE / SET, multi-table catalog
-    "p01_parse_echo", "set01_session_state", "cat01_multi_table",
-    # streaming
-    "st01_stream_ingest", "st02_stream_windowed_rollup",
-    "st03_stream_dedup", "st04_stream_sessionize",
-    # dedup / decontamination pipeline
-    "dd07_lsh_jaccard", "dd09_decontaminate", "dd10_line_dedup",
-    "dd11_repeated_spans", "dd12_dedup_apply",
-    # similarity / ANN
-    "sim04_ivf_assign", "sim05_hyperplane_sig",
-    "sim07_quantized_topk", "sim08_quantized_ivf",
-    # text analysis
-    "tx06_quality_filter", "tx07_corpus_stats", "tx08_repetition",
-    "tx09_pii_scrub", "tx10_lm_score", "tx11_length_quantiles",
-    "tx12_bpe_pairs", "tx13_chunking",
-    # dataset shaping
-    "ds01_stratified_sample", "ds02_weighted_sample",
-    "ds03_pack_sequences", "ds04_shuffle_shards", "ds05_packed_text",
-    # multimodal codecs
-    "mm02_decode_bmp", "mm03_decode_wav", "mm04_thumbnail",
-    "mm06_decode_png", "mm07_decode_gif",
-    # retrieval / ml / events
-    "ir01_bm25", "ir02_rrf_hybrid", "ml01_logreg_quality",
-    "ev03_funnel", "ev04_retention", "sk01_salted_rollup",
+    "in01_tsv_postings", "dp02_dump_timeseries", "x02_export_results",
+    "p01_parse_echo", "set01_session_state",
+    "st04_stream_sessionize", "dd07_lsh_jaccard", "dd10_line_dedup",
+    "sim04_ivf_assign", "sim07_quantized_topk",
+    "tx06_quality_filter", "tx11_length_quantiles",
+    "ds01_stratified_sample", "ds03_pack_sequences",
+    "mm06_decode_png", "ir01_bm25", "ev04_retention",
 ]
-# Round-5 rotation plan: once CORRECTNESS_r04 lands driver rows for the
-# 50 above, rotate the still-unverified tail into the window — the
-# round-4 additions (ts09, ev05, dd14, ds06, sim09, sim10, dd15, st05,
-# tx15, tx16, tx17, ev07) plus the r2/r3-verified gates that rotated
-# out.  Keep ~5 sentinels for cross-round continuity as before.
+# With this rotation every registered gate has had at least one driver
+# row across CORRECTNESS_r02..r05 (union).  Gates outside the window
+# this round (all driver-green in r2-r4) follow in decoration order and
+# stay covered by tools/check_gate.py's full local sweep.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
@@ -2862,8 +2863,8 @@ spans AS (
   FROM sids GROUP BY 1, 2
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n_spans, sum(nwin) AS n_shared_windows,
-         sum(toklen) AS rep_toks
+  SELECT doc_id, count(*) AS n_spans, sum(nwin)::BIGINT AS n_shared_windows,
+         sum(toklen)::BIGINT AS rep_toks
   FROM spans GROUP BY 1
 )
 SELECT e.doc_id, e.n_tokens, e.n_tokens - 2 AS n_windows,
@@ -3001,7 +3002,7 @@ pairs AS (
   FROM words, unnest(range(1, length(w))) AS u(i)
   WHERE length(w) >= 2
 )
-SELECT pair, sum(freq) AS pair_count FROM pairs GROUP BY 1
+SELECT pair, sum(freq)::BIGINT AS pair_count FROM pairs GROUP BY 1
 ORDER BY pair_count DESC, pair LIMIT 30
 """)
 def tx12_bpe_pairs(spark, sf_dir):
@@ -3064,7 +3065,7 @@ pack AS (
               THEN p.bin ELSE p.bin + 1 END
   FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
 )
-SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+SELECT shard, bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
        string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
 FROM pack GROUP BY 1, 2
 """)
@@ -4123,8 +4124,8 @@ r AS (
 ),
 fin AS (SELECT tok, n_pieces, n_unk FROM r WHERE pos > len(tok)),
 perdoc AS (
-  SELECT w.doc_id, sum(w.cnt * f.n_pieces) AS n_pieces,
-         sum(w.cnt * f.n_unk) AS n_unk
+  SELECT w.doc_id, sum(w.cnt * f.n_pieces)::BIGINT AS n_pieces,
+         sum(w.cnt * f.n_unk)::BIGINT AS n_unk
   FROM wcnt w JOIN fin f USING (tok) GROUP BY 1
 )
 SELECT d.doc_id, coalesce(p.n_pieces, 0) AS n_pieces,

@@ -1280,6 +1280,14 @@ def test_kmv_distinct_laws(spark):
     # estimator accuracy: KMV stderr ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
     assert a["n_mins"] == 64
     assert abs(a["est_distinct"] - 5000) / 5000 < 0.4
+    # NULL values are ignored but a group whose values are ALL NULL
+    # still surfaces (est 0), incl. the NULL group as its own group
+    nulls = spark.createDataFrame(
+        [("a", "v1"), ("a", None), ("dead", None), (None, None)],
+        "g string, v string")
+    got = {r["g"]: (r["est_distinct"], r["n_mins"])
+           for r in kmv_distinct(nulls, "v", "g", k=64).collect()}
+    assert got == {"a": (1.0, 1), "dead": (0.0, 0), None: (0.0, 0)}
 
 
 def test_wordpiece_greedy_laws(spark):
@@ -1302,6 +1310,21 @@ def test_wordpiece_greedy_laws(spark):
     stats = {r["doc_id"]: (r["n_pieces"], r["n_unk"])
              for r in wordpiece_doc_stats(docs, vocab).collect()}
     assert stats == {1: (2 * 1 + 2, 0), 2: (0, 0)}
+
+
+def test_pq_dim_divisibility_guard(spark):
+    # dim % m != 0 must raise, not silently truncate the trailing dims
+    # (FAISS's d % m == 0 requirement)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from cantera_table_spark.functions.similarity import pq_codebook
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises((PySparkException, Py4JJavaError),
+                       match="dim % m == 0"):
+        pq_codebook(emb, m=4, ksub=4).collect()
 
 
 def test_pq_train_reduces_quantization_error(spark):

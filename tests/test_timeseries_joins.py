@@ -102,6 +102,30 @@ def test_asof_forward_strict(spark):
     _check(spark, "forward", strict=True)
 
 
+def test_asof_null_payload_at_tied_ts(spark):
+    # right rows (ts, NULL) and (ts, 5.0) tie at the matched timestamp:
+    # both directions must resolve to the REAL payload, not the NULL
+    # (forward's min(struct) would otherwise sort the NULL field first
+    # and shadow the 5.0 — the SQL-oracle replay uses min(value), which
+    # skips NULLs)
+    t = _ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, t, 100)],
+                                 "user_id long, ts timestamp, event_id long")
+    right = spark.createDataFrame(
+        [(1, t, None), (1, t, 5.0)],
+        "user_id long, ts timestamp, value double")
+    for direction in ("backward", "forward"):
+        r = asof_join(left, right, key_col="user_id", ts_col="ts",
+                      value_cols=("value",), direction=direction).collect()
+        assert len(r) == 1 and r[0]["r_value"] == 5.0, (direction, r)
+    # a match whose ONLY payload is NULL still reports the matched ts
+    right2 = spark.createDataFrame(
+        [(1, t, None)], "user_id long, ts timestamp, value double")
+    r = asof_join(left, right2, key_col="user_id", ts_col="ts",
+                  value_cols=("value",), direction="forward").collect()
+    assert r[0]["r_ts"] == t and r[0]["r_value"] is None, r
+
+
 def test_asof_tolerance(spark):
     # 30 min tolerance: left@12:00 matched right@11:30 stays, left@23:00
     # matched right@10:00 nulls out

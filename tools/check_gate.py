@@ -9,8 +9,10 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
+import pyarrow.types as pat
 
 sys.path.insert(0, ".")
 
@@ -22,11 +24,63 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
     return v
+
+
+def arrow_kind(t) -> str:
+    """Collapse an Arrow type to the kind class a typed value-hash
+    distinguishes.  The driver materializes the DuckDB oracle through
+    Arrow/pandas, where an uncast sum(BIGINT) is HUGEINT ->
+    decimal128/float64 while Spark emits int64 — values identical, hash
+    red.  Comparing kinds catches that class at build time."""
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "array"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    return "other"
+
+
+def spark_kind(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt == "boolean":
+        return "bool"
+    if dt == "string":
+        return "str"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array"):
+        return "array"
+    if dt == "binary":
+        return "binary"
+    return "other"
 
 
 def rows_key(df_rows, cols):
@@ -74,13 +128,23 @@ def main():
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
-            orows = [tuple(r) for r in cur.fetchall()]
+            otbl = cur.fetch_arrow_table()
+            orows = [tuple(rec[c] for c in ocols) for rec in otbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            n_fail += 1
+            continue
+        skinds = {c: spark_kind(dt) for c, dt in sdf.dtypes}
+        okinds = {f.name: arrow_kind(f.type) for f in otbl.schema}
+        kind_diffs = {c: (skinds[c], okinds[c]) for c in scols
+                      if skinds[c] != okinds[c]}
+        if kind_diffs:
+            print(f"FAIL {name}: dtype kinds differ (spark, oracle): "
+                  f"{kind_diffs}")
             n_fail += 1
             continue
         if len(srows) != len(orows):
