@@ -65,18 +65,83 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding") -> DataFrame:
     """Index build: assign each vector to its nearest centroid by cosine
     (deterministic tie-break on centroid id).  At scale the result is
-    written partitioned by ``cluster``."""
-    from pyspark.sql import Window
+    written partitioned by ``cluster``.
+
+    The per-vector argmax is groupBy + min(struct(-cos, id)), NOT a
+    row_number window: the broadcast cross join emits N*k scored rows
+    all residing in the vector's input partition, so a hash aggregate
+    map-side-combines them to ONE row per vector before the shuffle —
+    a window formulation would shuffle and sort all N*k rows.  Same
+    tie-break as ordering (cos desc, centroid_id asc): negation
+    mirrors float order exactly."""
     c = centroids.select(F.col("centroid_id"), F.col("cv"))
     scored = (emb.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"))
               .join(F.broadcast(c), F.lit(True))
-              .withColumn("cos", cosine(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id").asc())
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", F.col("centroid_id").alias("cluster")))
+              .select("vec_id", "v", F.struct(
+                  (-cosine(F.col("v"), F.col("cv"))).alias("negcos"),
+                  F.col("centroid_id").alias("cid")).alias("__s")))
+    return (scored.groupBy("vec_id")
+            .agg(F.any_value(F.col("v")).alias("v"),
+                 F.min("__s").alias("__m"))
+            .select("vec_id", "v", F.col("__m.cid").alias("cluster")))
+
+
+def ivf_assign_hier(emb: DataFrame, centroids: DataFrame,
+                    coarse_k: int | None = None, nprobe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-level ANN assignment for the k-proportional-to-N regime:
+    :func:`ivf_assign` compares every vector to every centroid — N*k
+    cosines, quadratic when cluster count tracks corpus size (exactly
+    SemDeDup's setting, where per-cluster membership must stay
+    bounded).  Here the k fine centroids are FIRST clustered into
+    ``coarse_k`` (default ~sqrt(k)) coarse groups — a k-row problem,
+    driver-small by definition — then each vector ranks only the
+    coarse centroids, probes its ``nprobe`` nearest groups, and scans
+    the fine centroids inside them: N*(coarse_k + nprobe*k/coarse_k)
+    cosines, O(N*sqrt(k)) at nprobe=O(1) instead of O(N*k).
+
+    Plan shape: both centroid tables broadcast; the two per-vector
+    reductions are groupBy + min(struct) (map-side combinable — one
+    partial per vector per input partition), NOT a window, so the
+    shuffles move ~N rows, not N*k.  Approximate by construction (the
+    true nearest fine centroid can live in an unprobed coarse group);
+    with ``nprobe >= coarse_k`` it degenerates to the exact flat
+    assignment (law-tested).  Returns the ivf_assign schema
+    (vec_id, v, cluster).
+    """
+    import math
+    if coarse_k is None:
+        coarse_k = max(2, int(math.ceil(math.sqrt(centroids.count()))))
+    coarse = seed_centroids(centroids, n=coarse_k, id_col="centroid_id",
+                            vec_col="cv")
+    fmap = (ivf_assign(centroids, coarse, id_col="centroid_id",
+                       vec_col="cv")
+            .select(F.col("cluster").alias("__coarse"),
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("v").alias("__fcv")))
+    scored = (emb.select(F.col(id_col).alias("vec_id"),
+                         F.col(vec_col).alias("v"))
+              .join(F.broadcast(coarse.select(
+                  F.col("centroid_id").alias("__cid"),
+                  F.col("cv").alias("__ccv"))), F.lit(True))
+              .select("vec_id", "v", F.struct(
+                  (-cosine(F.col("v"), F.col("__ccv"))).alias("negcos"),
+                  F.col("__cid").alias("cid")).alias("__s")))
+    probed = (scored.groupBy("vec_id")
+              .agg(F.any_value(F.col("v")).alias("v"),
+                   F.slice(F.array_sort(F.collect_list("__s")), 1,
+                           nprobe).alias("__p"))
+              .select("vec_id", "v",
+                      F.explode(F.col("__p.cid")).alias("__coarse")))
+    return (probed.join(F.broadcast(fmap), "__coarse")
+            .groupBy("vec_id")
+            .agg(F.any_value(F.col("v")).alias("v"),
+                 F.min(F.struct(
+                     (-cosine(F.col("v"), F.col("__fcv"))).alias("negcos"),
+                     F.col("centroid_id").alias("cid"))).alias("__m"))
+            .select("vec_id", "v", F.col("__m.cid").alias("cluster")))
 
 
 def seed_centroids(emb: DataFrame, n: int = 8, id_col: str = "vec_id",
@@ -93,18 +158,24 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest centroid buckets per
-    query, exact cosine within the probed buckets."""
+    query, exact cosine within the probed buckets.  Probe selection is
+    groupBy + sorted-slice (map-side combinable over the broadcast
+    cross join's Q*k rows — the ivf_assign shape), not a ranking
+    window; only the final per-query top-k, whose rank column IS the
+    output, pays a window."""
     from pyspark.sql import Window
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(centroids), F.lit(True))
-              .withColumn("ccos", cosine(F.col("qv"), F.col("cv"))))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc())
-    probed = (probes.withColumn("rk", F.row_number().over(wp))
-              .filter(F.col("rk") <= nprobe)
+              .select("query_id", "qv", F.struct(
+                  (-cosine(F.col("qv"), F.col("cv"))).alias("negcos"),
+                  F.col("centroid_id").alias("cid")).alias("__s")))
+    probed = (probes.groupBy("query_id")
+              .agg(F.any_value(F.col("qv")).alias("qv"),
+                   F.slice(F.array_sort(F.collect_list("__s")), 1,
+                           nprobe).alias("__p"))
               .select("query_id", "qv",
-                      F.col("centroid_id").alias("cluster")))
+                      F.explode(F.col("__p.cid")).alias("cluster")))
     cand = (indexed.join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6)))
@@ -504,7 +575,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
                    n_clusters: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    centroids: DataFrame | None = None,
-                   caches: list | None = None) -> DataFrame:
+                   caches: list | None = None,
+                   assign: str = "flat", nprobe: int = 2,
+                   coarse_k: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, and
     within each cluster drop every vector whose cosine similarity to a
     LOWER-id cluster member reaches ``threshold`` — semantic
@@ -518,13 +591,28 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
     shuffles on ``cluster`` — cluster count scales with corpus so the
     per-cluster membership stays bounded (the paper's setting).
 
+    ``assign`` picks the assignment stage: ``"flat"`` (exact N*k
+    cosines — the oracle-replayed gate path) or ``"hier"``
+    (:func:`ivf_assign_hier`: coarse-quantized N*sqrt(k)*nprobe ANN
+    assignment — the scale path for the k-proportional-to-N regime,
+    where flat assignment itself turns quadratic).  With
+    ``nprobe >= coarse_k`` hier reproduces flat exactly.
+
     Returns (vec_id, cluster, kept): every vector with its cluster and
     the keep/drop decision (kept = no lower-id member at >= threshold).
     """
+    if assign not in ("flat", "hier"):
+        raise ValueError(f"assign must be flat|hier: {assign}")
     if centroids is None:
         centroids = seed_centroids(emb, n=n_clusters, id_col=id_col,
                                    vec_col=vec_col)
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    if assign == "hier":
+        assigned = ivf_assign_hier(emb, centroids, coarse_k=coarse_k,
+                                   nprobe=nprobe, id_col=id_col,
+                                   vec_col=vec_col)
+    else:
+        assigned = ivf_assign(emb, centroids, id_col=id_col,
+                              vec_col=vec_col)
     if caches is not None:
         # the self-join consumes the assignment pipeline (cross join +
         # per-vector argmin window) twice and the final keep-join a
@@ -578,12 +666,14 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(centroids), F.lit(True))
-              .withColumn("ccos", cosine(F.col("qv"), F.col("cv"))))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc())
-    probed = (probes.withColumn("rk", F.row_number().over(wp))
-              .filter(F.col("rk") <= nprobe)
-              .select("query_id", F.col("centroid_id").alias("cluster")))
+              .select("query_id", F.struct(
+                  (-cosine(F.col("qv"), F.col("cv"))).alias("negcos"),
+                  F.col("centroid_id").alias("cid")).alias("__s")))
+    probed = (probes.groupBy("query_id")
+              .agg(F.slice(F.array_sort(F.collect_list("__s")), 1,
+                           nprobe).alias("__p"))
+              .select("query_id",
+                      F.explode(F.col("__p.cid")).alias("cluster")))
     cand = (indexed.select("vec_id", "cluster").join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id"))

@@ -1429,15 +1429,19 @@ FROM postings p, n_ JOIN df_ ON df_.keyword = p.keyword
 """)
 def tx05_tfidf(spark, sf_dir):
     """TF-IDF scoring over the derived postings — the canonical scored
-    inverted index a training pipeline feeds retrieval with."""
+    inverted index a training pipeline feeds retrieval with.  Corpus
+    size N rides a broadcast one-row aggregate (the bm25_scores
+    N/avgdl pattern, retrieval.py) instead of a driver-side count(), so
+    the whole gate stays one lazy plan."""
     from cantera_table_spark.model import derive_postings
     p = derive_postings(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    n1 = docs.agg(F.count("*").cast("double").alias("__n"))
     dfreq = p.groupBy("keyword").agg(F.count("*").alias("df"))
     return (p.join(dfreq, "keyword")
+            .crossJoin(F.broadcast(n1))
             .select("keyword", "doc_id",
-                    F.round(F.col("score") * F.log(F.lit(float(n)) /
+                    F.round(F.col("score") * F.log(F.col("__n") /
                                                    F.col("df")), 6)
                     .alias("tfidf")))
 

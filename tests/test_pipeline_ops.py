@@ -1258,6 +1258,40 @@ def test_semantic_dedup_laws(spark):
     assert all(r["kept"] for r in all_kept)
 
 
+def test_hier_assignment_laws(spark):
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_assign_hier, seed_centroids, semantic_dedup)
+    rows = [(i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(emb, n=9)
+    flat = {r["vec_id"]: r["cluster"]
+            for r in ivf_assign(emb, cents).collect()}
+    # probe-all degenerates to the exact flat assignment
+    full = {r["vec_id"]: r["cluster"]
+            for r in ivf_assign_hier(emb, cents, coarse_k=3,
+                                     nprobe=3).collect()}
+    assert full == flat
+    # probe-limited: still exactly one cluster per vector, every
+    # cluster a real centroid id, and (on this smooth lattice) most
+    # assignments agree with flat — the documented ANN approximation
+    part = ivf_assign_hier(emb, cents, coarse_k=3, nprobe=1).collect()
+    assert len(part) == 40 and len({r["vec_id"] for r in part}) == 40
+    assert {r["cluster"] for r in part} <= set(flat.values())
+    agree = sum(1 for r in part if flat[r["vec_id"]] == r["cluster"])
+    assert agree >= 30, agree
+    # semantic_dedup wiring: hier probe-all == flat decisions
+    a = sorted(tuple(r) for r in semantic_dedup(
+        emb, threshold=0.95, n_clusters=9).collect())
+    b = sorted(tuple(r) for r in semantic_dedup(
+        emb, threshold=0.95, n_clusters=9, assign="hier", coarse_k=3,
+        nprobe=3).collect())
+    assert a == b
+    import pytest
+    with pytest.raises(ValueError, match="flat|hier"):
+        semantic_dedup(emb, assign="bogus")
+
+
 def test_kmv_distinct_laws(spark):
     from cantera_table_spark.functions.sketches import kmv_distinct
     from pyspark.sql import functions as F

@@ -283,6 +283,15 @@ def main():
         kmv_distinct(toks, "tok", "source", k=64).write.format("noop") \
             .mode("overwrite").save()
 
+    def pq_train_case(em):
+        # the Lloyd refinement itself (codebook training): one
+        # assignment + per-dimension mean per iteration; the mean step
+        # must stay map-side combinable (posexplode+avg), never a
+        # per-code member-list buffer
+        from cantera_table_spark.functions.similarity import pq_train
+        pq_train(em, m=4, ksub=8, iters=1).write.format("noop") \
+            .mode("overwrite").save()
+
     _semdedup_n: dict = {}
 
     def semdedup(em):
@@ -301,6 +310,46 @@ def main():
             .write.format("noop").mode("overwrite").save()
         for c in caches:
             c.unpersist()
+
+    def semdedup_hier(em):
+        # same contract as semdedup (k grows with N) but on the ANN
+        # assignment path: flat assignment is N*k cosines — itself
+        # quadratic when k tracks N (the reason the flat 64x cell is
+        # omitted by design) — hier is N*(sqrt(k) + nprobe*sqrt(k))
+        import math
+        from cantera_table_spark.functions.similarity import semantic_dedup
+        n = _semdedup_n.get(id(em))
+        if n is None:
+            n = _semdedup_n[id(em)] = max(8, em.count() // 600)
+        caches = []
+        semantic_dedup(em, threshold=0.35, n_clusters=n, caches=caches,
+                       assign="hier", nprobe=2,
+                       coarse_k=max(2, int(math.ceil(math.sqrt(n))))) \
+            .write.format("noop").mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
+    def assign_flat(em):
+        # the assignment stage ALONE, k ∝ N (isolates the N*k cosine
+        # cost from semantic_dedup's within-cluster pair stage)
+        from cantera_table_spark.functions.similarity import (
+            ivf_assign, seed_centroids)
+        n = _semdedup_n.get(id(em))
+        if n is None:
+            n = _semdedup_n[id(em)] = max(8, em.count() // 600)
+        ivf_assign(em, seed_centroids(em, n=n)).write.format("noop") \
+            .mode("overwrite").save()
+
+    def assign_hier(em):
+        import math
+        from cantera_table_spark.functions.similarity import (
+            ivf_assign_hier, seed_centroids)
+        n = _semdedup_n.get(id(em))
+        if n is None:
+            n = _semdedup_n[id(em)] = max(8, em.count() // 600)
+        ivf_assign_hier(em, seed_centroids(em, n=n), nprobe=2,
+                        coarse_k=max(2, int(math.ceil(math.sqrt(n))))) \
+            .write.format("noop").mode("overwrite").save()
 
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
@@ -327,6 +376,10 @@ def main():
         ("wordpiece", "documents", wordpiece),
         ("kmv_sketch", "documents", kmv),
         ("semantic_dedup", "embeddings", semdedup),
+        ("semantic_dedup_hier", "embeddings", semdedup_hier),
+        ("ivf_assign_flat", "embeddings", assign_flat),
+        ("ivf_assign_hier", "embeddings", assign_hier),
+        ("pq_train", "embeddings", pq_train_case),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
