@@ -517,6 +517,27 @@ def test_pq_search_broadcasts_lut_no_vector_shuffle(spark):
     assert "BroadcastExchange" in facts.text
 
 
+def test_ivf_assign_argmax_is_combinable_aggregate(spark):
+    """The per-vector nearest-centroid argmax must be a partial-capable
+    aggregation over the broadcast cross join (map-side combines N*k
+    scored rows to ~N before the shuffle), NEVER a row_number window
+    (which would shuffle and sort all N*k rows)."""
+    from cantera_table_spark.functions.similarity import (
+        ivf_assign, ivf_assign_hier, seed_centroids)
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double")
+                  for i in range(8)]).alias("embedding"))
+    cents = seed_centroids(emb, n=6)
+    for df in (ivf_assign(emb, cents),
+               ivf_assign_hier(emb, cents, coarse_k=2, nprobe=1)):
+        facts = plan_facts(df)
+        assert "Window" not in facts.text, facts.text
+        assert "partial_min" in facts.text.lower() \
+            or "partial" in facts.text.lower(), facts.text
+        assert "BroadcastExchange" in facts.text
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     """Bucketed co-located join: two tables bucketed 8-ways on the join
     key must SortMergeJoin with NO shuffle exchange — the layout every
