@@ -222,9 +222,11 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
     """(id, sig): bit j set when dot(v, plane_j) > 0.  Cosine-similar
     vectors agree on most bits (SimHash for dense vectors).
 
-    The dimension comes from the first row; vectors of any other length
-    are rejected (zip_with would silently NULL-pad them into signature
-    0, colliding every short vector into one bucket)."""
+    The dimension comes from the first non-NULL row; NULL vectors and
+    vectors of any other length are rejected (zip_with would silently
+    NULL-pad them into signature 0, colliding every short vector into
+    one bucket)."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("n")).first()
     if first is None:
         return emb.sparkSession.createDataFrame(

@@ -955,7 +955,8 @@ scored AS (
 # byte parity, per-plane dots as the same left fold Spark uses -> the
 # signatures are bit-identical across engines.
 ORACLE_HYPERSIG = """
-WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+WITH dims AS (SELECT len(embedding) AS dim FROM embeddings
+              WHERE embedding IS NOT NULL LIMIT 1),
 planes AS (
   SELECT j, list_transform(range(0, dim), d -> CASE WHEN
            (('0x' || substr(md5('plane:' || j || ':' || (d - (d % 16))),
@@ -969,6 +970,7 @@ dots AS (
       range(1, len(e.embedding) + 1),
       i -> e.embedding[i]::DOUBLE * p.pw[i])), (a, b) -> a + b) AS dot
   FROM embeddings e, planes p
+  WHERE e.embedding IS NOT NULL
 ),
 hsigs AS (
   SELECT vec_id,
@@ -1234,15 +1236,21 @@ def q17_external_expansion(spark, sf_dir):
 
 
 @gate("ts07_union_merge", """
-SELECT event_type AS key, ts, value FROM events
+SELECT event_type AS key, ts, max(value) AS value
+FROM events GROUP BY 1, 2
 """)
 def ts07_union_merge(spark, sf_dir):
     """A4/J9: union merge mode — overlapping shards must agree on values
     (ca-load.cc:477-481); three overlapping event shards re-merge to the
-    original table (k-way heap merge -> shuffle)."""
+    original table (k-way heap merge -> shuffle).  The input collapses
+    duplicate (key, ts) rows first (max(value) — deterministic) so it
+    SATISFIES union-merge's documented precondition; feeding genuinely
+    conflicting duplicates is the error case, which merge_tables raises
+    on by design (separately unit-tested)."""
     from cantera_table_spark.sources.ingest import merge_tables
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("key"), "ts", "value")
+    e = (load_table(spark, sf_dir, "events")
+         .groupBy(F.col("event_type").alias("key"), "ts")
+         .agg(F.max("value").alias("value")))
     shards = [e.filter(F.pmod(F.xxhash64("key", "ts"), 2) == i)
               for i in range(2)]
     # 10% overlap with agreeing values (same source rows)
@@ -2536,20 +2544,28 @@ def st03_stream_dedup(spark, sf_dir):
     hash, and the availableNow parquet sink commits the survivors.
     The surviving hash SET is deterministic (survivor rows are not,
     across a shuffled source), so the gate returns hashes only; the
-    oracle is the batch distinct."""
+    oracle is the batch distinct.  Text rides the TSV drop through the
+    engine's escape/unescape pair (X5, format.cc:247-268) so embedded
+    tabs/newlines round-trip losslessly; empty text coalesces back
+    from the csv reader's empty-field NULL."""
     import shutil
+    from cantera_table_spark.sources.ingest import (escape_tsv,
+                                                    _unescape_tsv)
     from cantera_table_spark.streaming.ingest import (
         start_parquet_sink, streaming_exact_dedup)
     d = load_table(spark, sf_dir, "documents")
     lines = d.select(F.concat_ws(
-        "\t", F.col("doc_id").cast("string"), F.col("text")).alias("value"))
+        "\t", F.col("doc_id").cast("string"),
+        escape_tsv(F.col("text"))).alias("value"))
     base = _gate_tmp(sf_dir, "st03")
     shutil.rmtree(base, ignore_errors=True)
     lines.coalesce(2).write.mode("overwrite").text(f"{base}/src")
     raw = (spark.readStream.option("sep", "\t").option("quote", "")
            .schema("doc_id long, text string").csv(f"{base}/src"))
-    stream = raw.withColumn(
-        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+    stream = (raw.withColumn(
+        "text", F.coalesce(_unescape_tsv(F.col("text")), F.lit("")))
+        .withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))))
     deduped = streaming_exact_dedup(stream, hash_cols=("text",),
                                     ts_col="ts", watermark="1 hour")
     q = start_parquet_sink(deduped, f"{base}/sink", f"{base}/ckpt")

@@ -88,7 +88,12 @@ def rows_key(df_rows, cols):
     for r in df_rows:
         d = dict(zip(cols, r))
         out.append(tuple(norm(d[c]) for c in sorted(cols)))
-    return sorted(out)
+    # None/NaN-safe deterministic order: rows may carry NULL group keys
+    # (a legitimate value the edge fixture exercises); raw tuple sorting
+    # would raise on None < str.  Values compare by (is-None, repr) —
+    # deterministic on both engines after norm's rounding.
+    return sorted(out, key=lambda row: tuple((v is None, repr(v))
+                                             for v in row))
 
 
 def main():
