@@ -29,6 +29,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            return 0.0          # canonicalize -0.0 (repr-keyed sort)
         return round(v, 6)
     return v
 

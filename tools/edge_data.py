@@ -102,7 +102,13 @@ COPY (
     -- a user whose events all carry NULL values (all-NULL aggregation
     -- group), plus epoch-second-exact timestamps (no microseconds)
     (9111, TIMESTAMP '2024-01-02 16:00:00', 904, 'purchase', NULL, '{{}}'),
-    (9112, TIMESTAMP '2024-01-02 16:00:01', 904, 'purchase', NULL, '{{}}')
+    (9112, TIMESTAMP '2024-01-02 16:00:01', 904, 'purchase', NULL, '{{}}'),
+    -- numeric extremes: negative zero, negative values, magnitudes
+    -- that stress float formatting/summation on both engines
+    (9113, TIMESTAMP '2024-01-02 17:00:00', 905, 'view', -0.0, '{{}}'),
+    (9114, TIMESTAMP '2024-01-02 17:00:01', 905, 'view', -185.22, '{{}}'),
+    (9115, TIMESTAMP '2024-01-02 17:00:02', 905, 'view', 1e15, '{{}}'),
+    (9116, TIMESTAMP '2024-01-02 17:00:03', 905, 'view', 1e-9, '{{}}')
   ) v(event_id, ts, user_id, event_type, value, props)
 ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
