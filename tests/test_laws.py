@@ -444,17 +444,26 @@ _events = st.lists(
               st.integers(0, 9)),           # payload
     max_size=10)
 
+# right-side payloads may be NULL: ties at the matched timestamp must
+# resolve to a real payload when one exists (both directions)
+_events_nullable = st.lists(
+    st.tuples(st.integers(0, 3),
+              st.integers(0, 40),
+              st.one_of(st.none(), st.integers(0, 9))),
+    max_size=10)
+
 
 def _ts_df(spark, rows, schema):
     import datetime as dt
     base = dt.datetime(2024, 1, 1)
-    out = [(k, base + dt.timedelta(minutes=m), float(v))
+    out = [(k, base + dt.timedelta(minutes=m),
+            None if v is None else float(v))
            for k, m, v in rows]
     return spark.createDataFrame(out or [], schema)
 
 
 @settings(max_examples=10, deadline=None)
-@given(l=_events, r=_events,
+@given(l=_events, r=_events_nullable,
        direction=st.sampled_from(["backward", "forward"]),
        strict=st.booleans())
 def test_asof_join_matches_nested_loop_model(spark, l, r, direction,
@@ -484,10 +493,17 @@ def test_asof_join_matches_nested_loop_model(spark, l, r, direction,
                 cands.append((rts, rv))
         if not cands:
             assert got[eid] == (None, None)
-        elif direction == "backward":
-            assert got[eid] == max(cands)
-        else:
-            assert got[eid] == min(cands)
+            continue
+        # nearest timestamp wins; among ties a real payload beats NULL
+        # (SQL max/min-skip-NULL), then max (backward) / min (forward)
+        # of the real payloads; all-NULL ties yield a NULL payload
+        best_ts = (max if direction == "backward" else min)(
+            t for t, _ in cands)
+        tied = [v for t, v in cands if t == best_ts]
+        real = [v for v in tied if v is not None]
+        want_v = ((max(real) if direction == "backward" else min(real))
+                  if real else None)
+        assert got[eid] == (best_ts, want_v)
 
 
 @settings(max_examples=10, deadline=None)
