@@ -277,7 +277,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 
 def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
                        max_iters: int = 20,
-                       caches: list | None = None) -> DataFrame:
+                       caches: list | None = None,
+                       small_graph_edges: int = 100_000) -> DataFrame:
     """Connected components over verified duplicate pairs: every doc
     gets the minimum doc_id reachable through the pair graph as its
     ``canonical_id`` (singletons map to themselves).
@@ -298,6 +299,16 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     (a list) to receive the cached label frame so a long-lived session
     can ``unpersist()`` it after consuming the result (the same
     contract as operators.correlate.correlate_sets).
+
+    Graphs with at most ``small_graph_edges`` edges skip the
+    distributed rounds entirely: one bounded collect + driver-side
+    union-find (path compression, union-by-min — identical min-label
+    result) + one broadcast-sized createDataFrame back.  Each
+    distributed round costs whole shuffle rounds of scheduling latency
+    (measured 2.4 s/round on a 480-edge graph at bench SF), which
+    dwarfs a sub-MB collect — the same driver-small escape ivf_train
+    uses for its k x dim centroid matrix.  Pass 0 to force the
+    distributed path.
     """
     if caches is None:
         caches = []
@@ -329,6 +340,36 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
         edges.unpersist()
         return ids.select("doc_id",
                           F.col("doc_id").alias("canonical_id"))
+    if n_edges <= small_graph_edges:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: every
+                # tree's root stays the component minimum, so find()
+                # returns exactly the min reachable id
+                parent[max(ra, rb)] = min(ra, rb)
+        idt = ids.schema["doc_id"].dataType.simpleString()
+        labels = ids.sparkSession.createDataFrame(
+            [(n, find(n)) for n in parent],
+            f"doc_id {idt}, canonical_id {idt}")
+        return (ids.select("doc_id")
+                .join(F.broadcast(labels), "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("canonical_id", "doc_id")
+                        .alias("canonical_id")))
     # symmetrized, so every edge-touching node appears as a src
     labels = (edges.select("src").distinct()
               .select(F.col("src").alias("doc_id"),

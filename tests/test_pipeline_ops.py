@@ -175,9 +175,20 @@ def test_duplicate_clusters_transitivity(spark):
     # chain 1-3-5-7 (transitive), pair 2-6, singletons 0 and 4
     pairs = spark.createDataFrame(
         [(3, 5), (1, 3), (5, 7), (2, 6)], "doc_a long, doc_b long")
+    want = {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+    # driver union-find path (default: graph under the size gate)
     out = {r.doc_id: r.canonical_id
            for r in duplicate_clusters(ids, pairs).collect()}
-    assert out == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+    assert out == want
+    # distributed label-propagation path must produce the identical
+    # labeling (small_graph_edges=0 forces it)
+    caches = []
+    out2 = {r.doc_id: r.canonical_id
+            for r in duplicate_clusters(ids, pairs, caches=caches,
+                                        small_graph_edges=0).collect()}
+    for c in caches:
+        c.unpersist()
+    assert out2 == want
 
 
 def test_near_dup_clusters_clone_invariant(spark):
