@@ -1,0 +1,151 @@
+"""Plan linter: sweep every gate's PHYSICAL plan for the antipatterns
+that kill a 100 TB run, regardless of whether the toy-SF result is
+right — cartesian / broadcast-nested-loop joins, row-at-a-time Python
+eval in engine paths, and single-partition exchanges (global sorts or
+unpartitioned windows) outside bounded frames.
+
+Complements tools/check_gate.py (value correctness) and the pinned
+plan tests (tests/test_plan_shapes.py — deep assertions on ~30
+representative plans): this sweeps ALL gates shallowly so a regression
+in any un-pinned gate still trips a red line.
+
+Whitelist entries are load-bearing documentation: every exception
+names the gate and WHY its hit is bounded (driver-small frame, labeled
+oracle baseline, statement-level LIMIT page).
+
+Usage: python tools/plan_lint.py [sf_dir] [name_filter]
+Exit 1 on any unexplained hit.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from cantera_table_spark import gate  # noqa: E402
+from cantera_table_spark.plans.inspect import explain_str  # noqa: E402
+from cantera_table_spark.session import get_spark  # noqa: E402
+
+# gate -> (pattern -> reason the hit is bounded/intended)
+_CENTROID_CROSS = ("centroid/codebook table broadcast against every "
+                   "vector: k rows, driver-small by contract — the IVF "
+                   "assignment/probe pattern")
+_STATS_ROW_CROSS = ("broadcast ONE-ROW corpus aggregate (N/avgdl/"
+                    "cutoffs) crossed onto every row — the lazy "
+                    "scalar-stats pattern")
+WHITELIST: dict[str, dict[str, str]] = {
+    # brute-force exact ANN is the labeled oracle baseline; queries are
+    # a bounded top-k list by contract and ride a BroadcastExchange
+    "sim01_brute_topk": {
+        "BroadcastNestedLoopJoin": "exact-scoring baseline: every "
+        "(query, vector) pair is the operator's defined output",
+    },
+    "dd05_embedding_neardup": {
+        "BroadcastNestedLoopJoin": "labeled ORACLE BASELINE for the "
+        "LSH path (exact pairwise cosine) — quadratic on purpose",
+    },
+    "dd15_semantic_dedup": {
+        "BroadcastNestedLoopJoin": _CENTROID_CROSS,
+    },
+    "sim02_ivf_topk": {"BroadcastNestedLoopJoin": _CENTROID_CROSS},
+    "sim04_ivf_assign": {"BroadcastNestedLoopJoin": _CENTROID_CROSS},
+    "sim06_ivf_partitioned": {"BroadcastNestedLoopJoin": _CENTROID_CROSS},
+    "sim07_quantized_topk": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
+    "sim08_quantized_ivf": {"BroadcastNestedLoopJoin": _CENTROID_CROSS},
+    "sim10_ivfpq_topk": {"BroadcastNestedLoopJoin": _CENTROID_CROSS},
+    "tx05_tfidf": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
+    "tx10_lm_score": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
+    "tx15_ppl_buckets": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
+    "ir01_bm25": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
+    "ir02_rrf_hybrid": {
+        "BroadcastNestedLoopJoin": _STATS_ROW_CROSS,
+        "SinglePartition": "final fused ranking over the union of two "
+        "bounded top-k candidate lists (documented contract)",
+    },
+    "ir03_bm25_hybrid": {
+        "BroadcastNestedLoopJoin": _STATS_ROW_CROSS,
+        "SinglePartition": "same bounded candidate-list ranking as ir02",
+    },
+    "ds04_shuffle_shards": {
+        "SinglePartition": "two-phase global rank: the single-partition "
+        "cumsum runs over PER-GROUP-PARTITION COUNTS (one row per "
+        "group-partition id), never the corpus rows",
+    },
+    "tx07_corpus_stats": {
+        "SinglePartition": "same bounded per-group-partition-count "
+        "cumsum as ds04 (shared global-rank machinery)",
+    },
+}
+
+# Always-allowed single-partition producers: statement-level LIMIT
+# pages (the reference's result pages are bounded by limit), centroid /
+# codebook seeding (k rows), and scalar one-row corpus aggregates.
+BOUNDED_HINTS = [
+    "TakeOrderedAndProject",   # top-k page: bounded by limit
+    "CollectLimit",
+    "GlobalLimit",
+]
+
+PATTERNS = {
+    "CartesianProduct": re.compile(r"CartesianProduct"),
+    "BroadcastNestedLoopJoin": re.compile(r"BroadcastNestedLoopJoin"),
+    "RowPythonUDF": re.compile(r"BatchEvalPython"),
+    "SinglePartition": re.compile(r"Exchange SinglePartition"),
+}
+
+
+def lint_one(name: str, df) -> list[str]:
+    text = explain_str(df, "simple")
+    hits = []
+    wl = WHITELIST.get(name, {})
+    for label, pat in PATTERNS.items():
+        if not pat.search(text):
+            continue
+        if label in wl:
+            continue
+        if label == "SinglePartition" and any(
+                h in text for h in BOUNDED_HINTS):
+            # a limit-bounded page legitimately funnels to one
+            # partition; the exchange moves <= limit rows
+            continue
+        if label == "SinglePartition" and "HashAggregate(keys=[]" in text:
+            # scalar (ungrouped) aggregate: the exchange moves one
+            # partial row per map task to the final agg — bounded
+            continue
+        hits.append(label)
+    return hits
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("plan-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = gate.queries()
+    n_bad = n_ok = 0
+    for name in sorted(qs):
+        if name_filter and name_filter not in name:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            hits = lint_one(name, df)
+        except Exception as e:  # plan build failed entirely
+            print(f"LINT-ERR {name}: {e}")
+            n_bad += 1
+            continue
+        finally:
+            gate.release_gate_caches()
+        if hits:
+            print(f"LINT {name}: {', '.join(hits)}")
+            n_bad += 1
+        else:
+            n_ok += 1
+    print(f"\n{n_ok} clean, {n_bad} flagged")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
