@@ -328,12 +328,23 @@ def test_lsh_hot_bucket_bound(spark):
     assert len(pairs) <= 4 * n_dup
     assert all(p.doc_a == 0 for p in pairs)   # hub = min doc_id
 
+    # default path: the star graph is under small_graph_edges, so the
+    # driver union-find runs and registers NO caches (nothing to free)
     held = []
     clusters = duplicate_clusters(
         docs.select("doc_id"), bounded, caches=held)
     labels = {r.doc_id: r.canonical_id for r in clusters.collect()}
     assert all(labels[i] == 0 for i in range(n_dup))
     assert labels[1000] == 1000 and labels[1001] == 1001
+    assert not held
+
+    # distributed path (small_graph_edges=0): identical labels, and the
+    # subgraph-label cache is surfaced through the caches contract
+    held = []
+    clusters_d = duplicate_clusters(
+        docs.select("doc_id"), bounded, caches=held, small_graph_edges=0)
+    labels_d = {r.doc_id: r.canonical_id for r in clusters_d.collect()}
+    assert labels_d == labels
     assert held and all(c.is_cached for c in held)
     for c in held:
         c.unpersist()
