@@ -10,12 +10,15 @@ Two decode tiers:
   uncompressed 24-bit BMP (``decode_bmp`` / ``encode_bmp`` /
   ``resize_bmp_nearest``), PNG via stdlib zlib + numpy unfiltering
   (``decode_png`` / ``encode_png`` — 8-bit gray/RGB/RGBA, all five
-  scanline filters, non-interlaced), and PCM WAV (``decode_wav`` /
-  ``encode_wav`` / audio frame sampling).  These run the full
-  parse-pixels / parse-samples path — not byte fakes.
+  scanline filters, non-interlaced), baseline sequential JPEG from
+  scratch (``encode_jpeg`` / ``decode_jpeg`` — vectorized DCT/IDCT,
+  Annex K quantization + Huffman tables, 4:4:4 and grayscale), and
+  PCM WAV (``decode_wav`` / ``encode_wav`` / audio frame sampling).
+  These run the full parse-pixels / parse-samples path — not byte
+  fakes.
 - ``decode_media``: format-agnostic byte-level features (length,
   header, checksum) for payloads whose codecs need native libraries
-  not present in this container (JPEG/H.264 — the
+  not present in this container (H.264/video — the
   ``decode_image_real`` plug-point raises NotImplementedError for
   those, clearly marked).
 """
@@ -48,15 +51,17 @@ DECODED_SCHEMA = T.StructType([
 
 
 def decode_image_real(data: bytes):  # pragma: no cover - container stub
-    """Plug a compressed-format codec (PIL / libvips / ffmpeg) in here.
+    """Plug a video codec (ffmpeg / libvips) in here.
 
-    BMP (``decode_bmp``) and PNG (``decode_png`` — stdlib zlib inflate
-    + numpy unfiltering, all five scanline filters) decode for real;
-    this plug-point covers JPEG/video, whose codecs are native
+    BMP (``decode_bmp``), PNG (``decode_png`` — stdlib zlib inflate +
+    numpy unfiltering, all five scanline filters), and baseline JPEG
+    (``decode_jpeg`` — from-scratch Huffman + IDCT) decode for real;
+    this plug-point covers video (H.264 etc.), whose codecs are native
     libraries not present in this container."""
     raise NotImplementedError(
-        "JPEG/video codecs are not available in this container; "
-        "BMP/PNG/WAV decode for real (decode_bmp/decode_png/decode_wav), "
+        "video codecs are not available in this container; "
+        "BMP/PNG/JPEG/WAV decode for real "
+        "(decode_bmp/decode_png/decode_jpeg/decode_wav), "
         "other formats fall back to decode_media byte features")
 
 
@@ -250,6 +255,450 @@ def decode_png(data: bytes) -> dict:
         means = (float(mm[2]), float(mm[1]), float(mm[0]))
     return {"width": width, "height": height,
             "mean_b": means[0], "mean_g": means[1], "mean_r": means[2]}
+
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+# ITU-T T.81 Annex K reference tables (public spec).  Quantization
+# tables are stored in raster order and written to DQT in zigzag order;
+# Huffman tables are the spec's (BITS, HUFFVAL) pairs, from which both
+# encode and decode sides derive the same canonical code assignment —
+# internal consistency is by construction, and the emitted stream is
+# standard baseline JFIF any conformant decoder accepts.
+_JPEG_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag-position -> raster-index map, built from the diagonal
+    traversal rule rather than transcribed (65-entry tables invite
+    typos; the rule is 4 lines)."""
+    out = []
+    for d in range(15):
+        lo, hi = max(0, d - 7), min(7, d)
+        rows = range(lo, hi + 1) if d % 2 else range(hi, lo - 1, -1)
+        out.extend(r * 8 + (d - r) for r in rows)
+    return np.array(out, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# (BITS[1..16], HUFFVAL) per Annex K: DC luma K.3, DC chroma K.4,
+# AC luma K.5, AC chroma K.6.
+_JPEG_HUFF_SPEC = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]),
+}
+for _k, (_bits, _vals) in _JPEG_HUFF_SPEC.items():
+    assert sum(_bits) == len(_vals), f"Huffman spec {_k} inconsistent"
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical code assignment (T.81 C.2): symbol -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0) / 2.0
+    return c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    """MSB-first bit packer with the spec's 0xFF byte stuffing and
+    1-padded flush."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _jpeg_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (H//8, W//8, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, value-bits)."""
+    s = int(abs(v)).bit_length()
+    return (s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(pixels_rgb: bytes, width: int, height: int,
+                quality: int = 90) -> bytes:
+    """Baseline sequential JFIF encoder, stdlib + numpy only: YCbCr
+    4:4:4, one vectorized DCT einsum per component, Annex K quantization
+    (IJG quality scaling) and Huffman tables.  No subsampling and no
+    restart intervals — every block carries full chroma, which keeps
+    the constant-block reconstruction exact (the mm08 oracle contract).
+    """
+    buf = np.frombuffer(pixels_rgb[:width * height * 3]
+                        .ljust(width * height * 3, b"\x00"), np.uint8)
+    img = buf.reshape(height, width, 3).astype(np.float64)
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ph = (8 - height % 8) % 8
+    pw = (8 - width % 8) % 8
+    qy = _jpeg_quality_scale(_JPEG_QY, quality)
+    qc = _jpeg_quality_scale(_JPEG_QC, quality)
+    comp_q = [qy, qc, qc]
+    coeffs = []
+    for plane, q in zip(planes, comp_q):
+        padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks = _jpeg_blocks(padded - 128.0)
+        f = np.einsum("ux,rcxy,vy->rcuv", _JPEG_DCT, blocks, _JPEG_DCT)
+        qz = np.round(f / q).astype(np.int32)
+        # the Annex K AC tables define (run, size) symbols only up to
+        # size 10; a quality-100 high-frequency extreme can quantize to
+        # 1024, so clamp ACs into the encodable magnitude range (DC
+        # diffs reach at most category 11, which the DC tables cover)
+        zzq = qz.reshape(-1, 64)[:, _JPEG_ZZ]
+        zzq[:, 1:] = np.clip(zzq[:, 1:], -1023, 1023)
+        coeffs.append(zzq)
+
+    dc_tabs = [_huff_codes(*_JPEG_HUFF_SPEC[("dc", 0)]),
+               _huff_codes(*_JPEG_HUFF_SPEC[("dc", 1)])]
+    ac_tabs = [_huff_codes(*_JPEG_HUFF_SPEC[("ac", 0)]),
+               _huff_codes(*_JPEG_HUFF_SPEC[("ac", 1)])]
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = coeffs[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            zz = coeffs[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, vbits = _magnitude(diff)
+            code, ln = dc_tabs[tsel][s]
+            w.write(code, ln)
+            w.write(vbits, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 \
+                if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tabs[tsel][0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s, vbits = _magnitude(v)
+                code, ln = ac_tabs[tsel][(run << 4) | s]
+                w.write(code, ln)
+                w.write(vbits, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_tabs[tsel][0x00]
+                w.write(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qy.reshape(-1)[_JPEG_ZZ]
+               .astype(np.uint8).tobytes())
+    out += seg(0xFFDB, b"\x01" + qc.reshape(-1)[_JPEG_ZZ]
+               .astype(np.uint8).tobytes())
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) +
+               bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for (cls, tid), (bits, vals) in _JPEG_HUFF_SPEC.items():
+        tc = 0 if cls == "dc" else 1
+        out += seg(0xFFC4, bytes([(tc << 4) | tid]) + bytes(bits) +
+                   bytes(vals))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over unstuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(vbits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return vbits if vbits >= (1 << (s - 1)) else vbits - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline sequential JFIF decoder, stdlib + numpy only: marker
+    walk, canonical Huffman decode, dequant + inverse zigzag, one
+    vectorized IDCT einsum per component, YCbCr -> RGB.  Supports any
+    component count with 1x1 sampling (4:4:4 color or grayscale) —
+    progressive scans, subsampled chroma, and restart intervals raise
+    ValueError (the honest boundary, like decode_png's envelope).
+    Returns the decode_bmp/decode_png shape (dimensions + per-channel
+    means)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []   # (comp_id, sampling, qsel)
+    scan: list[tuple[int, int, int]] = []    # (comp_id, dcsel, acsel)
+    entropy = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[pos + 1]
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tid = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                table = np.zeros(64, dtype=np.int32)
+                table[_JPEG_ZZ] = np.frombuffer(body, np.uint8, 64,
+                                                off + 1)
+                qtabs[tid] = table.reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC1):
+            _, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [(body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                     for i in range(nc)]
+            if any(samp != 0x11 for _, samp, _q in comps):
+                raise ValueError("subsampled JPEG unsupported (4:4:4 "
+                                 "and grayscale only)")
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                dec = {}
+                code, i = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        dec[(length, code)] = vals[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                htabs[(tc, tid)] = dec
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            end = pos
+            while end + 1 < len(data):
+                if data[end] != 0xFF:
+                    end += 1
+                elif data[end + 1] == 0x00:
+                    end += 2
+                else:
+                    break
+            entropy = data[pos:end].replace(b"\xff\x00", b"\xff")
+            break
+    if width is None or entropy is None or not scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    n_blocks = bw * bh
+    reader = _BitReader(entropy)
+    comp_q = {cid: qtabs[qsel] for cid, _s, qsel in comps}
+    coeffs = {cid: np.zeros((n_blocks, 64), dtype=np.float64)
+              for cid, _d, _a in scan}
+    pred = {cid: 0 for cid, _d, _a in scan}
+    for bi in range(n_blocks):
+        for cid, dsel, asel in scan:
+            dct = htabs[(0, dsel)]
+            act = htabs[(1, asel)]
+            s = _huff_decode(reader, dct)
+            diff = _extend(reader.bits(s), s)
+            pred[cid] += diff
+            zz = coeffs[cid][bi]
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, act)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+    planes = []
+    for cid, _d, _a in scan:
+        deq = np.zeros((n_blocks, 64), dtype=np.float64)
+        deq[:, _JPEG_ZZ] = coeffs[cid] * \
+            comp_q[cid].reshape(-1)[_JPEG_ZZ]
+        blocks = deq.reshape(n_blocks, 8, 8)
+        spatial = np.einsum("xu,nuv,yv->nxy", _JPEG_DCT.T, blocks,
+                            _JPEG_DCT.T) + 128.0
+        plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))[:height, :width]
+        planes.append(plane)
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        m = float(gray.mean()) if gray.size else 0.0
+        means = (m, m, m)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rr = np.clip(np.round(y + 1.402 * cr), 0, 255)
+        gg = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        bb = np.clip(np.round(y + 1.772 * cb), 0, 255)
+        means = (float(bb.mean()), float(gg.mean()), float(rr.mean()))
+        rgb = np.stack([rr, gg, bb], axis=2).astype(np.uint8)
+    return {"width": width, "height": height,
+            "mean_b": means[0], "mean_g": means[1], "mean_r": means[2],
+            "pixels": rgb.tobytes()}
 
 
 GIF_SIG = b"GIF89a"
@@ -544,14 +993,16 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Real image decode over Arrow batches — BMP or PNG per payload,
-    dispatched on the container magic: (media_id, width, height,
-    per-channel pixel means).  Means are left unrounded: the channel
-    sum is integer-exact in float64 and a single correctly-rounded
-    division matches SQL ``avg`` bit-for-bit, whereas decimal rounding
-    would reopen Python-banker's vs SQL-half-up tie skew.  Undecodable
-    payloads yield NULL feature columns (quarantine posture — a bad
-    payload must not kill a 100 TB job)."""
+    """Real image decode over Arrow batches — BMP, PNG, or baseline
+    JPEG per payload, dispatched on the container magic: (media_id,
+    width, height, per-channel pixel means).  Means are left unrounded:
+    the channel sum is integer-exact in float64 and a single
+    correctly-rounded division matches SQL ``avg`` bit-for-bit, whereas
+    decimal rounding would reopen Python-banker's vs SQL-half-up tie
+    skew.  Undecodable payloads yield NULL feature columns (quarantine
+    posture — a bad payload must not kill a 100 TB job); a corrupt
+    JPEG entropy stream can surface as Index/KeyError from the Huffman
+    state machine, so those quarantine too."""
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -560,10 +1011,16 @@ def decode_images(media: DataFrame) -> DataFrame:
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
                 try:
-                    d = decode_png(b) if b[:8] == PNG_SIG else decode_bmp(b)
+                    if b[:8] == PNG_SIG:
+                        d = decode_png(b)
+                    elif b[:2] == b"\xff\xd8":
+                        d = decode_jpeg(b)
+                    else:
+                        d = decode_bmp(b)
                     rows.append((mid, d["width"], d["height"],
                                  d["mean_b"], d["mean_g"], d["mean_r"]))
-                except (ValueError, struct.error, zlib.error):
+                except (ValueError, struct.error, zlib.error,
+                        IndexError, KeyError):
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
 

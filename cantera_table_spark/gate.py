@@ -2232,6 +2232,56 @@ def mm06_decode_png(spark, sf_dir):
     return decode_images(media)
 
 
+@gate("mm08_decode_jpeg", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT AS byte
+  FROM h, unnest(range(0, 4)) AS t(i)
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       sum(byte) / 4.0 AS mean_b, sum(byte) / 4.0 AS mean_g,
+       sum(byte) / 4.0 AS mean_r
+FROM b GROUP BY 1
+""")
+def mm08_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode: each document's first four bytes
+    become four constant-gray 8x8 blocks of a genuine JFIF payload
+    (encode_jpeg — DCT, Annex K quantization + Huffman, byte stuffing)
+    and decode_images dispatches on the FFD8 magic — marker walk,
+    canonical Huffman decode, dequant, IDCT, YCbCr->RGB — via
+    Arrow-batched mapInPandas.  Constant blocks round-trip EXACTLY at
+    quality 90 (DC quant error < 0.5/pixel; law-tested in
+    test_jpeg_constant_block_exact_law), so the oracle recomputes the
+    channel means from the source bytes: mean = (b0+b1+b2+b3)/4, an
+    exact power-of-two division on both sides."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (decode_images,
+                                                          encode_jpeg)
+    import numpy as np
+    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+         .filter(F.length("text") > 0))
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                vals = (raw * (4 // len(raw) + 1))[:4]
+                img = np.zeros((16, 16, 3), np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                data.append(encode_jpeg(img.tobytes(), 16, 16, 90))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return decode_images(media)
+
+
 @gate("mm03_decode_wav", """
 WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n

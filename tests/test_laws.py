@@ -210,6 +210,82 @@ def test_png_all_filter_types_decode(seed, w, filters):
 
 
 @settings(max_examples=25, deadline=None)
+@given(vals=st.lists(st.integers(0, 255), min_size=4, max_size=4),
+       quality=st.sampled_from([80, 85, 90, 95]))
+def test_jpeg_constant_block_exact_law(vals, quality):
+    """A 16x16 image of four constant-gray 8x8 blocks round-trips
+    EXACTLY through baseline JPEG at quality >= 80: a constant block's
+    DCT is DC-only, the DC quantization error is <= q_dc/16 < 0.5 per
+    pixel (q_dc <= 6 at quality 80), and gray input pins Cb=Cr=128 so
+    the color transform is the identity.  This exactness is the
+    contract the mm08 gate's DuckDB oracle relies on."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (decode_jpeg,
+                                                          encode_jpeg)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8, :8] = vals[0]
+    img[:8, 8:] = vals[1]
+    img[8:, :8] = vals[2]
+    img[8:, 8:] = vals[3]
+    d = decode_jpeg(encode_jpeg(img.tobytes(), 16, 16, quality))
+    exp = sum(vals) / 4.0
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d["mean_r"] == exp and d["mean_g"] == exp and d["mean_b"] == exp
+    assert np.array_equal(
+        np.frombuffer(d["pixels"], np.uint8).reshape(16, 16, 3), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31), w=st.integers(1, 20),
+       h=st.integers(1, 20), quality=st.sampled_from([75, 90, 95]))
+def test_jpeg_roundtrip_error_bound_law(seed, w, h, quality):
+    """Arbitrary-content round-trip error is bounded by the
+    quantization bound computed FROM the scaled tables: per plane,
+    max pixel error <= max_xy sum_uv |C[u,x]C[v,y]| * q_uv/2; channel
+    errors combine through the color transform coefficients, plus 2
+    for the two integer roundings.  Odd dimensions exercise the edge
+    padding/crop path."""
+    import numpy as np
+    from cantera_table_spark.functions import multimodal as mm
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = mm.decode_jpeg(mm.encode_jpeg(img.tobytes(), w, h, quality))
+    assert (d["width"], d["height"]) == (w, h)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3)
+    C = mm._JPEG_DCT
+    absCC = np.einsum("ux,vy->uvxy", np.abs(C), np.abs(C))
+
+    def plane_bound(q):
+        return float(np.max(np.einsum("uvxy,uv->xy", absCC, q / 2.0)))
+
+    by = plane_bound(mm._jpeg_quality_scale(mm._JPEG_QY, quality)
+                     .astype(np.float64))
+    bc = plane_bound(mm._jpeg_quality_scale(mm._JPEG_QC, quality)
+                     .astype(np.float64))
+    bound_rgb = np.array([by + 1.402 * bc, by + 1.058272 * bc,
+                          by + 1.772 * bc]) + 2.0
+    err = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert (err.max(axis=(0, 1)) <= bound_rgb).all(), \
+        (err.max(axis=(0, 1)), bound_rgb)
+
+
+def test_jpeg_decode_honest_boundaries():
+    """Progressive scans, truncated payloads, and non-JPEG bytes raise
+    ValueError (the decode_images quarantine contract)."""
+    import pytest
+    from cantera_table_spark.functions.multimodal import (decode_jpeg,
+                                                          encode_jpeg)
+    data = encode_jpeg(bytes(range(192)), 8, 8, 90)
+    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:20])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+@settings(max_examples=25, deadline=None)
 @given(samples=st.lists(st.integers(-32768, 32767), min_size=1,
                         max_size=200),
        rate=st.sampled_from([8000, 16000, 44100]))
