@@ -163,6 +163,19 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     return Engine(cat, unique_postings=True)
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a narrow source for a CPU-bound Pandas-UDF stage.  The
+    bench-SF parquet reads as a single split, which serializes the
+    per-payload codec work onto one core; at corpus scale the source
+    arrives pre-split and this is a no-op (repartitioning a 100 TB
+    input in front of a map stage would be a pure-waste full shuffle,
+    so the widening is gated on the actual split count)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _dsl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Run one QUERY statement through parser+compiler, return the
     (doc_id, score) page DataFrame."""
@@ -1145,7 +1158,7 @@ def mm01_decode_media(spark, sf_dir):
     marked in functions/multimodal.py)."""
     from cantera_table_spark.functions.multimodal import (
         decode_media, media_from_documents)
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"), spark)
     return decode_media(media_from_documents(d))
 
 
@@ -2261,8 +2274,9 @@ def mm08_decode_jpeg(spark, sf_dir):
     from cantera_table_spark.functions.multimodal import (decode_images,
                                                           encode_jpeg)
     import numpy as np
-    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
-         .filter(F.length("text") > 0))
+    d = _spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.length("text") > 0), spark)
 
     def synth(it):
         for pdf in it:
@@ -2422,8 +2436,9 @@ def mm04_thumbnail(spark, sf_dir):
     import pandas as pd
     from cantera_table_spark.functions.multimodal import (
         decode_images, encode_bmp, resize_bmp_nearest)
-    d = (load_table(spark, sf_dir, "documents").select("doc_id", "text")
-         .filter(F.length("text") > 0))
+    d = _spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.length("text") > 0), spark)
 
     def synth(it):
         for pdf in it:
