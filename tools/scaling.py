@@ -351,6 +351,38 @@ def main():
                         coarse_k=max(2, int(math.ceil(math.sqrt(n))))) \
             .write.format("noop").mode("overwrite").save()
 
+    def jpeg_codec(d):
+        import numpy as np
+        import pandas as pd
+        from cantera_table_spark.functions.multimodal import (
+            decode_images, encode_jpeg)
+
+        def synth(it):
+            for pdf in it:
+                data = []
+                for t in pdf["text"]:
+                    raw = t.encode("utf-8") or b" "
+                    vals = (raw * (4 // len(raw) + 1))[:4]
+                    img = np.zeros((16, 16, 3), np.uint8)
+                    img[:8, :8] = vals[0]
+                    img[:8, 8:] = vals[1]
+                    img[8:, :8] = vals[2]
+                    img[8:, 8:] = vals[3]
+                    data.append(encode_jpeg(img.tobytes(), 16, 16, 90))
+                yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                    "data": data})
+
+        src = d.select("doc_id", "text")
+        # widen a narrow source exactly as the gates do (_spread): the
+        # 1x materialization reads as one split, and an unwidened
+        # baseline would measure partition starvation, not codec cost
+        par = d.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+        media = src.mapInPandas(synth, "media_id long, data binary")
+        decode_images(media).write.format("noop") \
+            .mode("overwrite").save()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -380,6 +412,7 @@ def main():
         ("ivf_assign_flat", "embeddings", assign_flat),
         ("ivf_assign_hier", "embeddings", assign_hier),
         ("pq_train", "embeddings", pq_train_case),
+        ("jpeg_codec", "documents", jpeg_codec),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
