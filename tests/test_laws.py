@@ -269,6 +269,50 @@ def test_jpeg_roundtrip_error_bound_law(seed, w, h, quality):
         (err.max(axis=(0, 1)), bound_rgb)
 
 
+@settings(max_examples=20, deadline=None)
+@given(v=st.integers(0, 255))
+def test_jpeg_grayscale_decode_law(v):
+    """decode_jpeg's 1-component path (which encode_jpeg never emits):
+    a hand-built grayscale JFIF with one constant 8x8 block must decode
+    to exactly v in all three reported channel means."""
+    import struct as _s
+    import numpy as np
+    from cantera_table_spark.functions import multimodal as mm
+    q = mm._jpeg_quality_scale(mm._JPEG_QY, 90)
+    f = np.einsum("ux,xy,vy->uv", mm._JPEG_DCT,
+                  np.full((8, 8), float(v) - 128.0), mm._JPEG_DCT)
+    zz = np.round(f / q).astype(np.int32).reshape(-1)[mm._JPEG_ZZ]
+    dc_tab = mm._huff_codes(*mm._JPEG_HUFF_SPEC[("dc", 0)])
+    ac_tab = mm._huff_codes(*mm._JPEG_HUFF_SPEC[("ac", 0)])
+    w = mm._BitWriter()
+    s, vbits = mm._magnitude(int(zz[0]))
+    code, ln = dc_tab[s]
+    w.write(code, ln)
+    w.write(vbits, s)
+    code, ln = ac_tab[0x00]
+    w.write(code, ln)
+
+    def seg(marker, payload):
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    data = (b"\xff\xd8" +
+            seg(0xFFDB, b"\x00" + q.reshape(-1)[mm._JPEG_ZZ]
+                .astype(np.uint8).tobytes()) +
+            seg(0xFFC0, _s.pack(">BHHB", 8, 8, 8, 1) +
+                bytes([1, 0x11, 0])) +
+            seg(0xFFC4, bytes([0x00]) +
+                bytes(mm._JPEG_HUFF_SPEC[("dc", 0)][0]) +
+                bytes(mm._JPEG_HUFF_SPEC[("dc", 0)][1])) +
+            seg(0xFFC4, bytes([0x10]) +
+                bytes(mm._JPEG_HUFF_SPEC[("ac", 0)][0]) +
+                bytes(mm._JPEG_HUFF_SPEC[("ac", 0)][1])) +
+            seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])) +
+            w.flush() + b"\xff\xd9")
+    d = mm.decode_jpeg(data)
+    assert (d["width"], d["height"]) == (8, 8)
+    assert d["mean_r"] == v and d["mean_g"] == v and d["mean_b"] == v
+
+
 def test_jpeg_decode_honest_boundaries():
     """Progressive scans, truncated payloads, and non-JPEG bytes raise
     ValueError (the decode_images quarantine contract)."""
