@@ -1,0 +1,36 @@
+"""Smoke tests for the dev tooling that the round workflow depends on
+(the rotation planner feeds gate.py's _DRIVER_ORDER each round)."""
+
+import importlib.util
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rotate_window_proposal_invariants():
+    rw = _load("rotate_window")
+    from cantera_table_spark import gate
+    order, stats = rw.propose(window=50, n_sentinels=12)
+    registry = set(gate._QUERIES)
+    # a full permutation of the registry, no inventions or duplicates
+    assert len(order) == len(registry)
+    assert set(order) == registry
+    assert stats["registry"] == len(registry)
+    head = set(order[:50])
+    hist = rw.load_history(os.path.join(ROOT))
+    never = registry - set(hist)
+    # never-checked gates fill the window first; when debt exceeds the
+    # non-sentinel capacity the overflow legitimately waits a round
+    assert len(never & head) >= min(len(never), 50 - 12)
+    # red-at-last-check gates are next in priority under the same cap
+    red = {n for n, rs in hist.items()
+           if n in registry and rs and not rs[max(rs)]}
+    assert len((never | red) & head) >= min(len(never | red), 50 - 12)
