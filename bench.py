@@ -67,8 +67,9 @@ BENCH_QUERIES = [
     "sim10_ivfpq_topk", "tx17_wordpiece", "tpch_q6_forecast",
     "ds07_sample_quantiles",
     "sim11_pq_trained", "tpch_q18_large_orders",
-    # round 5 addition: from-scratch baseline JPEG (DCT+Huffman)
-    "mm08_decode_jpeg",
+    # round 5 additions: from-scratch baseline JPEG (DCT+Huffman) and
+    # Motion-JPEG AVI frame sampling built on it
+    "mm08_decode_jpeg", "mm09_video_frames",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]

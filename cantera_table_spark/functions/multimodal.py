@@ -13,14 +13,16 @@ Two decode tiers:
   scanline filters, non-interlaced), baseline sequential JPEG from
   scratch (``encode_jpeg`` / ``decode_jpeg`` — vectorized DCT/IDCT,
   Annex K quantization + Huffman tables, 4:4:4 and grayscale), and
-  PCM WAV (``decode_wav`` / ``encode_wav`` / audio frame sampling).
-  These run the full parse-pixels / parse-samples path — not byte
-  fakes.
+  PCM WAV (``decode_wav`` / ``encode_wav`` / audio frame sampling),
+  and Motion-JPEG AVI video (``encode_avi_mjpeg`` /
+  ``decode_avi_mjpeg`` / ``avi_frame_stats`` — RIFF container walk +
+  per-frame JPEG decode).  These run the full parse-pixels /
+  parse-samples path — not byte fakes.
 - ``decode_media``: format-agnostic byte-level features (length,
   header, checksum) for payloads whose codecs need native libraries
-  not present in this container (H.264/video — the
-  ``decode_image_real`` plug-point raises NotImplementedError for
-  those, clearly marked).
+  not present in this container (inter-frame video: H.264/H.265 —
+  the ``decode_image_real`` plug-point raises NotImplementedError
+  for those, clearly marked).
 """
 
 from __future__ import annotations
@@ -51,18 +53,20 @@ DECODED_SCHEMA = T.StructType([
 
 
 def decode_image_real(data: bytes):  # pragma: no cover - container stub
-    """Plug a video codec (ffmpeg / libvips) in here.
+    """Plug an inter-frame video codec (ffmpeg) in here.
 
     BMP (``decode_bmp``), PNG (``decode_png`` — stdlib zlib inflate +
-    numpy unfiltering, all five scanline filters), and baseline JPEG
-    (``decode_jpeg`` — from-scratch Huffman + IDCT) decode for real;
-    this plug-point covers video (H.264 etc.), whose codecs are native
-    libraries not present in this container."""
+    numpy unfiltering, all five scanline filters), baseline JPEG
+    (``decode_jpeg`` — from-scratch Huffman + IDCT), and Motion-JPEG
+    AVI video (``decode_avi_mjpeg``) decode for real; this plug-point
+    covers inter-frame compressed video (H.264/H.265), whose codecs
+    are native libraries not present in this container."""
     raise NotImplementedError(
-        "video codecs are not available in this container; "
-        "BMP/PNG/JPEG/WAV decode for real "
-        "(decode_bmp/decode_png/decode_jpeg/decode_wav), "
-        "other formats fall back to decode_media byte features")
+        "inter-frame video codecs (H.264/H.265) are not available in "
+        "this container; BMP/PNG/JPEG/WAV/MJPEG-AVI decode for real "
+        "(decode_bmp/decode_png/decode_jpeg/decode_wav/"
+        "decode_avi_mjpeg), other formats fall back to decode_media "
+        "byte features")
 
 
 # ---------------------------------------------------------------------------
@@ -931,6 +935,123 @@ def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                                      float(m[0]), float(m[1]),
                                      float(m[2])))
                 except (ValueError, struct.error, IndexError):
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(batches, schema)
+
+
+AVI_SIG = b"RIFF"
+
+
+def encode_avi_mjpeg(frames_rgb, width: int, height: int,
+                     fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal real Motion-JPEG AVI writer: a RIFF container (the WAV
+    sibling format) with a conformant hdrl (avih + vids/MJPG strh +
+    BITMAPINFOHEADER strf), one baseline-JPEG '00dc' chunk per frame
+    (encode_jpeg), and an idx1 index.  Word-aligned chunks per the RIFF
+    spec."""
+    payloads = [encode_jpeg(f, width, height, quality)
+                for f in frames_rgb]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    maxb = max((len(p) for p in payloads), default=0)
+    avih = struct.pack("<14I", 1_000_000 // fps, maxb * fps, 0, 0x10,
+                       len(payloads), 0, 1, maxb, width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, fps, 0, len(payloads),
+                                            maxb, -1, 0) +
+            struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = [], 4
+    for c, p in zip(movi_chunks, payloads):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(p)))
+        off += len(c)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> dict:
+    """Real Motion-JPEG AVI decode: RIFF chunk walk to the movi LIST,
+    per-frame baseline-JPEG decode ('00dc'/'00db' chunks) via
+    decode_jpeg.  Returns the decode_gif shape (width, height,
+    n_frames, frames as RGB byte buffers).  Non-AVI RIFFs, streams
+    with no decodable frames, and compressed-video handlers the
+    container may carry all raise ValueError (an H.264 payload fails
+    the JPEG magic check per frame — the honest boundary)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln % 2)
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(body)
+
+    walk(data[12:])
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    decoded = [decode_jpeg(f) for f in frames]
+    w, h = decoded[0]["width"], decoded[0]["height"]
+    if any(d["width"] != w or d["height"] != h for d in decoded):
+        raise ValueError("AVI frames disagree on dimensions")
+    return {"width": w, "height": h, "n_frames": len(decoded),
+            "frames": [d["pixels"] for d in decoded]}
+
+
+def avi_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Decode Motion-JPEG AVI payloads and emit one row per sampled
+    frame (frame_idx % every_n == 0) with per-channel means — real
+    video-container frame sampling, the gif_frame_stats sibling for
+    the compressed-frame path.  Arrow-batched; undecodable payloads
+    quarantine to a single NULL row."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = decode_avi_mjpeg(
+                        bytes(data) if data is not None else b"")
+                    for fi in range(0, d["n_frames"], every_n):
+                        px = np.frombuffer(d["frames"][fi],
+                                           np.uint8).reshape(-1, 3)
+                        m = px.mean(axis=0)
+                        rows.append((mid, fi, d["width"], d["height"],
+                                     float(m[0]), float(m[1]),
+                                     float(m[2])))
+                except (ValueError, struct.error, IndexError, KeyError):
                     rows.append((mid, None, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 

@@ -2296,6 +2296,60 @@ def mm08_decode_jpeg(spark, sf_dir):
     return decode_images(media)
 
 
+@gate("mm09_video_frames", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (
+  SELECT doc_id, (i // 4) AS fi,
+         ('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT AS byte
+  FROM h, unnest(range(0, 8)) AS t(i)
+)
+SELECT doc_id AS media_id, fi::INT AS frame_idx, 16 AS width,
+       16 AS height, sum(byte) / 4.0 AS mean_r,
+       sum(byte) / 4.0 AS mean_g, sum(byte) / 4.0 AS mean_b
+FROM b GROUP BY 1, 2
+""")
+def mm09_video_frames(spark, sf_dir):
+    """REAL video-container frame sampling: each document's first
+    eight bytes become two 4-constant-block frames of a genuine
+    Motion-JPEG AVI (encode_avi_mjpeg — RIFF hdrl/movi/idx1, one
+    baseline-JPEG chunk per frame) and avi_frame_stats walks the
+    container back, JPEG-decoding every frame, via Arrow-batched
+    mapInPandas.  Constant blocks round-trip exactly (the mm08
+    contract), so the oracle recomputes each frame's channel means
+    straight from the source bytes: frame f block k reads byte
+    (4f+k) mod n."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (
+        avi_frame_stats, encode_avi_mjpeg)
+    import numpy as np
+    d = _spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.length("text") > 0), spark)
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (8 // len(raw) + 1))[:8]
+                frames = []
+                for f in range(2):
+                    vals = buf[4 * f:4 * f + 4]
+                    img = np.zeros((16, 16, 3), np.uint8)
+                    img[:8, :8] = vals[0]
+                    img[:8, 8:] = vals[1]
+                    img[8:, :8] = vals[2]
+                    img[8:, 8:] = vals[3]
+                    frames.append(img.tobytes())
+                data.append(encode_avi_mjpeg(frames, 16, 16))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return avi_frame_stats(media)
+
+
 @gate("mm03_decode_wav", """
 WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n

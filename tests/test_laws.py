@@ -313,6 +313,56 @@ def test_jpeg_grayscale_decode_law(v):
     assert d["mean_r"] == v and d["mean_g"] == v and d["mean_b"] == v
 
 
+@settings(max_examples=15, deadline=None)
+@given(frames=st.lists(st.lists(st.integers(0, 255), min_size=4,
+                                max_size=4), min_size=1, max_size=4),
+       every_n=st.integers(1, 3))
+def test_avi_mjpeg_roundtrip_exact_law(frames, every_n):
+    """Motion-JPEG AVI: constant-block frames survive the RIFF
+    container + per-frame JPEG round-trip exactly, in order (the mm09
+    gate's oracle contract); every_n mirrors avi_frame_stats
+    sampling."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg)
+
+    def blk(vals):
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:8, :8] = vals[0]
+        img[:8, 8:] = vals[1]
+        img[8:, :8] = vals[2]
+        img[8:, 8:] = vals[3]
+        return img
+
+    imgs = [blk(v) for v in frames]
+    d = decode_avi_mjpeg(encode_avi_mjpeg([i.tobytes() for i in imgs],
+                                          16, 16))
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 16,
+                                                        len(frames))
+    for fi in range(0, d["n_frames"], every_n):
+        got = np.frombuffer(d["frames"][fi], np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, imgs[fi])
+
+
+def test_avi_decode_honest_boundaries():
+    """Non-AVI RIFFs (e.g. a WAV), truncated containers, and streams
+    whose frame chunks are not JPEG all raise ValueError."""
+    import pytest
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg, encode_wav)
+    avi = encode_avi_mjpeg([bytes(16 * 16 * 3)], 16, 16)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(encode_wav([0, 1, 2]))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(avi[:30])
+    # corrupt every frame chunk's JPEG magic: the per-frame decoder
+    # must refuse rather than fabricate pixels
+    broken = avi.replace(b"\xff\xd8\xff", b"\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(broken)
+
+
 def test_jpeg_decode_honest_boundaries():
     """Progressive scans, truncated payloads, and non-JPEG bytes raise
     ValueError (the decode_images quarantine contract)."""
