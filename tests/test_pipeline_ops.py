@@ -505,7 +505,8 @@ def test_multimodal_gates_survive_non_ascii_text(spark, tmp_path):
 
     qs, oracles = G.queries(), G.oracle_sql()
     for name in ("mm02_decode_bmp", "mm03_decode_wav", "mm04_thumbnail",
-                 "mm06_decode_png", "mm07_decode_gif"):
+                 "mm06_decode_png", "mm07_decode_gif",
+                 "mm08_decode_jpeg", "mm09_video_frames"):
         sdf = qs[name](spark, sf_dir)
         cols = sorted(sdf.columns)
         got = sorted(tuple(norm(r[c]) for c in cols)
@@ -600,7 +601,8 @@ def test_gates_survive_empty_tables(spark, tmp_path):
     for name in ("q01_and", "corr01_feature_mining", "dd06_dedup_clusters",
                  "dd13_dedup_pipeline", "tx10_lm_score",
                  "ds03_pack_sequences", "sim07_quantized_topk",
-                 "ml01_logreg_quality", "ev03_funnel", "ir01_bm25"):
+                 "ml01_logreg_quality", "ev03_funnel", "ir01_bm25",
+                 "mm08_decode_jpeg", "mm09_video_frames"):
         assert qs[name](spark, sf_dir).count() == 0, name
 
 
