@@ -528,6 +528,21 @@ def encode_jpeg(pixels_rgb: bytes, width: int, height: int,
     return bytes(out)
 
 
+def constant_block_frame(vals, block: int = 8) -> bytes:
+    """RGB bytes of a (2*block) x (2*block) image of four constant-gray
+    quadrants (vals[0..3] row-major).  The fixture shape whose
+    baseline-JPEG round-trip is exact at quality >= 80 — the single
+    definition the mm08/mm09 gate synths and the scaling harness all
+    share, so the oracle contract (block k = source byte k) cannot
+    desynchronize across them."""
+    img = np.zeros((2 * block, 2 * block, 3), np.uint8)
+    img[:block, :block] = vals[0]
+    img[:block, block:] = vals[1]
+    img[block:, :block] = vals[2]
+    img[block:, block:] = vals[3]
+    return img.tobytes()
+
+
 class _BitReader:
     """MSB-first reader over unstuffed entropy bytes."""
 
@@ -570,12 +585,23 @@ def _extend(vbits: int, s: int) -> int:
 def decode_jpeg(data: bytes) -> dict:
     """Baseline sequential JFIF decoder, stdlib + numpy only: marker
     walk, canonical Huffman decode, dequant + inverse zigzag, one
-    vectorized IDCT einsum per component, YCbCr -> RGB.  Supports any
-    component count with 1x1 sampling (4:4:4 color or grayscale) —
-    progressive scans, subsampled chroma, and restart intervals raise
-    ValueError (the honest boundary, like decode_png's envelope).
-    Returns the decode_bmp/decode_png shape (dimensions + per-channel
-    means)."""
+    vectorized IDCT einsum per component, YCbCr -> RGB.  Supports 3
+    components (4:4:4 color) or 1 (grayscale), 1x1 sampling —
+    progressive scans, subsampled chroma, restart intervals, and other
+    component counts (2-channel, Adobe CMYK/YCCK) raise ValueError
+    (the honest boundary, like decode_png's envelope; a silently
+    3-plane-decoded CMYK would fabricate features).  A corrupt entropy
+    stream surfacing as Index/KeyError from the Huffman state machine
+    is normalized to ValueError here, so callers keep one quarantine
+    class.  Returns the decode_bmp/decode_png shape (dimensions +
+    per-channel means) plus the reconstructed RGB bytes."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> dict:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -647,6 +673,11 @@ def decode_jpeg(data: bytes) -> dict:
             break
     if width is None or entropy is None or not scan:
         raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count "
+                         f"{len(scan)} (grayscale or 4:4:4 color only)")
+    if width == 0 or height == 0:
+        raise ValueError("JPEG with zero pixel dimensions")
     bw, bh = (width + 7) // 8, (height + 7) // 8
     n_blocks = bw * bh
     reader = _BitReader(entropy)
@@ -1051,7 +1082,7 @@ def avi_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                         rows.append((mid, fi, d["width"], d["height"],
                                      float(m[0]), float(m[1]),
                                      float(m[2])))
-                except (ValueError, struct.error, IndexError, KeyError):
+                except (ValueError, struct.error):
                     rows.append((mid, None, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
@@ -1121,9 +1152,11 @@ def decode_images(media: DataFrame) -> DataFrame:
     correctly-rounded division matches SQL ``avg`` bit-for-bit, whereas
     decimal rounding would reopen Python-banker's vs SQL-half-up tie
     skew.  Undecodable payloads yield NULL feature columns (quarantine
-    posture — a bad payload must not kill a 100 TB job); a corrupt
-    JPEG entropy stream can surface as Index/KeyError from the Huffman
-    state machine, so those quarantine too."""
+    posture — a bad payload must not kill a 100 TB job).  The catch is
+    deliberately narrow: decode_jpeg normalizes its Huffman-machine
+    Index/KeyErrors to ValueError itself, so a genuine implementation
+    bug elsewhere still fails loudly instead of quarantining a whole
+    corpus."""
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1140,8 +1173,7 @@ def decode_images(media: DataFrame) -> DataFrame:
                         d = decode_bmp(b)
                     rows.append((mid, d["width"], d["height"],
                                  d["mean_b"], d["mean_g"], d["mean_r"]))
-                except (ValueError, struct.error, zlib.error,
-                        IndexError, KeyError):
+                except (ValueError, struct.error, zlib.error):
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
 

@@ -2271,9 +2271,8 @@ def mm08_decode_jpeg(spark, sf_dir):
     channel means from the source bytes: mean = (b0+b1+b2+b3)/4, an
     exact power-of-two division on both sides."""
     import pandas as pd
-    from cantera_table_spark.functions.multimodal import (decode_images,
-                                                          encode_jpeg)
-    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        constant_block_frame, decode_images, encode_jpeg)
     d = _spread(load_table(spark, sf_dir, "documents")
                 .select("doc_id", "text")
                 .filter(F.length("text") > 0), spark)
@@ -2284,12 +2283,8 @@ def mm08_decode_jpeg(spark, sf_dir):
             for t in pdf["text"]:
                 raw = t.encode("utf-8")
                 vals = (raw * (4 // len(raw) + 1))[:4]
-                img = np.zeros((16, 16, 3), np.uint8)
-                img[:8, :8] = vals[0]
-                img[:8, 8:] = vals[1]
-                img[8:, :8] = vals[2]
-                img[8:, 8:] = vals[3]
-                data.append(encode_jpeg(img.tobytes(), 16, 16, 90))
+                data.append(encode_jpeg(constant_block_frame(vals),
+                                        16, 16, 90))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
 
     media = d.mapInPandas(synth, "media_id long, data binary")
@@ -2322,8 +2317,7 @@ def mm09_video_frames(spark, sf_dir):
     (4f+k) mod n."""
     import pandas as pd
     from cantera_table_spark.functions.multimodal import (
-        avi_frame_stats, encode_avi_mjpeg)
-    import numpy as np
+        avi_frame_stats, constant_block_frame, encode_avi_mjpeg)
     d = _spread(load_table(spark, sf_dir, "documents")
                 .select("doc_id", "text")
                 .filter(F.length("text") > 0), spark)
@@ -2334,15 +2328,8 @@ def mm09_video_frames(spark, sf_dir):
             for t in pdf["text"]:
                 raw = t.encode("utf-8")
                 buf = (raw * (8 // len(raw) + 1))[:8]
-                frames = []
-                for f in range(2):
-                    vals = buf[4 * f:4 * f + 4]
-                    img = np.zeros((16, 16, 3), np.uint8)
-                    img[:8, :8] = vals[0]
-                    img[:8, 8:] = vals[1]
-                    img[8:, :8] = vals[2]
-                    img[8:, 8:] = vals[3]
-                    frames.append(img.tobytes())
+                frames = [constant_block_frame(buf[4 * f:4 * f + 4])
+                          for f in range(2)]
                 data.append(encode_avi_mjpeg(frames, 16, 16))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
 

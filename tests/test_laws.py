@@ -364,8 +364,10 @@ def test_avi_decode_honest_boundaries():
 
 
 def test_jpeg_decode_honest_boundaries():
-    """Progressive scans, truncated payloads, and non-JPEG bytes raise
-    ValueError (the decode_images quarantine contract)."""
+    """Progressive scans, truncated payloads, non-JPEG bytes,
+    unsupported component counts (2-channel / CMYK), zero pixel
+    dimensions, and corrupt entropy streams all raise ValueError — the
+    single quarantine class decode_images' narrow catch relies on."""
     import pytest
     from cantera_table_spark.functions.multimodal import (decode_jpeg,
                                                           encode_jpeg)
@@ -377,6 +379,30 @@ def test_jpeg_decode_honest_boundaries():
         decode_jpeg(data[:20])
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
+    # 2-component scan: patch the SOS component count
+    sos = data.index(b"\xff\xda")
+    two_comp = bytearray(data)
+    two_comp[sos + 4] = 2
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(bytes(two_comp))
+    # zero-height SOF
+    sof = data.index(b"\xff\xc0")
+    zero_h = bytearray(data)
+    zero_h[sof + 5:sof + 7] = b"\x00\x00"
+    with pytest.raises(ValueError, match="zero pixel"):
+        decode_jpeg(bytes(zero_h))
+    # corrupt entropy must either decode to garbage pixels (any JPEG
+    # decoder's contract for valid-looking garbage) or raise ValueError
+    # — never leak the Huffman machine's Index/KeyError past the
+    # normalization boundary
+    for seed in range(8):
+        garbled = bytearray(data)
+        for i in range(sos + 14, len(garbled) - 2):
+            garbled[i] = (garbled[i] * 37 + 11 * (seed + 1)) % 251
+        try:
+            decode_jpeg(bytes(garbled))
+        except ValueError:
+            pass
 
 
 @settings(max_examples=25, deadline=None)

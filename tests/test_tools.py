@@ -34,3 +34,7 @@ def test_rotate_window_proposal_invariants():
     red = {n for n, rs in hist.items()
            if n in registry and rs and not rs[max(rs)]}
     assert len((never | red) & head) >= min(len(never | red), 50 - 12)
+    # every chosen sentinel sits inside the window (the reservation
+    # the planner promises, regression-prone against truncation)
+    assert set(stats["sentinels"]) <= head, \
+        set(stats["sentinels"]) - head

@@ -88,25 +88,27 @@ def propose(window: int, n_sentinels: int) -> tuple[list[str], dict]:
         if len(sentinels) >= n_sentinels:
             break
 
-    order: list[str] = []
-    for group in (never, red_now, checked, sentinels):
+    priority: list[str] = []
+    for group in (never, red_now, checked):
         for n in group:
-            if n not in order:
-                order.append(n)
+            if n not in priority:
+                priority.append(n)
     # sentinels must land INSIDE the window even when debt is large:
-    # reserve their slots at the tail of the window
-    head = order[:window]
-    missing_sentinels = [s for s in sentinels if s not in head]
-    if missing_sentinels:
-        keep = window - len(missing_sentinels)
-        head = head[:keep] + missing_sentinels
-    tail = [n for n in order if n not in head]
+    # fill the non-sentinel slots by priority first, then append every
+    # sentinel (a sentinel that is also never/red simply rides along in
+    # the priority region and frees a slot)
+    sent_set = set(sentinels)
+    non_sent = [n for n in priority if n not in sent_set]
+    head = non_sent[:max(0, window - len(sentinels))] + sentinels
+    head = head[:window]
+    tail = [n for n in priority if n not in head]
     stats = {
         "registry": len(registry),
         "never_checked": len(never),
         "red_at_last_check": len(red_now),
         "window": window,
         "out_of_window": max(0, len(registry) - window),
+        "sentinels": sentinels,
     }
     return head + tail, stats
 

@@ -352,10 +352,10 @@ def main():
             .write.format("noop").mode("overwrite").save()
 
     def jpeg_codec(d):
-        import numpy as np
         import pandas as pd
+        from cantera_table_spark.gate import _spread
         from cantera_table_spark.functions.multimodal import (
-            decode_images, encode_jpeg)
+            constant_block_frame, decode_images, encode_jpeg)
 
         def synth(it):
             for pdf in it:
@@ -363,22 +363,15 @@ def main():
                 for t in pdf["text"]:
                     raw = t.encode("utf-8") or b" "
                     vals = (raw * (4 // len(raw) + 1))[:4]
-                    img = np.zeros((16, 16, 3), np.uint8)
-                    img[:8, :8] = vals[0]
-                    img[:8, 8:] = vals[1]
-                    img[8:, :8] = vals[2]
-                    img[8:, 8:] = vals[3]
-                    data.append(encode_jpeg(img.tobytes(), 16, 16, 90))
+                    data.append(encode_jpeg(constant_block_frame(vals),
+                                            16, 16, 90))
                 yield pd.DataFrame({"media_id": pdf["doc_id"],
                                     "data": data})
 
-        src = d.select("doc_id", "text")
-        # widen a narrow source exactly as the gates do (_spread): the
-        # 1x materialization reads as one split, and an unwidened
-        # baseline would measure partition starvation, not codec cost
-        par = d.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
+        # widen a narrow source with the gates' own _spread: the 1x
+        # materialization reads as one split, and an unwidened baseline
+        # would measure partition starvation, not codec cost
+        src = _spread(d.select("doc_id", "text"), d.sparkSession)
         media = src.mapInPandas(synth, "media_id long, data binary")
         decode_images(media).write.format("noop") \
             .mode("overwrite").save()
