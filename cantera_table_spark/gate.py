@@ -63,51 +63,45 @@ def gate(name: str, oracle: str | None = None):
 # queries() in iteration order.  Decoration order in this file is historical
 # (oldest gates first), which left every gate registered past position 50
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
-# explicitly: the 45 gates that have never had a driver row (rounds 1-3),
-# plus 5 long-green sentinels kept in-window for cross-round regression
-# continuity.  Everything else follows in decoration order.
+# explicitly; tools/rotate_window.py regenerates it each round from the
+# CORRECTNESS_r*.json history (never-checked gates first, then stalest,
+# then a cross-family sentinel band).  Round-6 rotation: mm08/mm09 — the
+# only two gates with no driver row in any round (added after the r5
+# window was pinned) — take positions 1-2, followed by the 30 stalest
+# gates (last driver-green r2/r3) and 18 long-green sentinels.
 _DRIVER_ORDER = [
-    # --- positions 1-25: the round-4 gates that have never had a driver
-    # row (registry grew to 128 vs the 50-entry window; all 25 verified
-    # green by the round-4 review's independent oracle sweep) ---
-    # time-series / events
-    "ts09_asof_join", "ts10_asof_forward_tol", "ev05_interval_join",
-    "ev07_rollup_day", "ev08_top_events_per_user",
-    # dedup round-4 additions
-    "dd14_incremental_dedup", "dd15_semantic_dedup", "dd16_cut_spans",
-    # dataset shaping round-4 additions
-    "ds06_mixture_sample", "ds07_sample_quantiles", "ds08_hash_split",
-    # PQ / IVFPQ ANN
-    "sim09_pq_topk", "sim10_ivfpq_topk", "sim11_pq_trained",
-    # streaming round-4 additions
-    "st05_stream_stream_join", "st06_stream_quality_dedup",
-    "st07_stream_complete_totals",
-    # text round-4 additions
-    "tx15_ppl_buckets", "tx16_kmv_distinct", "tx17_wordpiece",
-    # TPC-H + sources + hybrid retrieval
-    "tpch_q6_forecast", "tpch_q18_large_orders",
-    "in03_json_ingest", "in04_orc_ingest", "ir03_bm25_hybrid",
-    # --- positions 26-28: the three round-4 hash-red gates, re-cast
-    # this round (oracle HUGEINT sums -> ::BIGINT) so the fix is
-    # driver-proven ---
-    "dd11_repeated_spans", "tx12_bpe_pairs", "ds05_packed_text",
-    # --- positions 29-50: sentinels spanning every family, each
-    # driver-green in r2/r3/r4, kept in-window for cross-round
+    # --- positions 1-2: never had a driver row (new in round 5) ---
+    "mm08_decode_jpeg", "mm09_video_frames",
+    # --- positions 3-32: stalest gates (last driver row r2/r3) ---
+    "ev02_sessionize", "tx05_tfidf", "sim03_lsh_neardup",
+    "ts08_dsl_date_filter", "corr02_event_prediction",
+    "dd06_dedup_clusters",
+    "q02_or", "q03_subtract", "q04_score_filters", "q05_eq_and_range",
+    "q06_theta_join", "q07_order_by", "q08_negate", "q09_min_dedup",
+    "q10_prefix_scan", "q11_summary_key", "q12_thresholds",
+    "q20_threshold_headers", "q13_topk_page", "q14_random_sample",
+    "q15_select_matrix",
+    "ts01_daily_rollup", "ts02_merge_sum", "ts03_pick_one",
+    "ts04_asof_prior",
+    "tpch_q1_pricing", "tpch_q5_region_volume",
+    "ev01_user_running", "dd01_exact_dedup", "dd02_minhash",
+    # --- positions 33-50: sentinels spanning every family, each
+    # driver-green in r4/r5, kept in-window for cross-round
     # regression continuity ---
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
     "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
     "in01_tsv_postings", "dp02_dump_timeseries", "x02_export_results",
     "p01_parse_echo", "set01_session_state",
-    "st04_stream_sessionize", "dd07_lsh_jaccard", "dd10_line_dedup",
-    "sim04_ivf_assign", "sim07_quantized_topk",
-    "tx06_quality_filter", "tx11_length_quantiles",
-    "ds01_stratified_sample", "ds03_pack_sequences",
-    "mm06_decode_png", "ir01_bm25", "ev04_retention",
+    "st04_stream_sessionize", "dd07_lsh_jaccard",
+    "sim04_ivf_assign", "tx06_quality_filter",
+    "ds01_stratified_sample", "mm06_decode_png",
+    "ir01_bm25", "ev04_retention",
 ]
-# With this rotation every registered gate has had at least one driver
-# row across CORRECTNESS_r02..r05 (union).  Gates outside the window
-# this round (all driver-green in r2-r4) follow in decoration order and
-# stay covered by tools/check_gate.py's full local sweep.
+# After the round-6 driver run, every registered gate (130) will have at
+# least one driver row across CORRECTNESS_r02..r06 (union) — before it,
+# mm08/mm09 are the two remaining never-checked gates.  Gates outside
+# the window this round (all driver-green in r2-r5) follow in decoration
+# order and stay covered by tools/check_gate.py's full local sweep.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
