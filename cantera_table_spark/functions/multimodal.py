@@ -591,13 +591,14 @@ def decode_jpeg(data: bytes) -> dict:
     component counts (2-channel, Adobe CMYK/YCCK) raise ValueError
     (the honest boundary, like decode_png's envelope; a silently
     3-plane-decoded CMYK would fabricate features).  A corrupt entropy
-    stream surfacing as Index/KeyError from the Huffman state machine
-    is normalized to ValueError here, so callers keep one quarantine
+    stream surfacing as Index/KeyError from the Huffman state machine —
+    or struct.error from unpack_from on a truncated SOF/SOS body — is
+    normalized to ValueError here, so callers keep one quarantine
     class.  Returns the decode_bmp/decode_png shape (dimensions +
     per-channel means) plus the reconstructed RGB bytes."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, KeyError) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"corrupt JPEG stream: {e!r}") from e
 
 
@@ -630,7 +631,11 @@ def _decode_jpeg(data: bytes) -> dict:
                 qtabs[tid] = table.reshape(8, 8)
                 off += 65
         elif marker in (0xC0, 0xC1):
-            _, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(
+                    f"{prec}-bit sample precision unsupported (baseline "
+                    "8-bit only)")
             comps = [(body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
                      for i in range(nc)]
             if any(samp != 0x11 for _, samp, _q in comps):

@@ -616,20 +616,62 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
         assigned = ivf_assign(emb, centroids, id_col=id_col,
                               vec_col=vec_col)
     if caches is not None:
-        # the self-join consumes the assignment pipeline (cross join +
-        # per-vector argmin window) twice and the final keep-join a
-        # third time; cache it when the caller manages a cache registry
-        # (measured 2x on the dd15 bench phase uncached)
+        # the quantized pair stage, the two exact-verify vector lookups,
+        # and the final keep-join all consume the assignment pipeline
+        # (cross join + per-vector argmin); cache it when the caller
+        # manages a cache registry (measured 2x on the dd15 bench phase
+        # uncached)
         assigned = assigned.cache()
         caches.append(assigned)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &
-                    (F.col("a.vec_id") < F.col("b.vec_id")))
+    # The within-cluster self-join is the O(N^2/k) stage, so the rows it
+    # shuffles and enumerates must be as small as possible: carry
+    # int8-quantized UNIT vectors (d bytes vs 8d for the float64
+    # originals) through the quadratic stage and prefilter pairs on the
+    # quantized dot product with a proven error margin; only survivors
+    # re-join the raw vectors for the exact cosine that defines the drop
+    # decision, so the result is bit-identical to the direct
+    # formulation (the dd07 candidate-restrict-then-verify pattern).
+    #
+    # Margin: for unit u_a,u_b and q = round(127*u) (so each element
+    # err <= 1/254), |dot(u_a,u_b) - dotq/127^2| <=
+    # (|u_a|_1 + |u_b|_1)/254 + d/254^2 <= 2*sqrt(d)/254 + d/254^2
+    # (~0.064 at d=64).  The extra 1e-4 headroom covers float64
+    # normalization error and the final round(.,6) quantum.  NaN/zero-
+    # norm vectors quantize to NULL codes (try_divide/try_cast) and are
+    # excluded here exactly as their NULL/NaN exact cosine would be.
+    unit = F.transform(
+        F.col("v"),
+        lambda x: F.try_divide(x.cast("double"), F.col("__nv")))
+    compact = (assigned
+               .withColumn("__nv", norm(F.transform(
+                   F.col("v"), lambda x: x.cast("double"))))
+               .select("vec_id", "cluster", F.transform(
+                   unit, lambda x: F.round(x * 127).try_cast("tinyint")
+               ).alias("q")))
+    dim = F.size(F.col("a.q")).cast("double")
+    margin = (F.lit(2.0) * F.sqrt(dim) / F.lit(254.0)
+              + dim / F.lit(254.0 * 254.0) + F.lit(1e-4))
+    dotq = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"),
+                   lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    cand = (compact.alias("a")
+            .join(compact.alias("b"),
+                  (F.col("a.cluster") == F.col("b.cluster")) &
+                  (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(dotq.cast("double") / F.lit(127.0 * 127.0)
+                    >= F.lit(threshold) - margin)
+            .select(F.col("a.vec_id").alias("__aid"),
+                    F.col("b.vec_id").alias("__bid")))
+    va = assigned.select(F.col("vec_id").alias("__aid"),
+                         F.col("v").alias("__va"))
+    vb = assigned.select(F.col("vec_id").alias("__bid"),
+                         F.col("v").alias("__vb"))
+    drops = (cand.join(va, "__aid").join(vb, "__bid")
              .withColumn("__cos", F.round(
-                 cosine(F.col("a.v"), F.col("b.v")), 6))
+                 cosine(F.col("__va"), F.col("__vb")), 6))
              .filter(F.col("__cos") >= threshold)
-             .select(F.col("b.vec_id").alias("vec_id"))
+             .select(F.col("__bid").alias("vec_id"))
              .distinct())
     return (assigned.select("vec_id", "cluster")
             .join(drops.withColumn("__drop", F.lit(True)),

@@ -122,33 +122,34 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
     Scale shape: the per-doc n-gram frequency tables are built by
     explode -> groupBy, NOT by per-row array self-scans — a quadratic
     `transform(distinct, count-in-array)` per document would be O(L^2)
-    per row and blow up on long documents.  Two shuffles total, both
+    per row and blow up on long documents.  ONE scan + tokenize of the
+    corpus (explode k = 1..3 inside a single consuming branch, not a
+    three-branch union of the token projection) and two shuffles, both
     keyed by doc_id (+gram), both with map-side partial aggregation:
 
-      grams(1|2|3) --explode--> groupBy(doc_id, k, gram).count
-                   --groupBy(doc_id)--> conditional aggregates
+      tokens --explode k--> explode grams --> groupBy(doc_id, k, gram)
+             --groupBy(doc_id)--> conditional aggregates
 
     Returns the input columns plus dup_token_frac / top_bigram_frac /
     top_trigram_frac (0.0 for documents too short to form the gram).
     """
     toks = tokens(F.col(text_col))
-    base = df.select(id_col, toks.alias("__toks"))
-
-    def grams(k: int) -> DataFrame:
-        # sequence(1, 0) counts DOWN, so guard short docs like
-        # dedup.shingles does
-        return (base.filter(F.size("__toks") >= k)
-                .select(id_col, F.lit(k).alias("k"),
-                        F.explode(F.transform(
-                            F.sequence(F.lit(1),
-                                       F.size("__toks") - (k - 1)),
-                            lambda i: F.concat_ws(
-                                " ", F.slice(F.col("__toks"), i, k))))
-                        .alias("gram")))
-
-    counts = (grams(1).unionByName(grams(2)).unionByName(grams(3))
-              .groupBy(id_col, "k", "gram").count())
     k = F.col("k")
+    counts = (df.select(id_col, toks.alias("__toks"))
+              .select(id_col, "__toks",
+                      F.explode(F.sequence(F.lit(1), F.lit(3)))
+                      .alias("k"))
+              # sequence(1, 0) counts DOWN, so guard short docs like
+              # dedup.shingles does
+              .filter(F.size("__toks") >= k)
+              .select(id_col, "k",
+                      F.explode(F.transform(
+                          F.sequence(F.lit(1),
+                                     F.size("__toks") - (k - 1)),
+                          lambda i: F.concat_ws(
+                              " ", F.slice(F.col("__toks"), i, k))))
+                      .alias("gram"))
+              .groupBy(id_col, "k", "gram").count())
     agg = (counts.groupBy(id_col).agg(
         F.sum(F.when(k == 1, F.col("count"))).alias("tot1"),
         F.count(F.when(k == 1, True)).alias("dist1"),

@@ -231,9 +231,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     comparison sorts a NULL field FIRST, which already makes backward's
     ``max`` prefer a real payload over a NULL one at a tied timestamp;
     forward's ``min`` would prefer the NULL, so its struct carries a
-    leading is-null flag on the first value column — both directions
-    therefore resolve a tie to a non-NULL payload when one exists
-    (matching a SQL ``min(value)``/``max(value)``, which skip NULLs).
+    leading is-null flag on the FIRST value column — both directions
+    therefore resolve a tie to a payload whose first column is non-NULL
+    when one exists (matching a SQL ``min(value)``/``max(value)``,
+    which skip NULLs).  The preference is scoped to ``value_cols[0]``;
+    later columns ride along with whichever row wins on
+    (first-col-null, first-col, ...) struct order.
 
     NULL semantics: NULL-key rows on either side are dropped (an
     equi-join would never match them; one window group would lump
@@ -279,7 +282,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     rfields = [F.col("__ts").alias("__rts")]
     if not backward:
         # NULL fields sort first in struct comparison: under min a
-        # NULL payload at a tied ts would shadow a real one
+        # NULL payload at a tied ts would shadow a real one.  The flag
+        # keys on value_cols[0] ONLY (the oracle-pinned contract): with
+        # multiple value columns, a tied right row whose FIRST column is
+        # NULL loses to one whose first column is real, even if its
+        # later columns carry values — deterministic, and identical to
+        # SQL min(struct(ts, v0 IS NULL, v0, v1, ...)).
         rfields.append(
             F.when(F.col(f"__r_{rv[0]}").isNull(), F.lit(1))
             .otherwise(F.lit(0)).alias("__nn"))

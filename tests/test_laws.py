@@ -391,6 +391,18 @@ def test_jpeg_decode_honest_boundaries():
     zero_h[sof + 5:sof + 7] = b"\x00\x00"
     with pytest.raises(ValueError, match="zero pixel"):
         decode_jpeg(bytes(zero_h))
+    # 12-bit sample precision (valid per spec, unsupported here): must
+    # raise, not silently decode 8-bit DQTs against 12-bit samples
+    twelve_bit = bytearray(data)
+    twelve_bit[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(twelve_bit))
+    # truncated SOF body (length field shorter than the fixed header):
+    # unpack_from's struct.error must normalize to ValueError too
+    short_sof = bytearray(data)
+    short_sof[sof + 2:sof + 4] = b"\x00\x04"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(short_sof))
     # corrupt entropy must either decode to garbage pixels (any JPEG
     # decoder's contract for valid-looking garbage) or raise ValueError
     # — never leak the Huffman machine's Index/KeyError past the

@@ -79,14 +79,15 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
 }
 
-# Always-allowed single-partition producers: statement-level LIMIT
-# pages (the reference's result pages are bounded by limit), centroid /
-# codebook seeding (k rows), and scalar one-row corpus aggregates.
-BOUNDED_HINTS = [
-    "TakeOrderedAndProject",   # top-k page: bounded by limit
-    "CollectLimit",
-    "GlobalLimit",
-]
+# Always-allowed single-partition CONSUMERS: statement-level LIMIT
+# pages (the reference's result pages are bounded by limit) and scalar
+# one-row aggregates.  The exemption is scoped per exchange — the
+# operator directly consuming the `Exchange SinglePartition` must
+# itself be bounded — so a limit page elsewhere in the same plan no
+# longer hides an unrelated unpartitioned window/sort regression.
+_SP_BOUNDED_CONSUMER = re.compile(
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit"
+    r"|(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
 
 PATTERNS = {
     "CartesianProduct": re.compile(r"CartesianProduct"),
@@ -94,6 +95,31 @@ PATTERNS = {
     "RowPythonUDF": re.compile(r"BatchEvalPython"),
     "SinglePartition": re.compile(r"Exchange SinglePartition"),
 }
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a plan line = width of its `:  +- ` tree art prefix."""
+    return len(re.match(r"^[ :+-]*", line).group(0))
+
+
+def _unbounded_single_partitions(text: str) -> int:
+    """Count `Exchange SinglePartition` nodes whose direct consumer
+    (nearest line above with smaller tree indent) is NOT a bounded
+    producer (limit page / scalar aggregate)."""
+    lines = text.splitlines()
+    bad = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ind = _tree_indent(ln)
+        consumer = None
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and _tree_indent(lines[j]) < ind:
+                consumer = lines[j]
+                break
+        if consumer is None or not _SP_BOUNDED_CONSUMER.search(consumer):
+            bad += 1
+    return bad
 
 
 def lint_one(name: str, df) -> list[str]:
@@ -105,14 +131,8 @@ def lint_one(name: str, df) -> list[str]:
             continue
         if label in wl:
             continue
-        if label == "SinglePartition" and any(
-                h in text for h in BOUNDED_HINTS):
-            # a limit-bounded page legitimately funnels to one
-            # partition; the exchange moves <= limit rows
-            continue
-        if label == "SinglePartition" and "HashAggregate(keys=[]" in text:
-            # scalar (ungrouped) aggregate: the exchange moves one
-            # partial row per map task to the final agg — bounded
+        if (label == "SinglePartition"
+                and _unbounded_single_partitions(text) == 0):
             continue
         hits.append(label)
     return hits
