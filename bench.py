@@ -75,6 +75,20 @@ BENCH_QUERIES = [
 ]
 
 
+# Warm-median mode: SPARK_GRAFT_BENCH_REPEATS=3 runs every phase N
+# times and reports the per-phase MEDIAN (plus max-min spread), which
+# excludes the cold codegen/JIT compile that BASELINE.md documents as
+# the dominant cross-round noise on sub-second phases.  Default 1 run —
+# the driver's single-pass contract and output shape are unchanged.
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+
+
+def median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -85,35 +99,52 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
+    def timed_phase(name: str, fn, cleanup=None) -> None:
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            fn()
+            ts.append(time.monotonic() - t0)
+            if cleanup is not None:
+                cleanup()     # excluded from the measurement on purpose
+        timings[name] = round(median(ts), 3)
+        if REPEATS > 1:
+            spreads[name] = round(max(ts) - min(ts), 3)
 
     # -- phase 1: ingest (build the index tables, reference ca-load) ----
-    t0 = time.monotonic()
     from cantera_table_spark.sources.ingest import write_postings
     n_buckets = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    postings = derive_postings(spark, sf_dir).unionByName(
-        derive_label_postings(spark, sf_dir))
-    # bucket-partitioned + (keyword, doc_id)-sorted: leaf lookups prune
-    # to one bucket directory, row-group stats prune inside it
-    write_postings(postings, f"{work}/postings", n_buckets=n_buckets)
-    derive_documents(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{work}/documents")
-    timings["ingest"] = time.monotonic() - t0
+
+    def ingest():
+        postings = derive_postings(spark, sf_dir).unionByName(
+            derive_label_postings(spark, sf_dir))
+        # bucket-partitioned + (keyword, doc_id)-sorted: leaf lookups
+        # prune to one bucket directory, row-group stats prune inside it
+        write_postings(postings, f"{work}/postings", n_buckets=n_buckets)
+        derive_documents(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{work}/documents")
+
+    timed_phase("ingest", ingest)
 
     # -- 10M-posting encode/scan micro-target (BASELINE.md) -------------
-    t0 = time.monotonic()
-    ts10m = (spark.range(10_000_000)
-             .select((F.col("id") % 512).alias("key_id"),
-                     (F.lit(1_262_304_000) +
-                      F.col("id") * 86_400 % 500_000_000).alias("ts"),
-                     (F.col("id") % 16_777_216).cast("double")
-                     .alias("value")))
-    ts10m.write.mode("overwrite").parquet(f"{work}/ts10m")
-    timings["encode_10m"] = time.monotonic() - t0
-    t0 = time.monotonic()
-    n = spark.read.parquet(f"{work}/ts10m").agg(
-        F.count("*"), F.sum("value")).collect()[0][0]
-    assert n == 10_000_000
-    timings["decode_10m"] = time.monotonic() - t0
+    def encode_10m():
+        ts10m = (spark.range(10_000_000)
+                 .select((F.col("id") % 512).alias("key_id"),
+                         (F.lit(1_262_304_000) +
+                          F.col("id") * 86_400 % 500_000_000).alias("ts"),
+                         (F.col("id") % 16_777_216).cast("double")
+                         .alias("value")))
+        ts10m.write.mode("overwrite").parquet(f"{work}/ts10m")
+
+    def decode_10m():
+        n = spark.read.parquet(f"{work}/ts10m").agg(
+            F.count("*"), F.sum("value")).collect()[0][0]
+        assert n == 10_000_000
+
+    timed_phase("encode_10m", encode_10m)
+    timed_phase("decode_10m", decode_10m)
 
     # -- phase 2: queries against the parquet-backed catalog ------------
     catalog = Catalog(
@@ -123,32 +154,30 @@ def main() -> None:
     )
     engine = Engine(catalog, unique_postings=True)
 
-    def bench_gate(name: str) -> float:
-        fn = gate.queries()[name]
-        t = time.monotonic()
+    def run_gate(name: str):
         # gate callables build their own derived catalog; for engine DSL
         # queries we redirect through the parquet-backed engine when
         # possible by monkeypatching _engine (same public surface).
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.monotonic() - t
+        gate.queries()[name](spark, sf_dir) \
+            .write.mode("overwrite").format("noop").save()
+
+    def clear_caches():
         # phase hygiene: CORRELATE and dedup-clustering intentionally
         # persist intermediates for their own multi-branch plans; left
         # in place they pile up across phases (at 10x fixture growth
         # the leaked storage caused GC pressure that inflated every
         # LATER phase up to ~10x).  Nothing in this bench relies on
         # cross-phase caching — the catalog is parquet-backed — so
-        # clear between phases; cleanup time is excluded from the
-        # phase's own measurement on purpose.
+        # clear between phases (and between repeat runs); cleanup time
+        # is excluded from the phase's own measurement on purpose.
         engine.release_caches()
         spark.catalog.clearCache()
-        return dt
 
     # Route gate DSL queries through the parquet-backed catalog.
     gate._engine = lambda s, d: engine  # noqa: SLF001
 
     for name in BENCH_QUERIES:
-        timings[name] = round(bench_gate(name), 3)
+        timed_phase(name, lambda n=name: run_gate(n), cleanup=clear_caches)
 
     total = round(sum(v for k, v in timings.items()), 3)
     out = {
@@ -158,6 +187,9 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if REPEATS > 1:
+        out["repeats"] = REPEATS
+        out["spread"] = spreads
     print(json.dumps(out))
     spark.stop()
 
