@@ -68,8 +68,9 @@ BENCH_QUERIES = [
     "ds07_sample_quantiles",
     "sim11_pq_trained", "tpch_q18_large_orders",
     # round 5 additions: from-scratch baseline JPEG (DCT+Huffman) and
-    # Motion-JPEG AVI frame sampling built on it
-    "mm08_decode_jpeg", "mm09_video_frames",
+    # Motion-JPEG AVI frame sampling built on it; round 6: the IPV1
+    # toy I/P delta-frame codec (wrap-delta P-frames over the JPEG core)
+    "mm08_decode_jpeg", "mm09_video_frames", "mm10_ipv_video",
     # dd12 (apply) re-runs dd06's whole pipeline + a join — gate-verified
     # at all SFs but excluded here to keep the heaviest phase single
 ]

@@ -1027,7 +1027,10 @@ def decode_avi_mjpeg(data: bytes) -> dict:
     n_frames, frames as RGB byte buffers).  Non-AVI RIFFs, streams
     with no decodable frames, and compressed-video handlers the
     container may carry all raise ValueError (an H.264 payload fails
-    the JPEG magic check per frame — the honest boundary)."""
+    the JPEG magic check per frame — the honest boundary).  For the
+    inter-frame path the repo ships the IPV1 toy I/P codec
+    (:func:`encode_ipv`/:func:`decode_ipv`); full motion-compensated
+    codecs (H.264/H.265) remain the documented plug-point."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     frames = []
@@ -1089,6 +1092,151 @@ def avi_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                                      float(m[2])))
                 except (ValueError, struct.error):
                     rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(batches, schema)
+
+
+IPV_MAGIC = b"IPV1"
+
+
+def encode_ipv(frames_rgb, width: int, height: int, gop: int = 4,
+               quality: int = 90) -> bytes:
+    """Toy MPEG-1-style intra/predicted video codec (reference parity
+    target: the inter-frame plug-point decode_avi_mjpeg documents).
+    Every ``gop``-th frame is an I-frame carrying a full baseline JPEG
+    (encode_jpeg); the frames between are P-frames carrying the mod-256
+    wrap-delta against the previous RECONSTRUCTED frame, itself
+    JPEG-coded.  The wrap-delta is the lossless byte predictor (PNG's
+    Sub filter family): for constant-block fixtures the delta planes
+    are constant blocks too, so the whole stream round-trips EXACTLY at
+    quality >= 80 — the mm08/mm09 oracle contract extends to mm10.  A
+    production inter codec would code a signed residual DCT with its
+    own quantizer and motion search; this toy is zero-motion and
+    documented as such.
+
+    Closed-loop DPCM: the encoder derives each delta from its own
+    DECODED output (not the source frame), so JPEG quantization error
+    can never accumulate across a GOP.
+
+    Container: ``IPV1`` magic + <HHHH (width, height, n_frames, gop),
+    then per frame: 1 type byte (0x49 'I' / 0x50 'P') + <I payload
+    length + JPEG payload."""
+    if gop <= 0:
+        raise ValueError(f"gop must be positive: {gop}")
+    out = bytearray(IPV_MAGIC + struct.pack("<HHHH", width, height,
+                                            len(frames_rgb), gop))
+    recon_prev = None
+    for i, f in enumerate(frames_rgb):
+        arr = np.frombuffer(bytes(f), np.uint8)
+        if arr.size != width * height * 3:
+            raise ValueError("IPV frame size disagrees with dimensions")
+        if i % gop == 0 or recon_prev is None:
+            payload = encode_jpeg(arr.tobytes(), width, height, quality)
+            ftype = 0x49
+            recon = np.frombuffer(decode_jpeg(payload)["pixels"],
+                                  np.uint8)
+        else:
+            delta = ((arr.astype(np.int16) -
+                      recon_prev.astype(np.int16)) % 256).astype(np.uint8)
+            payload = encode_jpeg(delta.tobytes(), width, height, quality)
+            ftype = 0x50
+            dd = np.frombuffer(decode_jpeg(payload)["pixels"], np.uint8)
+            recon = ((recon_prev.astype(np.int16) + dd.astype(np.int16))
+                     % 256).astype(np.uint8)
+        out += bytes([ftype]) + struct.pack("<I", len(payload)) + payload
+        recon_prev = recon
+    return bytes(out)
+
+
+def decode_ipv(data: bytes) -> dict:
+    """Decode an IPV1 intra/predicted stream (see :func:`encode_ipv`):
+    container walk, per-frame baseline-JPEG decode, P-frame wrap-delta
+    reconstruction against the running reference.  Returns the
+    decode_avi_mjpeg shape (width, height, n_frames, frames) plus
+    ``gop`` and per-frame ``frame_types``.  Non-IPV payloads, truncated
+    records, dimension/count disagreements, a P-frame with no I-frame
+    reference, and unknown frame types (B-frames / motion-compensated
+    inter coding stay a documented plug-point) all raise ValueError."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != IPV_MAGIC:
+        raise ValueError("not an IPV payload")
+    width, height, n_frames, gop = struct.unpack_from("<HHHH", data, 4)
+    pos = 12
+    frames: list[bytes] = []
+    types: list[str] = []
+    prev = None
+    while pos < len(data):
+        if pos + 5 > len(data):
+            raise ValueError("truncated IPV frame header")
+        ftype = data[pos]
+        (ln,) = struct.unpack_from("<I", data, pos + 1)
+        payload = data[pos + 5:pos + 5 + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated IPV frame payload")
+        pos += 5 + ln
+        d = decode_jpeg(payload)
+        if (d["width"], d["height"]) != (width, height):
+            raise ValueError("IPV frame dims disagree with header")
+        px = np.frombuffer(d["pixels"], np.uint8)
+        if ftype == 0x49:
+            recon = px
+        elif ftype == 0x50:
+            if prev is None:
+                raise ValueError("IPV P-frame without an I-frame "
+                                 "reference")
+            recon = ((prev.astype(np.int16) + px.astype(np.int16))
+                     % 256).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown IPV frame type {ftype:#x} "
+                             "(B/motion-compensated frames unsupported)")
+        frames.append(recon.tobytes())
+        types.append("I" if ftype == 0x49 else "P")
+        prev = recon
+    if not frames:
+        raise ValueError("IPV contains no frames")
+    if len(frames) != n_frames:
+        raise ValueError("IPV frame count disagrees with header")
+    return {"width": width, "height": height, "n_frames": len(frames),
+            "gop": gop, "frames": frames, "frame_types": types}
+
+
+def ipv_frame_stats(media: DataFrame) -> DataFrame:
+    """Decode IPV1 intra/predicted video payloads and emit one row per
+    frame with the keyframe flag and per-channel means — the
+    avi_frame_stats sibling for the delta-frame path.  Arrow-batched;
+    undecodable payloads quarantine to a single NULL row."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("is_key", T.BooleanType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    d = decode_ipv(
+                        bytes(data) if data is not None else b"")
+                    for fi in range(d["n_frames"]):
+                        px = np.frombuffer(d["frames"][fi],
+                                           np.uint8).reshape(-1, 3)
+                        m = px.mean(axis=0)
+                        rows.append((mid, fi, d["frame_types"][fi] == "I",
+                                     d["width"], d["height"],
+                                     float(m[0]), float(m[1]),
+                                     float(m[2])))
+                except (ValueError, struct.error):
+                    rows.append((mid, None, None, None, None,
+                                 None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return media.mapInPandas(batches, schema)

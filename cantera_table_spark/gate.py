@@ -70,8 +70,10 @@ def gate(name: str, oracle: str | None = None):
 # window was pinned) — take positions 1-2, followed by the 30 stalest
 # gates (last driver-green r2/r3) and 18 long-green sentinels.
 _DRIVER_ORDER = [
-    # --- positions 1-2: never had a driver row (new in round 5) ---
-    "mm08_decode_jpeg", "mm09_video_frames",
+    # --- positions 1-3: never had a driver row (mm08/mm09 new in
+    # round 5; mm10 new this round, slotted straight into the window
+    # so it never accrues rotation debt) ---
+    "mm08_decode_jpeg", "mm09_video_frames", "mm10_ipv_video",
     # --- positions 3-32: stalest gates (last driver row r2/r3) ---
     "ev02_sessionize", "tx05_tfidf", "sim03_lsh_neardup",
     "ts08_dsl_date_filter", "corr02_event_prediction",
@@ -95,13 +97,16 @@ _DRIVER_ORDER = [
     "st04_stream_sessionize", "dd07_lsh_jaccard",
     "sim04_ivf_assign", "tx06_quality_filter",
     "ds01_stratified_sample", "mm06_decode_png",
-    "ir01_bm25", "ev04_retention",
+    "ir01_bm25",
 ]
-# After the round-6 driver run, every registered gate (130) will have at
+# After the round-6 driver run, every registered gate (131) will have at
 # least one driver row across CORRECTNESS_r02..r06 (union) — before it,
-# mm08/mm09 are the two remaining never-checked gates.  Gates outside
-# the window this round (all driver-green in r2-r5) follow in decoration
-# order and stay covered by tools/check_gate.py's full local sweep.
+# mm08/mm09/mm10 are the three never-checked gates (mm10 added this
+# round, in-window from birth).  The ev04_retention sentinel yielded its
+# slot to mm10: events stay driver-visible via ev01/ev02 in the stale
+# band.  Gates outside the window this round (all driver-green in
+# r2-r5) follow in decoration order and stay covered by
+# tools/check_gate.py's full local sweep.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
@@ -2329,6 +2334,54 @@ def mm09_video_frames(spark, sf_dir):
 
     media = d.mapInPandas(synth, "media_id long, data binary")
     return avi_frame_stats(media)
+
+
+@gate("mm10_ipv_video", """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+b AS (
+  SELECT doc_id, (i // 4) AS fi,
+         ('0x' || substr(hx, (2 * (i % n) + 1)::INT, 2))::INT AS byte
+  FROM h, unnest(range(0, 12)) AS t(i)
+)
+SELECT doc_id AS media_id, fi::INT AS frame_idx, (fi = 0) AS is_key,
+       16 AS width, 16 AS height, sum(byte) / 4.0 AS mean_r,
+       sum(byte) / 4.0 AS mean_g, sum(byte) / 4.0 AS mean_b
+FROM b GROUP BY 1, 2, 3
+""")
+def mm10_ipv_video(spark, sf_dir):
+    """Delta-frame (inter-coded) video: each document's first twelve
+    bytes become three 4-constant-block frames of an IPV1 stream
+    (encode_ipv, gop=3 -> one I-frame + two wrap-delta P-frames, each
+    JPEG-coded) and ipv_frame_stats walks the container back,
+    reconstructing every P-frame against its running reference, via
+    Arrow-batched mapInPandas.  Constant blocks round-trip exactly
+    through BOTH the intra JPEG and the mod-256 delta planes (the mm08
+    contract extended — multimodal.encode_ipv), so the oracle
+    recomputes each frame's channel means straight from the source
+    bytes: frame f block k reads byte (4f+k) mod n; only frame 0 is a
+    keyframe at gop=3."""
+    import pandas as pd
+    from cantera_table_spark.functions.multimodal import (
+        constant_block_frame, encode_ipv, ipv_frame_stats)
+    d = _spread(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.length("text") > 0), spark)
+
+    def synth(it):
+        for pdf in it:
+            data = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                buf = (raw * (12 // len(raw) + 1))[:12]
+                frames = [constant_block_frame(buf[4 * f:4 * f + 4])
+                          for f in range(3)]
+                data.append(encode_ipv(frames, 16, 16, gop=3))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": data})
+
+    media = d.mapInPandas(synth, "media_id long, data binary")
+    return ipv_frame_stats(media)
 
 
 @gate("mm03_decode_wav", """

@@ -344,6 +344,71 @@ def test_avi_mjpeg_roundtrip_exact_law(frames, every_n):
         assert np.array_equal(got, imgs[fi])
 
 
+@settings(max_examples=15, deadline=None)
+@given(frames=st.lists(st.lists(st.integers(0, 255), min_size=4,
+                                max_size=4), min_size=1, max_size=6),
+       gop=st.integers(1, 4))
+def test_ipv_roundtrip_exact_law(frames, gop):
+    """IPV1 toy I/P codec: constant-block frame sequences survive the
+    intra-JPEG + mod-256 wrap-delta P-frame round-trip EXACTLY at any
+    gop (the mm10 gate's oracle contract), with the I/P cadence the
+    header promises."""
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import (
+        constant_block_frame, decode_ipv, encode_ipv)
+
+    imgs = [constant_block_frame(v) for v in frames]
+    d = decode_ipv(encode_ipv(imgs, 16, 16, gop=gop))
+    assert (d["width"], d["height"], d["n_frames"],
+            d["gop"]) == (16, 16, len(frames), gop)
+    assert d["frame_types"] == ["I" if i % gop == 0 else "P"
+                                for i in range(len(frames))]
+    for fi in range(d["n_frames"]):
+        assert d["frames"][fi] == imgs[fi]
+
+
+def test_ipv_decode_honest_boundaries():
+    """Non-IPV payloads (AVI, WAV, noise), truncated records, a
+    P-frame with no I-frame reference, unknown frame types, and
+    header/stream disagreements all raise ValueError — the single
+    quarantine class ipv_frame_stats' narrow catch relies on."""
+    import pytest
+    from cantera_table_spark.functions.multimodal import (
+        constant_block_frame, decode_ipv, encode_avi_mjpeg, encode_ipv,
+        encode_wav)
+
+    imgs = [constant_block_frame([i, i, i, i]) for i in (10, 20, 30)]
+    data = encode_ipv(imgs, 16, 16, gop=3)
+    with pytest.raises(ValueError):
+        decode_ipv(encode_avi_mjpeg([imgs[0]], 16, 16))
+    with pytest.raises(ValueError):
+        decode_ipv(encode_wav([0, 1, 2]))
+    with pytest.raises(ValueError):
+        decode_ipv(data[:11])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ipv(data[:-3])
+    # flip the leading I into a P: reconstruction has no reference
+    no_ref = bytearray(data)
+    assert no_ref[12] == 0x49
+    no_ref[12] = 0x50
+    with pytest.raises(ValueError, match="reference"):
+        decode_ipv(bytes(no_ref))
+    # unknown frame type (a motion-compensated B-frame stand-in)
+    bframe = bytearray(data)
+    bframe[12] = 0x42
+    with pytest.raises(ValueError, match="frame type"):
+        decode_ipv(bytes(bframe))
+    # header frame count disagreeing with the stream
+    short = bytearray(data)
+    short[8:10] = (5).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="count"):
+        decode_ipv(bytes(short))
+    # the AVI decoder must refuse IPV payloads symmetrically
+    from cantera_table_spark.functions.multimodal import decode_avi_mjpeg
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(data)
+
+
 def test_avi_decode_honest_boundaries():
     """Non-AVI RIFFs (e.g. a WAV), truncated containers, and streams
     whose frame chunks are not JPEG all raise ValueError."""
