@@ -1282,6 +1282,68 @@ def test_semantic_dedup_laws(spark):
     assert all(r["kept"] for r in all_kept)
 
 
+def test_semantic_dedup_prefilter_exactness(spark):
+    """The int8-quantized pair-stage prefilter must be invisible:
+    keep/drop decisions identical to the direct exact-cosine
+    formulation for any data, threshold, and dimension — the margin
+    proof (2*sqrt(d)/254 + d/254^2) exercised with pairs PLANTED at
+    and around the threshold boundary, where a too-tight margin would
+    silently prune true duplicates."""
+    import numpy as np
+    from cantera_table_spark.functions.similarity import semantic_dedup
+
+    def np_oracle(rows, threshold, n_clusters):
+        ids = sorted(i for i, _ in rows)
+        V = {i: np.asarray(v, float) for i, v in rows}
+        cents = [V[i] for i in ids[:n_clusters]]
+
+        def cos(a, b):
+            return float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+        assign = {i: min(range(len(cents)),
+                         key=lambda k: (-cos(V[i], cents[k]), k))
+                  for i in ids}
+        dropped = set()
+        for j in ids:
+            for i in ids:
+                if i < j and assign[i] == assign[j] and \
+                        round(cos(V[i], V[j]), 6) >= threshold:
+                    dropped.add(j)
+                    break
+        return {i: (assign[i], i not in dropped) for i in ids}
+
+    for d, threshold, n_clusters, seed in [(4, 0.35, 1, 0),
+                                           (8, 0.1, 1, 1),
+                                           (64, 0.8, 8, 2),
+                                           (256, 0.95, 1, 3)]:
+        rng = np.random.default_rng(seed)
+        vecs = [rng.normal(size=d) for _ in range(20)]
+        # boundary plants: v at cosine threshold+delta to a fresh u —
+        # exactly the band where the quantized-dot margin must not prune
+        for k, delta in enumerate([-2e-2, -1e-4, -1e-7, 0.0,
+                                   1e-7, 1e-4, 2e-2] * 3):
+            u = rng.normal(size=d)
+            u /= np.sqrt(u @ u)
+            w = rng.normal(size=d)
+            w -= (w @ u) * u
+            w /= np.sqrt(w @ w)
+            c = min(max(threshold + delta, -1.0), 1.0)
+            v = c * u + np.sqrt(max(0.0, 1 - c * c)) * w
+            vecs += [u * rng.uniform(0.5, 2.0), v * rng.uniform(0.5, 2.0)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["cluster"], r["kept"])
+               for r in semantic_dedup(emb, threshold=threshold,
+                                       n_clusters=n_clusters).collect()}
+        want = np_oracle(rows, threshold, n_clusters)
+        assert got == want, (d, threshold, {
+            i: (got[i], want[i]) for i in want if got[i] != want[i]})
+        # the plants actually probe the boundary: some drop, some keep
+        kept = [k for _, k in got.values()]
+        assert any(kept) and not all(kept)
+
+
 def test_hier_assignment_laws(spark):
     from cantera_table_spark.functions.similarity import (
         ivf_assign, ivf_assign_hier, seed_centroids, semantic_dedup)

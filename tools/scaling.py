@@ -376,6 +376,32 @@ def main():
         decode_images(media).write.format("noop") \
             .mode("overwrite").save()
 
+    def ipv_codec(d):
+        # the delta-frame path: 3-frame I+P+P streams (closed-loop
+        # encode = JPEG + decode per frame; decode = JPEG + wrap-delta
+        # reconstruction) — the mm10 gate shape at scale
+        import pandas as pd
+        from cantera_table_spark.gate import _spread
+        from cantera_table_spark.functions.multimodal import (
+            constant_block_frame, encode_ipv, ipv_frame_stats)
+
+        def synth(it):
+            for pdf in it:
+                data = []
+                for t in pdf["text"]:
+                    raw = t.encode("utf-8") or b" "
+                    buf = (raw * (12 // len(raw) + 1))[:12]
+                    frames = [constant_block_frame(buf[4 * f:4 * f + 4])
+                              for f in range(3)]
+                    data.append(encode_ipv(frames, 16, 16, gop=3))
+                yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                    "data": data})
+
+        src = _spread(d.select("doc_id", "text"), d.sparkSession)
+        media = src.mapInPandas(synth, "media_id long, data binary")
+        ipv_frame_stats(media).write.format("noop") \
+            .mode("overwrite").save()
+
     cases = [
         ("index_build_and_query", "documents", tokenize_and_count),
         ("minhash_dedup", "documents", minhash),
@@ -406,6 +432,7 @@ def main():
         ("ivf_assign_hier", "embeddings", assign_hier),
         ("pq_train", "embeddings", pq_train_case),
         ("jpeg_codec", "documents", jpeg_codec),
+        ("ipv_codec", "documents", ipv_codec),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
