@@ -279,6 +279,22 @@ def test_funnel_is_single_pass(spark):
     assert facts.text.count("Range (") == 1
 
 
+def test_repetition_stats_single_scan(spark):
+    """The gram-counts side of with_repetition_stats reads and
+    tokenizes the corpus ONCE (explode k=1..3 in one consuming branch)
+    — never the grams(1|2|3) three-branch union, which re-tokenized
+    the corpus per n (2 Range leaves total: the final left-join's own
+    probe side plus the single gram branch; the union form had 4)."""
+    from cantera_table_spark.functions.text import with_repetition_stats
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta word"),
+                 F.col("id").cast("string")).alias("text"))
+    facts = plan_facts(with_repetition_stats(docs))
+    assert facts.text.count("Range (") == 2
+    assert not facts.has_python_eval
+
+
 def test_with_bands_is_single_shuffle_window(spark):
     """Per-row band attachment = ONE shuffle by series key with the
     percentiles in a Window — never a join against a per-series
