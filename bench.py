@@ -81,7 +81,12 @@ BENCH_QUERIES = [
 # excludes the cold codegen/JIT compile that BASELINE.md documents as
 # the dominant cross-round noise on sub-second phases.  Default 1 run —
 # the driver's single-pass contract and output shape are unchanged.
+# SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the query phases (the
+# build/micro phases always run — the catalog must exist): the
+# isolated re-measure protocol for outlier phases, in one command.
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s}
 
 
 def median(xs: list[float]) -> float:
@@ -173,11 +178,22 @@ def main() -> None:
         # is excluded from the phase's own measurement on purpose.
         engine.release_caches()
         spark.catalog.clearCache()
+        # ContextCleaner's periodic GC defaults to 30 min — longer than
+        # this whole run — so weakly-referenced broadcast / shuffle
+        # blocks from completed phases are never reclaimed and late
+        # phases inflate: ~4-5x in 3x-repeat sessions (tx17 7.1 s late
+        # vs 1.2 s fresh), ~1.5x in single-pass runs (sim11 3.0 s vs
+        # 2.0 s clean).  A driver-side GC nudge between phases drains
+        # the cleaner's queue; its cost lands in cleanup, which is
+        # excluded from phase timings on purpose.
+        spark.sparkContext._jvm.System.gc()
 
     # Route gate DSL queries through the parquet-backed catalog.
     gate._engine = lambda s, d: engine  # noqa: SLF001
 
     for name in BENCH_QUERIES:
+        if ONLY and name not in ONLY:
+            continue
         timed_phase(name, lambda n=name: run_gate(n), cleanup=clear_caches)
 
     total = round(sum(v for k, v in timings.items()), 3)

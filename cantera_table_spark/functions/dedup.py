@@ -654,14 +654,20 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
         # failure class).  Decision-invariant: identical texts have
         # identical signatures and identical jaccard against any batch
         # doc, so the batch rejection set is unchanged.
+        # groupBy + min(struct), not a window: the collapse exists for
+        # clone-flooded corpora, where map-side partial aggregation
+        # shrinks each partition to its distinct hashes BEFORE the
+        # shuffle — a window would shuffle and sort every clone row.
+        # doc_id is unique, so struct ordering (doc_id first) picks the
+        # same min-id representative.
         creps = (corpus.select(F.col(id_col).alias("doc_id"),
                                F.col(text_col).alias("__text"),
                                F.coalesce(F.md5(F.col(text_col)),
                                           F.lit("-")).alias("__ch"))
-                 .withColumn("__rep", F.min("doc_id").over(
-                     Window.partitionBy("__ch")))
-                 .filter(F.col("doc_id") == F.col("__rep"))
-                 .select("doc_id", "__text"))
+                 .groupBy("__ch")
+                 .agg(F.min(F.struct("doc_id", "__text")).alias("__r"))
+                 .select(F.col("__r.doc_id").alias("doc_id"),
+                         F.col("__r.__text").alias("__text")))
         corpus_sh = shingles(creps, text_col="__text", n=n)
     sh = corpus_sh.select("doc_id", "shingle").unionByName(batch_sh)
     cands = lsh_candidate_pairs(minhash_signatures(sh, k=k),
