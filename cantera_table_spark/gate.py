@@ -68,7 +68,8 @@ def gate(name: str, oracle: str | None = None):
 # then a cross-family sentinel band).  Round-6 rotation: mm08/mm09 — the
 # only two gates with no driver row in any round (added after the r5
 # window was pinned) — take positions 1-2, followed by the 30 stalest
-# gates (last driver-green r2/r3) and 18 long-green sentinels.
+# gates (last driver-green r2/r3) and 17 long-green sentinels (the
+# 18th, ev04_retention, yielded its slot to mm10).
 _DRIVER_ORDER = [
     # --- positions 1-3: never had a driver row (mm08/mm09 new in
     # round 5; mm10 new this round, slotted straight into the window
