@@ -1205,6 +1205,18 @@ def test_incremental_dedup_laws(spark):
     got3 = sorted(r["doc_id"] for r in incremental_dedup(
         batch2, corpus, min_jaccard=0.5).collect())
     assert got3 == [1]
+    # clone-invariance law (the corpus exact-collapse's contract):
+    # multiplying corpus docs into byte-identical clones with fresh ids
+    # changes NO admission decision — identical texts have identical
+    # signatures and identical jaccard against any batch doc
+    cloned = corpus
+    for i in (1, 2, 3):
+        cloned = cloned.unionByName(corpus.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)))
+    got4 = {r["doc_id"]: r["n_copies"]
+            for r in incremental_dedup(batch, cloned,
+                                       min_jaccard=0.5).collect()}
+    assert got4 == got
 
 
 def test_mixture_sample_coarse_equals_naive(spark):

@@ -295,6 +295,29 @@ def test_repetition_stats_single_scan(spark):
     assert not facts.has_python_eval
 
 
+def test_incremental_dedup_collapse_is_combinable_aggregate(spark):
+    """incremental_dedup's corpus exact-collapse (the corpus_sh=None
+    path) must be a groupBy + min(struct) — map-side partial
+    aggregation collapses a clone-flooded corpus BEFORE the shuffle,
+    the case the collapse exists for.  A min-over-Window here would
+    shuffle AND sort every clone row through the hash partitions.  The
+    whole dd14-shaped plan is Window-free and JVM-side (no max_bucket
+    -> no hot-bucket star window either)."""
+    from cantera_table_spark.functions.dedup import incremental_dedup
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # 50 distinct texts x 4 clones — the clone-flood shape
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 (F.col("id") % 50).cast("string")).alias("text"))
+    out = incremental_dedup(docs.filter(F.col("doc_id") % 2 == 1),
+                            docs.filter(F.col("doc_id") % 2 == 0),
+                            min_jaccard=0.12)
+    facts = plan_facts(out)
+    assert "Window" not in facts.text
+    assert "partial_min" in facts.text
+    assert not facts.has_python_eval
+
+
 def test_with_bands_is_single_shuffle_window(spark):
     """Per-row band attachment = ONE shuffle by series key with the
     percentiles in a Window — never a join against a per-series
