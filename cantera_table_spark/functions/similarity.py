@@ -187,13 +187,20 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
                     "cos", "rank"))
 
 
-def write_ivf_index(indexed: DataFrame, path: str) -> None:
+def write_ivf_index(indexed: DataFrame, path: str):
     """Persist the IVF index partitioned by ``cluster`` — the physical
     layout that makes probes prune: ``ivf_topk``'s equi-join on
     ``cluster`` against the (broadcast-small) probe list lets Spark's
     dynamic partition pruning skip every unprobed cluster directory at
-    scan time (asserted in tests/test_plan_shapes.py)."""
+    scan time (asserted in tests/test_plan_shapes.py).
+
+    Returns the written schema.  Read the index back with
+    ``spark.read.schema(returned_schema).parquet(path)`` — a catalog
+    would pin the schema the same way; relying on inference breaks on
+    a legitimately EMPTY index (zero vectors -> partitionBy writes no
+    part files -> UNABLE_TO_INFER_SCHEMA)."""
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    return indexed.schema
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,14 @@ divergence a round-4 advisory found by hand in asof_join's forward
 tie-break (NULL payload shadowing a real one).
 
 Usage: python tools/edge_data.py [out_dir]   (default /tmp/cantera_edge)
+       python tools/edge_data.py --empty [out_dir]
+                                 (default /tmp/cantera_empty)
+
+--empty writes every table with its exact source schema and ZERO rows:
+the production shape of a filter that matches nothing, a brand-new
+source, or an empty ingest day.  Operators at 100 TB must degrade to
+empty output (or a defined scalar), never throw — this sweep pins that
+for every gate AND its oracle.
 """
 
 from __future__ import annotations
@@ -26,7 +34,30 @@ PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
                "orders", "lineitem"]
 
 
+ALL_TABLES = PASSTHROUGH + ["documents", "events", "embeddings"]
+
+
+def write_empty(out: str) -> None:
+    """Zero-row copies of every table, schemas intact."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE false) TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        assert n == 0
+    print(f"empty fixture ({len(ALL_TABLES)} zero-row tables) "
+          f"written to {out}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--empty":
+        write_empty(sys.argv[2] if len(sys.argv) > 2
+                    else "/tmp/cantera_empty")
+        return
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cantera_edge"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
