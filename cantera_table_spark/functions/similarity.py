@@ -187,7 +187,7 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
                     "cos", "rank"))
 
 
-def write_ivf_index(indexed: DataFrame, path: str):
+def write_ivf_index(indexed: DataFrame, path: str) -> "StructType":
     """Persist the IVF index partitioned by ``cluster`` — the physical
     layout that makes probes prune: ``ivf_topk``'s equi-join on
     ``cluster`` against the (broadcast-small) probe list lets Spark's
