@@ -1124,6 +1124,14 @@ def encode_ipv(frames_rgb, width: int, height: int, gop: int = 4,
     length + JPEG payload."""
     if gop <= 0:
         raise ValueError(f"gop must be positive: {gop}")
+    # the <HHHH header is unsigned 16-bit; out-of-range values must be
+    # the module's single ValueError quarantine class (the contract
+    # decode_ipv and the docstrings promise), not a raw struct.error
+    for label, v in (("width", width), ("height", height),
+                     ("n_frames", len(frames_rgb)), ("gop", gop)):
+        if v > 0xFFFF:
+            raise ValueError(
+                f"IPV1 {label} {v} exceeds the u16 header field")
     out = bytearray(IPV_MAGIC + struct.pack("<HHHH", width, height,
                                             len(frames_rgb), gop))
     recon_prev = None

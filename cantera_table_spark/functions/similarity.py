@@ -645,7 +645,14 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
     # (~0.064 at d=64).  The extra 1e-4 headroom covers float64
     # normalization error and the final round(.,6) quantum.  NaN/zero-
     # norm vectors quantize to NULL codes (try_divide/try_cast) and are
-    # excluded here exactly as their NULL/NaN exact cosine would be.
+    # excluded from the pair stage entirely.  NOTE this is a deliberate
+    # semantics change vs the pre-quantization direct formulation:
+    # Spark orders NaN as largest, so a NaN exact cosine satisfied
+    # `cos >= threshold` and dropped every higher-id vector paired with
+    # a NaN-element embedding; NULL codes make those pairs vanish
+    # instead (NULL comparison is never TRUE), which keeps NaN-embedded
+    # docs AND their would-be victims.  Pinned by the NaN case in
+    # test_semantic_dedup_prefilter_exactness.
     unit = F.transform(
         F.col("v"),
         lambda x: F.try_divide(x.cast("double"), F.col("__nv")))

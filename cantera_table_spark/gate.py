@@ -65,49 +65,44 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-6 rotation: mm08/mm09 — the
-# only two gates with no driver row in any round (added after the r5
-# window was pinned) — take positions 1-2, followed by the 30 stalest
-# gates (last driver-green r2/r3) and 17 long-green sentinels (the
-# 18th, ev04_retention, yielded its slot to mm10).
+# then a cross-family sentinel band).  Round-7 rotation (from
+# tools/rotate_window.py at round start): no never-checked gates remain
+# (union r02-r06 covers all 131); positions 1-38 are the stalest gates —
+# the 23 whose last driver row is round 3 first, then round-4-stale —
+# and positions 39-50 are 12 long-green cross-family sentinels.
 _DRIVER_ORDER = [
-    # --- positions 1-3: never had a driver row (mm08/mm09 new in
-    # round 5; mm10 new this round, slotted straight into the window
-    # so it never accrues rotation debt) ---
-    "mm08_decode_jpeg", "mm09_video_frames", "mm10_ipv_video",
-    # --- positions 3-32: stalest gates (last driver row r2/r3) ---
-    "ev02_sessionize", "tx05_tfidf", "sim03_lsh_neardup",
-    "ts08_dsl_date_filter", "corr02_event_prediction",
-    "dd06_dedup_clusters",
-    "q02_or", "q03_subtract", "q04_score_filters", "q05_eq_and_range",
-    "q06_theta_join", "q07_order_by", "q08_negate", "q09_min_dedup",
-    "q10_prefix_scan", "q11_summary_key", "q12_thresholds",
-    "q20_threshold_headers", "q13_topk_page", "q14_random_sample",
-    "q15_select_matrix",
-    "ts01_daily_rollup", "ts02_merge_sum", "ts03_pick_one",
-    "ts04_asof_prior",
-    "tpch_q1_pricing", "tpch_q5_region_volume",
-    "ev01_user_running", "dd01_exact_dedup", "dd02_minhash",
-    # --- positions 33-50: sentinels spanning every family, each
-    # driver-green in r4/r5, kept in-window for cross-round
-    # regression continuity ---
+    # --- positions 1-23: last driver row round 3 (three rounds of HEAD
+    # churn since their last driver proof) ---
+    "dd03_ngram_jaccard", "dd08_jaccard_stopshingle", "dd04_simhash",
+    "tx01_text_stats", "tx02_token_counts", "tx03_lang_id",
+    "tx04_fingerprint",
+    "sim01_brute_topk", "sim02_ivf_topk", "sim06_ivf_partitioned",
+    "mm05_frame_sample", "dd05_embedding_neardup", "mm01_decode_media",
+    "a06_posting_counts", "ts05_prediction_bands", "ts06_band_outliers",
+    "q16_uri_decode", "x01_date_days", "q17_external_expansion",
+    "ts07_union_merge", "q18_override_patch", "q19_keys_for",
+    "f32_01_score_fidelity",
+    # --- positions 24-38: last driver row round 4 ---
+    "cat01_multi_table", "tx07_corpus_stats", "in02_tsv_timeseries",
+    "st01_stream_ingest", "st02_stream_windowed_rollup",
+    "sim05_hyperplane_sig", "mm02_decode_bmp", "mm03_decode_wav",
+    "dp01_dump_index", "sk01_salted_rollup", "mm04_thumbnail",
+    "tx08_repetition", "tx09_pii_scrub", "dd09_decontaminate",
+    "st03_stream_dedup",
+    # --- positions 39-50: sentinels spanning every family, each
+    # long-green, kept in-window for cross-round regression
+    # continuity ---
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
     "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
     "in01_tsv_postings", "dp02_dump_timeseries", "x02_export_results",
     "p01_parse_echo", "set01_session_state",
     "st04_stream_sessionize", "dd07_lsh_jaccard",
-    "sim04_ivf_assign", "tx06_quality_filter",
-    "ds01_stratified_sample", "mm06_decode_png",
-    "ir01_bm25",
 ]
-# After the round-6 driver run, every registered gate (131) will have at
-# least one driver row across CORRECTNESS_r02..r06 (union) — before it,
-# mm08/mm09/mm10 are the three never-checked gates (mm10 added this
-# round, in-window from birth).  The ev04_retention sentinel yielded its
-# slot to mm10: events stay driver-visible via ev01/ev02 in the stale
-# band.  Gates outside the window this round (all driver-green in
-# r2-r5) follow in decoration order and stay covered by
-# tools/check_gate.py's full local sweep.
+# After the round-7 driver run no gate's last driver row is older than
+# round 4 (the round-3-stale set all sit in positions 1-23).  Gates
+# outside the window this round (all driver-green in r4-r6) follow in
+# decoration order and stay covered by tools/check_gate.py's full local
+# sweep.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
@@ -349,7 +344,12 @@ def q20_threshold_headers(spark, sf_dir):
         "QUERY (spark) THRESHOLDS 200,350,500 FOR KEY 'len:chars' "
         "LIMIT 1000;")[0]
     # offset >= total (e.g. an empty index) returns the reference's
-    # bare-[] form (query.cc:796-799), not an envelope dict
+    # bare-[] form (query.cc:796-799), not an envelope dict.  The bare
+    # form is ONLY ever empty in the reference; assert that so engine
+    # drift (a non-empty bare list) fails loudly instead of silently
+    # comparing an empty frame.
+    if not isinstance(env, dict):
+        assert env == [], f"bare non-dict envelope must be []: {env!r}"
     rows = [(r["_key"], r["_header"], r["_header_key"])
             for r in (env["result"] if isinstance(env, dict) else [])]
     return spark.createDataFrame(

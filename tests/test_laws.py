@@ -407,6 +407,12 @@ def test_ipv_decode_honest_boundaries():
     from cantera_table_spark.functions.multimodal import decode_avi_mjpeg
     with pytest.raises(ValueError):
         decode_avi_mjpeg(data)
+    # the encode side belongs to the same quarantine class: values that
+    # overflow the <HHHH u16 header must be ValueError, not struct.error
+    with pytest.raises(ValueError, match="u16"):
+        encode_ipv(imgs, 16, 16, gop=0x10000)
+    with pytest.raises(ValueError, match="u16"):
+        encode_ipv([b"\0" * (0x10000 * 16 * 3)], 0x10000, 16)
 
 
 def test_avi_decode_honest_boundaries():

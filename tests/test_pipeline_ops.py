@@ -1356,6 +1356,34 @@ def test_semantic_dedup_prefilter_exactness(spark):
         assert any(kept) and not all(kept)
 
 
+def test_semantic_dedup_nan_embedding(spark):
+    """NaN embeddings are EXCLUDED from the pair stage (their int8
+    codes quantize to NULL, and NULL comparisons are never TRUE).
+    This pins a deliberate semantics change from the pre-quantization
+    direct formulation, where Spark's NaN-is-largest ordering made a
+    NaN cosine satisfy `cos >= threshold` and silently drop every
+    higher-id vector sharing the NaN vector's cluster: now the NaN
+    vector is kept, and so is every vector whose only threshold-passing
+    pair was the NaN one."""
+    from cantera_table_spark.functions.similarity import semantic_dedup
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),           # base
+        (1, [0.999, 0.01, 0.0, 0.0]),        # near-dup of 0 -> dropped
+        (2, [float("nan"), 1.0, 0.0, 0.0]),  # NaN embedding -> kept
+        (3, [1.0, 0.001, 0.0, 0.0]),         # near-dup of 0 -> dropped
+        (4, [0.0, 1.0, 0.0, 0.0]),           # only NaN pair -> kept
+    ]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(emb, threshold=0.95,
+                                   n_clusters=1).collect()}
+    # id 4 is the old-semantics victim: orthogonal to everything finite,
+    # its only candidate pair is (2, 4) whose exact cosine is NaN — the
+    # direct formulation dropped it, the NULL-code prefilter keeps it
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
 def test_hier_assignment_laws(spark):
     from cantera_table_spark.functions.similarity import (
         ivf_assign, ivf_assign_hier, seed_centroids, semantic_dedup)

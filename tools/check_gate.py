@@ -3,6 +3,11 @@ query on Spark AND its DuckDB oracle at a given SF, compare row count,
 column names, and (order-insensitively) values.
 
 Usage: python tools/check_gate.py [sf_dir] [name_filter]
+
+name_filter is a substring, or the literal ``@window`` to sweep exactly
+the gates in ``gate._DRIVER_ORDER`` (the driver's 50-slot round window)
+in window order — the pre-commit proof that a freshly-rotated window is
+green at HEAD.
 """
 
 from __future__ import annotations
@@ -110,10 +115,13 @@ def main():
 
     qs = gate.queries()
     oracles = gate.oracle_sql()
+    if name_filter == "@window":
+        names = list(gate._DRIVER_ORDER)
+    else:
+        names = [n for n in sorted(qs)
+                 if not name_filter or name_filter in n]
     n_pass = n_fail = 0
-    for name in sorted(qs):
-        if name_filter and name_filter not in name:
-            continue
+    for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
