@@ -318,6 +318,73 @@ def test_incremental_dedup_collapse_is_combinable_aggregate(spark):
     assert not facts.has_python_eval
 
 
+def _formatted_node_counts(df):
+    import collections
+    import re
+    from cantera_table_spark.plans.inspect import explain_str
+    nodes = re.findall(r"^\(\d+\) (\S+)", explain_str(df, "formatted"),
+                       re.M)
+    return collections.Counter(nodes)
+
+
+def test_incremental_dedup_single_pairs_consumption(spark):
+    """dd14's rejection step must evaluate BOTH greedy rules (b-side
+    batch member, a-side batch-vs-corpus) in ONE consumption of the
+    pairs plan — the two-branch semi-join formulation it replaced
+    executed the whole shingle->MinHash->LSH->Jaccard pipeline twice.
+    Spark prints unreused subtrees inline once per consumer, so a
+    reintroduced second consumption roughly DOUBLES the physical node
+    census; pin the known-good single-consumption counts (measured at
+    this exact fixture: 19 SortMergeJoin, 70 Generate, 94 Range) with
+    small headroom so the doubled plan fails loudly."""
+    from cantera_table_spark.functions.dedup import incremental_dedup
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 (F.col("id") % 50).cast("string")).alias("text"))
+    out = incremental_dedup(docs.filter(F.col("doc_id") % 2 == 1),
+                            docs.filter(F.col("doc_id") % 2 == 0),
+                            min_jaccard=0.12)
+    c = _formatted_node_counts(out)
+    assert c["SortMergeJoin"] <= 24, c["SortMergeJoin"]
+    assert c["Generate"] <= 85, c["Generate"]
+    assert c["Range"] <= 115, c["Range"]
+
+
+def test_correlate_class_join_cached_once(spark):
+    """corr02's heaviest intermediate — the class-joined postings (and
+    the tiny per-keyword kind/split tables) — feeds four downstream
+    branches; correlate_sets caches all three so the branches hit
+    InMemoryTableScan instead of inlining the postings scan per
+    consumer.  Pin both sides: enough cache hits to cover the
+    branches, AND a source-leaf count that stays small (a dropped
+    persist re-expands the class-join subtree under every branch,
+    multiplying Range leaves)."""
+    from cantera_table_spark.operators.correlate import correlate_sets
+    postings = spark.range(20_000).select(
+        F.concat(F.lit("kw"), (F.col("id") % 50).cast("string"))
+        .alias("keyword"),
+        (F.col("id") % 3000).alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("score"))
+    a = postings.filter(F.col("keyword") == "kw1").select("doc_id",
+                                                          "score")
+    b = postings.filter(F.col("keyword") == "kw2").select("doc_id",
+                                                          "score")
+    caches = []
+    try:
+        out = correlate_sets(postings, a, b, caches=caches)
+        c = _formatted_node_counts(out)
+        assert len(caches) == 3, len(caches)
+        assert c["InMemoryTableScan"] >= 6, c["InMemoryTableScan"]
+        # 5 at the known-good shape: the postings source leaf appears
+        # only under the cached subtrees + the set A/B class builds
+        assert c["Range"] <= 8, c["Range"]
+        assert c["Window"] <= 5, c["Window"]
+    finally:
+        for cdf in caches:
+            cdf.unpersist()
+
+
 def test_with_bands_is_single_shuffle_window(spark):
     """Per-row band attachment = ONE shuffle by series key with the
     percentiles in a Window — never a join against a per-series
