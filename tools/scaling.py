@@ -283,6 +283,56 @@ def main():
         kmv_distinct(toks, "tok", "source", k=64).write.format("noop") \
             .mode("overwrite").save()
 
+    _stream_seq = [0]
+
+    def _run_stream(out, tag):
+        """Drive a streaming DataFrame through the noop sink with an
+        availableNow trigger and a FRESH checkpoint per call — a reused
+        checkpoint would mark the source files already-processed and
+        the run would measure an empty batch."""
+        _stream_seq[0] += 1
+        ck = f"{WORK}/ckpt_{tag}_{_stream_seq[0]}"
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+
+    def _restream(df):
+        """Re-open a materialized scaling input as a file-source stream
+        (same parquet directory, batch-read schema)."""
+        path = os.path.dirname(df.inputFiles()[0])
+        return df.sparkSession.readStream.schema(df.schema).parquet(path)
+
+    def stream_sessionize(e):
+        # st04 shape at scale: applyInPandasWithState session fold.
+        # user_id cardinality grows with the factor (scaled() shifts
+        # user_id), so state parallelism grows WITH the data — the
+        # always-on pipeline shape, not a fixed-key hot spot.
+        from cantera_table_spark.streaming.sessionize import (
+            sessionize_stream)
+        src = _restream(e).select("user_id", "ts", "value")
+        _run_stream(sessionize_stream(src, gap_seconds=1800), "sess")
+
+    def stream_rollup(e):
+        # st02 shape at scale: watermarked event-time windowed agg —
+        # state per (key, window), bounded by the watermark horizon
+        from cantera_table_spark.streaming.ingest import windowed_rollup
+        src = _restream(e).select(F.col("event_type").alias("key"),
+                                  "ts", "value")
+        _run_stream(windowed_rollup(src), "rollup")
+
+    def stream_dedup(e):
+        # st03 bounded-state shape at scale:
+        # dropDuplicatesWithinWatermark on the content hash — state
+        # bounded by the watermark horizon rather than the corpus
+        from cantera_table_spark.streaming.ingest import (
+            streaming_exact_dedup)
+        src = _restream(e).select("event_type", "props", "ts")
+        _run_stream(streaming_exact_dedup(
+            src, hash_cols=("event_type", "props"), ts_col="ts",
+            watermark="1 hour"), "dedup")
+
     def pq_train_case(em):
         # the Lloyd refinement itself (codebook training): one
         # assignment + per-dimension mean per iteration; the mean step
@@ -433,6 +483,9 @@ def main():
         ("pq_train", "embeddings", pq_train_case),
         ("jpeg_codec", "documents", jpeg_codec),
         ("ipv_codec", "documents", ipv_codec),
+        ("stream_sessionize", "events", stream_sessionize),
+        ("stream_rollup", "events", stream_rollup),
+        ("stream_dedup", "events", stream_dedup),
     ]
     if case_filter:
         cases = [c for c in cases if c[0] in case_filter]
