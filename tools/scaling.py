@@ -28,17 +28,18 @@ WORK = "/tmp/cantera_scaling"
 
 
 def scaled(df, factor, id_cols):
-    """Union `factor` shifted copies so ids stay distinct."""
-    parts = []
-    for i in range(factor):
-        p = df
-        for c in id_cols:
-            p = p.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
-        parts.append(p)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Replicate `factor` shifted copies so ids stay distinct.
+
+    crossJoin with a broadcast range, not a `factor`-branch union: the
+    left-deep union tree costs O(factor) analysis and risks Catalyst
+    stack depth at factor >= ~1024, while this is one plan node with
+    identical output rows."""
+    reps = F.broadcast(df.sparkSession.range(factor)
+                       .withColumnRenamed("id", "__rep"))
+    out = df.crossJoin(reps)
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__rep") * 10_000_000)
+    return out.drop("__rep")
 
 
 def timed(fn):
