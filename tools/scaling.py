@@ -500,7 +500,11 @@ def main():
     for name in sorted({ds for _, ds, _ in cases}):
         df, idc = source_tables[name]
         df.write.mode("overwrite").parquet(f"{WORK}/{name}_1x")
-        (scaled(df, factor, idc).repartition(32)
+        # repartition the SMALL source before replication: the scaled
+        # output then writes with full parallelism and never shuffles
+        # (a post-crossJoin repartition funnels factor x rows through
+        # however few input splits the source parquet has)
+        (scaled(df.repartition(32), factor, idc)
          .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
         datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
                           spark.read.parquet(f"{WORK}/{name}_{factor}x"))
