@@ -1698,7 +1698,11 @@ def corr02_event_prediction(spark, sf_dir):
     keys = ts_postings.filter(F.col("keyword") != "ts:purchase")
     b_disjoint = set_b.join(set_a.select("doc_id"), "doc_id", "left_anti")
     filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint)
-    return correlate_sets(filtered, set_a, set_b)
+    # filter_by_timestamp_sets groups per (keyword, doc_id), so the
+    # postings are provably unique — the plain-count contingency path
+    # skips countDistinct's expand + second shuffle (same counts; the
+    # oracle's count(DISTINCT ...) degenerates to count on unique rows)
+    return correlate_sets(filtered, set_a, set_b, unique_docs=True)
 
 
 # Shared LSH -> verify -> connected-components oracle body (dd06, dd12)
