@@ -136,3 +136,135 @@ def test_statement_path_timestamped_with_ephemeral_skip(spark):
     assert eng._correlate_caches            # intermediates registered
     eng.release_caches()
     assert not eng._correlate_caches
+
+
+# --- randomized model-based law: full pipeline vs pure-Python model ---
+#
+# ref_model.correlate transcribes the whole mining pipeline
+# (correlate.cc:84-358) in plain Python; hypothesis drives random
+# posting tables and class sets through both engines.  Decision
+# boundaries that hinge on float equality (split argmax ties, the
+# use_split >= ln(1.05) edge, the logit-cutoff edge) are assumed away:
+# a 1-ulp libm-vs-JVM log difference could legitimately flip them, and
+# the reference pins no cross-platform tie order.
+
+from hypothesis import assume, given, settings, strategies as st
+
+from tests import ref_model
+
+
+def _boundary_safe(postings, set_a, set_b):
+    """assume()-guard: reject inputs whose model decisions sit within
+    float noise of a boundary."""
+    import math
+    from collections import defaultdict
+
+    a = set(set_a)
+    b = set(set_b) - a
+    prior = math.log((len(a) + 1.0) / (len(b) + 1.0))
+    lim_a = max(len(a) // 20, 1)
+    lim_b = max(len(b) // 20, 1)
+    by_kw = defaultdict(list)
+    for kw, d, s in postings:
+        by_kw[kw].append((d, float(s), 1 if d in a else
+                          (-1 if d in b else None)))
+    for kw, krows in by_kw.items():
+        per = {}
+        for _, s, c in krows:
+            if c is None:
+                continue
+            na, nb, nab = per.get(s, (0, 0, 0))
+            per[s] = (na + (c == 1), nb + (c == -1), nab + 1)
+        scores = sorted(per)
+        tot_a = sum(v[0] for v in per.values())
+        tot_b = sum(v[1] for v in per.values())
+        tot_ab = sum(v[2] for v in per.values())
+        cum_a = cum_b = cum_ab = 0
+        gains = []
+        for s in scores:
+            cum_a += per[s][0]; cum_b += per[s][1]; cum_ab += per[s][2]
+            left = (abs(math.log((cum_a + 1.0) /
+                                 (cum_ab - cum_a + 1.0)) - prior)
+                    if (cum_a >= lim_a or cum_b >= lim_b) else 0.0)
+            ra, rb, rab = tot_a - cum_a, tot_b - cum_b, tot_ab - cum_ab
+            right = (abs(math.log((ra + 1.0) / (rab - ra + 1.0)) - prior)
+                     if (ra >= lim_a or rb >= lim_b) else 0.0)
+            gains.append(max(left, right))
+        if not gains:
+            continue
+        top = sorted(gains, reverse=True)
+        if len(top) > 1 and top[0] - top[1] < 1e-9 and top[0] > 0:
+            return False                      # argmax tie
+        if abs(top[0] - math.log(1.05)) < 1e-9:
+            return False                      # use_split edge
+    # logit-cutoff edge: reject outputs within noise of the cutoff
+    cutoff = math.log(0.55 / 0.45)
+    for r in ref_model.correlate(postings, set_a, set_b):
+        if abs(abs(r[0]) - cutoff) < 5e-4:    # post-rounding margin
+            return False
+    return True
+
+
+_postings_st = st.lists(
+    st.tuples(st.sampled_from(["kw0", "kw1", "kw2"]),
+              st.integers(0, 19),
+              st.sampled_from([0.0, 1.0, 2.0, 3.0, 5.0])),
+    min_size=1, max_size=50)
+_docs_st = st.lists(st.integers(0, 19), max_size=15)
+
+
+def _spark_rows(df):
+    return sorted(((r.log_odds, r.match_count_a, r.match_count_b,
+                    r.keyword, r.min_score, r.max_score)
+                   for r in df.collect()),
+                  key=lambda r: (r[3], repr(r[4]), repr(r[5])))
+
+
+@settings(max_examples=8, deadline=None)
+@given(postings=_postings_st, set_a=_docs_st, set_b=_docs_st)
+def test_correlate_matches_model(spark, postings, set_a, set_b):
+    assume(_boundary_safe(postings, set_a, set_b))
+    want = ref_model.correlate(postings, set_a, set_b)
+    pdf = spark.createDataFrame(
+        [(k, int(d), float(s)) for k, d, s in postings], P_SCHEMA)
+    adf = spark.createDataFrame(
+        [(int(d), 0.0) for d in set_a] or [], S_SCHEMA)
+    bdf = spark.createDataFrame(
+        [(int(d), 0.0) for d in set_b] or [], S_SCHEMA)
+    caches = []
+    try:
+        got = _spark_rows(correlate_sets(pdf, adf, bdf, caches=caches))
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(postings=_postings_st, set_a=_docs_st, set_b=_docs_st)
+def test_correlate_unique_docs_path_matches_model(spark, postings,
+                                                  set_a, set_b):
+    """The unique_docs=True contingency fast path (plain conditional
+    count, no countDistinct expand) must agree with the model once the
+    input is collapsed to one row per (keyword, doc_id) — the engine's
+    unique_postings contract."""
+    uniq = {}
+    for k, d, s in postings:
+        uniq.setdefault((k, d), (k, d, s))
+    postings = list(uniq.values())
+    assume(_boundary_safe(postings, set_a, set_b))
+    want = ref_model.correlate(postings, set_a, set_b)
+    pdf = spark.createDataFrame(
+        [(k, int(d), float(s)) for k, d, s in postings], P_SCHEMA)
+    adf = spark.createDataFrame(
+        [(int(d), 0.0) for d in set_a] or [], S_SCHEMA)
+    bdf = spark.createDataFrame(
+        [(int(d), 0.0) for d in set_b] or [], S_SCHEMA)
+    caches = []
+    try:
+        got = _spark_rows(correlate_sets(pdf, adf, bdf, caches=caches,
+                                         unique_docs=True))
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert got == want
