@@ -810,3 +810,77 @@ def test_interval_join_matches_cross_filter(spark, p, iv, width):
                           (F.col("s") <= F.col("ts")) &
                           (F.col("ts") < F.col("e"))).collect())
     assert got == want
+
+
+_bm25_postings = st.lists(
+    st.tuples(st.sampled_from(["t0", "t1", "t2"]),
+              st.integers(0, 10),
+              st.integers(1, 5)),
+    min_size=1, max_size=40,
+).map(lambda v: sorted({(k, d): tf for k, d, tf in v}.items()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(p=_bm25_postings)
+def test_bm25_matches_model(spark, p):
+    """Okapi BM25 (retrieval.py) vs the textbook formula computed in
+    plain Python over the same (keyword, doc, tf) table: idf uses the
+    +1-inside-the-log variant, dl the per-doc tf sum, avgdl the corpus
+    mean.  Spark rounds to 6 decimals; assert within 1e-6."""
+    import math
+
+    from cantera_table_spark.functions.retrieval import bm25_scores
+
+    k1, b = 1.2, 0.75
+    tf_of = {kd: tf for kd, tf in p}
+    dl = {}
+    dfreq = {}
+    for (k, d), tf in tf_of.items():
+        dl[d] = dl.get(d, 0) + tf
+        dfreq[k] = dfreq.get(k, 0) + 1
+    n_docs = float(len(dl))
+    avgdl = sum(dl.values()) / n_docs
+    want = {}
+    for (k, d), tf in tf_of.items():
+        idf = math.log((n_docs - dfreq[k] + 0.5) / (dfreq[k] + 0.5) + 1)
+        want[(k, d)] = (idf * tf * (k1 + 1) /
+                        (tf + k1 * (1 - b + b * dl[d] / avgdl)))
+    pdf = spark.createDataFrame(
+        [(k, int(d), float(tf)) for (k, d), tf in p],
+        "keyword string, doc_id long, score double")
+    got = {(r.keyword, r.doc_id): r.bm25
+           for r in bm25_scores(pdf, k1=k1, b=b).collect()}
+    assert got.keys() == want.keys()
+    for kd, v in want.items():
+        assert abs(got[kd] - v) <= 1e-6, (kd, got[kd], v)
+
+
+_ranked_list = st.lists(st.integers(0, 12), min_size=1, max_size=8,
+                        unique=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lists_=st.lists(_ranked_list, min_size=1, max_size=3))
+def test_rrf_matches_model(spark, lists_):
+    """Reciprocal-rank fusion vs the plain-Python sum of 1/(k+rank),
+    with the (rrf desc, doc_id asc) re-rank order."""
+    from cantera_table_spark.functions.retrieval import rrf_fuse
+
+    k = 60
+    ranked = {}
+    want = {}
+    for i, ids in enumerate(lists_):
+        ranked[f"l{i}"] = spark.createDataFrame(
+            [(int(d), r) for r, d in enumerate(ids, start=1)],
+            "doc_id long, rank long")
+        for r, d in enumerate(ids, start=1):
+            want[d] = want.get(d, 0.0) + 1.0 / (k + r)
+    order = sorted(want, key=lambda d: (-round(want[d], 6), d))
+    got = {r.doc_id: r for r in rrf_fuse(ranked, k=k).collect()}
+    assert got.keys() == want.keys()
+    for d, v in want.items():
+        assert abs(got[d].rrf - v) <= 1e-6, (d, got[d].rrf, v)
+    assert [d for d in order] == \
+        [d for d, _ in sorted(((r.doc_id, r.fused_rank)
+                               for r in got.values()),
+                              key=lambda t: t[1])]
