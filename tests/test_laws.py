@@ -884,3 +884,30 @@ def test_rrf_matches_model(spark, lists_):
         [d for d, _ in sorted(((r.doc_id, r.fused_rank)
                                for r in got.values()),
                               key=lambda t: t[1])]
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+              st.integers(0, 40),
+              st.integers(0, 9)),
+    min_size=1, max_size=30,
+).map(lambda v: list({d: (s, d, nt) for s, d, nt in v}.values())),
+    budget=st.integers(1, 60))
+def test_mixture_sample_coarse_equals_naive_law(spark, docs_, budget):
+    """The coarse two-phase cumsum (bucket offsets + boundary-bucket
+    refinement) must admit EXACTLY the docs the naive per-stratum
+    running sum admits, for any stratum layout, token counts (zeros
+    included), and budget — the fixed-fixture equivalence test, made
+    adversarial."""
+    from cantera_table_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(s, int(d), int(nt)) for s, d, nt in docs_],
+        "source string, doc_id long, nt long")
+    w = {"s0": 2.0, "s1": 1.0}
+    a = sorted(tuple(r) for r in mixture_sample(
+        df, w, total_tokens=budget, token_col="nt", coarse=True).collect())
+    b = sorted(tuple(r) for r in mixture_sample(
+        df, w, total_tokens=budget, token_col="nt", coarse=False).collect())
+    assert a == b
