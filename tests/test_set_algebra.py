@@ -181,3 +181,54 @@ def test_unlimited_offset_page_no_exchange_reuse(spark):
         assert got == want_all[101:]
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old)
+
+
+# --- random-AST composition fuzz: whole expression trees vs the model ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_OPS = ["union", "intersect", "subtract", "theta_gt", "theta_lt",
+        "order_by"]
+
+_tree_st = st.recursive(
+    st.integers(0, 2**31 - 1),                       # leaf: postings seed
+    lambda kids: st.tuples(st.sampled_from(_OPS), kids, kids),
+    max_leaves=5)
+
+
+def _eval_tree(spark, node):
+    """Evaluate an expression tree on BOTH engines; the model side
+    canonicalizes after every operator ((offset, score asc) — the
+    engine's defined intra-run order, see set_algebra docstring)."""
+    if isinstance(node, int):
+        p = make_postings(random.Random(node))
+        return to_df(spark, p), p
+    op, l, r = node
+    ldf, lref = _eval_tree(spark, l)
+    rdf, rref = _eval_tree(spark, r)
+    if op == "union":
+        return sa.union_or(ldf, rdf), canon(ref.union(lref, rref))
+    if op == "intersect":
+        return sa.intersect_and(ldf, rdf), canon(ref.intersect(lref, rref))
+    if op == "subtract":
+        return sa.subtract(ldf, rdf), canon(ref.subtract(lref, rref))
+    if op == "theta_gt":
+        return sa.theta_join(ldf, rdf, "gt"), canon(ref.theta(lref, rref,
+                                                              "gt"))
+    if op == "theta_lt":
+        return sa.theta_join(ldf, rdf, "lt"), canon(ref.theta(lref, rref,
+                                                              "lt"))
+    return sa.order_by(ldf, rdf), canon(ref.order_by(lref, rref))
+
+
+@settings(max_examples=10, deadline=None)
+@given(tree=_tree_st, use_max=st.booleans())
+def test_random_ast_matches_reference_model(spark, tree, use_max):
+    """Query-level fuzz: ANY composition of the six binary operators,
+    finished with the statement-level dedup (RemoveDuplicates runs on
+    every QUERY result, query.cc:137-156), must match the transcribed
+    merge loops composed the same way."""
+    df, model = _eval_tree(spark, tree)
+    got = collected(sa.dedup(df, use_max=use_max))
+    want = sorted(ref.dedup(model, use_max))
+    assert got == want
