@@ -268,3 +268,44 @@ def test_correlate_unique_docs_path_matches_model(spark, postings,
         for c in caches:
             c.unpersist()
     assert got == want
+
+
+_keys_st = st.lists(
+    st.tuples(st.sampled_from(["k0", "k1"]),
+              st.integers(0, 12),
+              st.integers(0, 20)),
+    min_size=1, max_size=25)
+_aset_st = st.lists(st.tuples(st.integers(0, 12), st.integers(0, 20)),
+                    max_size=10)
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys=_keys_st, set_a=_aset_st, now=st.integers(21, 40))
+def test_filter_by_timestamp_now_matches_model(spark, keys, set_a, now):
+    """The now-variant's merge-loop quirk, model-checked on random
+    inputs: docs IN the set keep one min-age row when strictly earlier;
+    docs OUTSIDE keep EVERY raw key row scored now - score, but only
+    below max(set doc_id) — the reference erases everything past the
+    exhausted adj cursor (correlate.cc:360-398).  Empty set => empty
+    output (null max comparison)."""
+    amin = {}
+    for d, s in set_a:
+        amin[d] = min(amin.get(d, float(s)), float(s))
+    kmin = {}
+    for k, d, s in keys:
+        kmin[(k, d)] = min(kmin.get((k, d), float(s)), float(s))
+    want = sorted(
+        [(k, d, amin[d] - sc) for (k, d), sc in kmin.items()
+         if d in amin and sc < amin[d]] +
+        ([(k, d, float(now) - s) for k, d, s in keys
+          if d not in amin and d < max(amin)] if amin else []),
+        key=lambda r: (r[0], r[1], r[2]))
+    kdf = spark.createDataFrame(
+        [(k, int(d), float(s)) for k, d, s in keys], P_SCHEMA)
+    adf = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in set_a] or [], S_SCHEMA)
+    got = sorted(((r.keyword, r.doc_id, r.score)
+                  for r in filter_by_timestamp_now(kdf, adf,
+                                                   float(now)).collect()),
+                 key=lambda r: (r[0], r[1], r[2]))
+    assert got == want
