@@ -911,3 +911,33 @@ def test_mixture_sample_coarse_equals_naive_law(spark, docs_, budget):
     b = sorted(tuple(r) for r in mixture_sample(
         df, w, total_tokens=budget, token_col="nt", coarse=False).collect())
     assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=14),
+    min_size=2, max_size=8),
+    n=st.integers(2, 4))
+def test_cut_spans_conserves_uncovered_tokens_law(spark, docs_, n):
+    """Cross-operator conservation: cut_repeated_spans must keep
+    EXACTLY n_tokens - (covered tokens) per document, where covered
+    tokens is repeated_spans' merged-span total (the merge rule makes
+    span length equal the union of covered positions).  Documents
+    shorter than n keep everything."""
+    from cantera_table_spark.functions.dedup import (cut_repeated_spans,
+                                                     repeated_spans)
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_)],
+        "doc_id long, text string")
+    spans = {r.doc_id: r for r in repeated_spans(d, n=n,
+                                                 min_docs=2).collect()}
+    kept = {r.doc_id: r.n_kept for r in cut_repeated_spans(
+        d, n=n, min_docs=2).collect()}
+    for i, toks in enumerate(docs_):
+        if len(toks) >= n:
+            r = spans[i]
+            covered = round(r.repeated_token_frac * r.n_tokens)
+            assert kept[i] == r.n_tokens - covered, (i, kept[i], r)
+        else:
+            assert kept[i] == len(toks)
