@@ -117,7 +117,15 @@ def format_query(q: Node) -> str:
             return f"{_atom(q.lhs)}[{_num(q.value)},{_num(q.value2)}]"
         sym = {"eq": "=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}[q.op]
         if q.rhs is not None:
-            return f"({format_query(q.lhs)} {sym} {format_query(q.rhs)})"
+            # theta join: atomize BOTH operands — a bare postfix
+            # comparison on the rhs would re-parse with the literal
+            # bound to the whole join, and a bare `~x` on the lhs would
+            # re-parse as negate-of-the-join (negate consumes a full
+            # postfix chain, parse_primary).  The reference's
+            # PrintQuery parenthesizes every binary node
+            # (query.cc:672-721) so its echo never emits the ambiguous
+            # forms either.
+            return f"({_atom(q.lhs)} {sym} {_atom(q.rhs)})"
         return f"{_atom(q.lhs)}{sym}{_num(q.value)}"
     raise TypeError(f"unknown node {q!r}")
 
@@ -127,11 +135,17 @@ def _atom(q: Node) -> str:
     so the echo re-parses to the same tree (postfix binds tighter than
     prefix ``~`` and the binary operators)."""
     text = format_query(q)
+    # decided by NODE TYPE, not text shape: a postfix comparison whose
+    # operand is parenthesized ("(a OR b)=0") starts with "(" yet is
+    # NOT one paren group — a startswith check would leave it bare and
+    # the re-parse would bind its literal to the enclosing operator
     self_delimited = (
         isinstance(q, (Leaf, KeyLookup))
         or (isinstance(q, Unary) and q.op in ("max", "min"))
-        or (isinstance(q, Binary) and q.op == "sample")
-        or text.startswith("(")
+        or (isinstance(q, Binary) and (
+            q.op in ("sample", "or", "and", "subtract", "orderby")
+            or (q.op in ("eq", "gt", "ge", "lt", "le")
+                and q.rhs is not None)))
     )
     return text if self_delimited else f"({text})"
 

@@ -200,3 +200,53 @@ def test_tokenizer_fuzz_never_crashes():
             pass
 
     check()
+
+
+# --- grammar round-trip fuzz: format(parse(format(q))) == format(q) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from cantera_table_spark.dsl import ast as A  # noqa: E402
+
+_ident = st.from_regex(r"kw[a-z0-9]{1,6}", fullmatch=True)
+_numv = st.sampled_from([0.0, 1.0, 2.5, -3.0, 7.0, 100.0])
+
+
+def _leaf():
+    return st.one_of(
+        _ident.map(A.Leaf),
+        _ident.map(lambda s: A.KeyLookup(s)))
+
+
+_query_st = st.recursive(
+    _leaf(),
+    lambda q: st.one_of(
+        st.tuples(st.sampled_from(["or", "and", "subtract", "orderby"]),
+                  q, q).map(lambda t: A.Binary(t[0], t[1], t[2])),
+        st.tuples(st.sampled_from(["gt", "lt"]), q, q)
+        .map(lambda t: A.Binary(t[0], t[1], t[2])),          # theta join
+        st.tuples(st.sampled_from(["eq", "gt", "ge", "lt", "le"]),
+                  q, _numv)
+        .map(lambda t: A.Binary(t[0], t[1], None, value=t[2])),
+        st.tuples(q, _numv, _numv)
+        .map(lambda t: A.Binary("range", t[0], None, value=t[1],
+                                value2=t[2])),
+        st.tuples(q, st.integers(0, 99))
+        .map(lambda t: A.Binary("sample", t[0], None, value=float(t[1]))),
+        st.tuples(st.sampled_from(["max", "min", "negate"]), q)
+        .map(lambda t: A.Unary(t[0], t[1]))),
+    max_leaves=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(q=_query_st)
+def test_grammar_roundtrip_fixpoint(q):
+    """The PARSE echo (format_query, reference PrintQuery) must be a
+    FIXPOINT of the grammar: re-parsing any echoed query yields a tree
+    that echoes to the identical text, for arbitrary compositions of
+    all 14 operator forms (precedence, postfix binding, NOT-vs-`-`
+    desugaring, range/sample literals).  No Spark session — pure
+    parser/printer."""
+    text = format_query(q)
+    reparsed = parse_query(text)
+    assert format_query(reparsed) == text
