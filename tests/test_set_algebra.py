@@ -232,3 +232,86 @@ def test_random_ast_matches_reference_model(spark, tree, use_max):
     got = collected(sa.dedup(df, use_max=use_max))
     want = sorted(ref.dedup(model, use_max))
     assert got == want
+
+
+# --- extended fuzz: unary ops, score filters, and RANDOM_SAMPLE ------
+
+_UNARY = ["negate", "max", "min"]
+_FILTER_OPS = ["eq", "gt", "ge", "lt", "le", "range"]
+
+_full_tree_st = st.recursive(
+    st.integers(0, 2**31 - 1),
+    lambda kids: st.one_of(
+        st.tuples(st.sampled_from(_OPS), kids, kids),
+        st.tuples(st.sampled_from(_UNARY), kids),
+        st.tuples(st.just("filter"), st.sampled_from(_FILTER_OPS),
+                  st.integers(-5, 14), st.integers(-5, 14), kids),
+        st.tuples(st.just("sample"), st.integers(0, 20), kids)),
+    max_leaves=5)
+
+
+def _filter_model(rows, op, v, v2):
+    if op == "range":
+        lo, hi = sorted((v, v2))          # reference swaps bounds
+        return [(d, s) for d, s in rows if lo <= s <= hi]
+    import operator as _op
+    f = {"eq": _op.eq, "gt": _op.gt, "ge": _op.ge,
+         "lt": _op.lt, "le": _op.le}[op]
+    return [(d, s) for d, s in rows if f(s, v)]
+
+
+def _sample_model(rows, n, seed=1234):
+    ranked = sorted(rows, key=lambda p: (
+        (p[0] * 2654435761 + seed) % 4294967296, p[0], p[1]))
+    return ranked[:n]
+
+
+def _eval_full(spark, node):
+    if isinstance(node, int):
+        p = make_postings(random.Random(node))
+        return to_df(spark, p), p
+    if node[0] == "filter":
+        _, op, v, v2, kid = node
+        df, model = _eval_full(spark, kid)
+        return (sa.score_filter(df, op, float(v), float(v2)),
+                canon(_filter_model(model, op, v, v2)))
+    if node[0] == "sample":
+        _, n, kid = node
+        df, model = _eval_full(spark, kid)
+        return sa.sample(df, n), canon(_sample_model(model, n))
+    if node[0] == "negate":
+        df, model = _eval_full(spark, node[1])
+        return sa.negate(df), canon([(d, -s) for d, s in model])
+    if node[0] in ("max", "min"):
+        df, model = _eval_full(spark, node[1])
+        use_max = node[0] == "max"
+        return (sa.dedup(df, use_max=use_max),
+                canon(ref.dedup(model, use_max)))
+    op, l, r = node                     # the six binary ops
+    ldf, lref = _eval_full(spark, l)
+    rdf, rref = _eval_full(spark, r)
+    if op == "union":
+        return sa.union_or(ldf, rdf), canon(ref.union(lref, rref))
+    if op == "intersect":
+        return sa.intersect_and(ldf, rdf), canon(ref.intersect(lref, rref))
+    if op == "subtract":
+        return sa.subtract(ldf, rdf), canon(ref.subtract(lref, rref))
+    if op == "theta_gt":
+        return sa.theta_join(ldf, rdf, "gt"), canon(ref.theta(lref, rref,
+                                                              "gt"))
+    if op == "theta_lt":
+        return sa.theta_join(ldf, rdf, "lt"), canon(ref.theta(lref, rref,
+                                                              "lt"))
+    return sa.order_by(ldf, rdf), canon(ref.order_by(lref, rref))
+
+
+@settings(max_examples=10, deadline=None)
+@given(tree=_full_tree_st)
+def test_random_ast_full_operator_set_matches_model(spark, tree):
+    """Extends the composition fuzz to the COMPLETE compiled operator
+    set: score predicates F1-F4 (incl. the range bound swap), negate's
+    score flip, MAX()/MIN() dedup, and the deterministic
+    Knuth-multiplicative RANDOM_SAMPLE (whose hash rank is pure integer
+    arithmetic, modeled exactly)."""
+    df, model = _eval_full(spark, tree)
+    assert collected(df) == sorted(model)
