@@ -237,3 +237,64 @@ def test_concurrent_statement_execution(spark, catalog):
     assert results[1] == ["d1", "d2"]
     assert results[2] == ["d0"]
     assert results[3] == ["d2", "d1"]
+
+
+# --- fuzz: unique-postings shuffle elision == general path + dedup ---
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from cantera_table_spark.dsl import ast as A
+from cantera_table_spark.dsl.compiler import QueryCompiler
+
+_KW = ["kwa", "kwb", "kwc"]
+
+_ast_st = st.recursive(
+    st.sampled_from(_KW).map(A.Leaf),
+    lambda q: st.one_of(
+        st.tuples(st.sampled_from(["or", "and", "subtract", "orderby"]),
+                  q, q).map(lambda t: A.Binary(t[0], t[1], t[2])),
+        st.tuples(st.sampled_from(["gt", "lt"]), q, q)
+        .map(lambda t: A.Binary(t[0], t[1], t[2])),
+        st.tuples(st.sampled_from(["eq", "gt", "ge", "lt", "le"]), q,
+                  st.integers(-2, 9))
+        .map(lambda t: A.Binary(t[0], t[1], None, value=float(t[2]))),
+        st.tuples(q, st.integers(-2, 9), st.integers(-2, 9))
+        .map(lambda t: A.Binary("range", t[0], None, value=float(t[1]),
+                                value2=float(t[2]))),
+        st.tuples(q, st.integers(0, 9))
+        .map(lambda t: A.Binary("sample", t[0], None,
+                                value=float(t[1]))),
+        st.tuples(st.sampled_from(["max", "min", "negate"]), q)
+        .map(lambda t: A.Unary(t[0], t[1]))),
+    max_leaves=5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(tree=_ast_st, seed=st.integers(0, 999), use_max=st.booleans())
+def test_unique_elision_fuzz_matches_general_path(spark, tree, seed,
+                                                  use_max):
+    """The unique_postings compiler promise (every operator preserves
+    at-most-one-row-per-doc, so the statement-level dedup shuffle is
+    elided, compiler.py process_query) must be semantics-preserving for
+    ANY composed query over a duplicate-free index: the unique path's
+    result equals the general path's, and is itself duplicate-free."""
+    rng = random.Random(seed)
+    rows = [(k, d, float(rng.randrange(-2, 10)))
+            for k in _KW for d in range(12) if rng.random() < 0.7]
+    if not rows:
+        rows = [("kwa", 0, 1.0)]
+    postings = spark.createDataFrame(
+        rows, "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame([(d, f"d{d}", "{}") for d in range(12)],
+                                 "doc_id long, key string, doc string")
+    cat = Catalog(summaries=[docs], indexes=[postings])
+    uniq = QueryCompiler(cat, unique_postings=True)
+    gen = QueryCompiler(cat, unique_postings=False)
+    got_u = sorted(tuple(r) for r in
+                   uniq.process_query(tree, use_max=use_max).collect())
+    got_g = sorted(tuple(r) for r in
+                   gen.process_query(tree, use_max=use_max).collect())
+    assert got_u == got_g
+    assert len({d for d, _ in got_u}) == len(got_u)   # duplicate-free
