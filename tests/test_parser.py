@@ -250,3 +250,49 @@ def test_grammar_roundtrip_fixpoint(q):
     text = format_query(q)
     reparsed = parse_query(text)
     assert format_query(reparsed) == text
+
+
+_thr_vals = st.lists(st.sampled_from([0.0, 1.0, 2.5, 19000.0]),
+                     min_size=1, max_size=4)
+
+
+@settings(max_examples=150, deadline=None)
+@given(q=_query_st, keys_only=st.booleans(),
+       thr=st.one_of(st.none(), _thr_vals),
+       limit=st.one_of(st.none(), st.integers(0, 500)),
+       fetch=st.booleans(),
+       offset=st.one_of(st.none(), st.integers(0, 500)))
+def test_query_statement_fuzz(q, keys_only, thr, limit, fetch, offset):
+    """Statement-level fuzz: QUERY [KEYS FOR] (expr) [THRESHOLDS ... FOR
+    KEY '...'] [LIMIT n | FETCH FIRST n ROWS ONLY] [OFFSET n] — every
+    clause combination over random query expressions must parse back to
+    the right QueryStmt fields, with the expr echoing to the same
+    canonical text."""
+    text = "QUERY "
+    if keys_only:
+        text += "KEYS FOR "
+    inner = format_query(q)
+    # always wrap: startswith-"(" does NOT imply one paren group
+    # ("(kw0=0)=0"), the same trap the printer's _atom used to have
+    text += f"({inner})"
+    if thr is not None:
+        text += (" THRESHOLDS " +
+                 ", ".join(str(int(v)) if v == int(v) else repr(v)
+                           for v in thr) + " FOR KEY 'score key'")
+    if limit is not None:
+        text += (f" FETCH FIRST {limit} ROWS ONLY" if fetch
+                 else f" LIMIT {limit}")
+    if offset is not None:
+        text += f" OFFSET {offset} ROWS"
+    stmts = parse_script(text + ";")
+    assert len(stmts) == 1
+    s = stmts[0]
+    assert format_query(s.query) == format_query(parse_query(inner))
+    assert s.keys_only == keys_only
+    if thr is None:
+        assert s.thresholds is None
+    else:
+        assert s.thresholds.values == thr
+        assert s.thresholds.key == "score key"
+    assert s.limit == (limit if limit is not None else -1)
+    assert s.offset == (offset or 0)
