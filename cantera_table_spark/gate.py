@@ -65,30 +65,28 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-7 rotation (from
-# tools/rotate_window.py at round start): no never-checked gates remain
-# (union r02-r06 covers all 131); positions 1-38 are the stalest gates —
-# the 23 whose last driver row is round 3 first, then round-4-stale —
-# and positions 39-50 are 12 long-green cross-family sentinels.
+# then a cross-family sentinel band).  Round-8 rotation (from
+# tools/rotate_window.py at round start): positions 1-10 are the ten
+# gates whose last driver row is round 4 (three rounds of HEAD churn),
+# positions 11-38 the round-5-stale gates, and positions 39-50 the
+# long-green cross-family sentinel band.
 _DRIVER_ORDER = [
-    # --- positions 1-23: last driver row round 3 (three rounds of HEAD
-    # churn since their last driver proof) ---
-    "dd03_ngram_jaccard", "dd08_jaccard_stopshingle", "dd04_simhash",
-    "tx01_text_stats", "tx02_token_counts", "tx03_lang_id",
-    "tx04_fingerprint",
-    "sim01_brute_topk", "sim02_ivf_topk", "sim06_ivf_partitioned",
-    "mm05_frame_sample", "dd05_embedding_neardup", "mm01_decode_media",
-    "a06_posting_counts", "ts05_prediction_bands", "ts06_band_outliers",
-    "q16_uri_decode", "x01_date_days", "q17_external_expansion",
-    "ts07_union_merge", "q18_override_patch", "q19_keys_for",
-    "f32_01_score_fidelity",
-    # --- positions 24-38: last driver row round 4 ---
-    "cat01_multi_table", "tx07_corpus_stats", "in02_tsv_timeseries",
-    "st01_stream_ingest", "st02_stream_windowed_rollup",
-    "sim05_hyperplane_sig", "mm02_decode_bmp", "mm03_decode_wav",
-    "dp01_dump_index", "sk01_salted_rollup", "mm04_thumbnail",
-    "tx08_repetition", "tx09_pii_scrub", "dd09_decontaminate",
-    "st03_stream_dedup",
+    # --- positions 1-10: last driver row round 4 ---
+    "mm07_decode_gif", "ds02_weighted_sample", "tx10_lm_score",
+    "ds04_shuffle_shards", "dd12_dedup_apply", "tx13_chunking",
+    "ir02_rrf_hybrid", "ml01_logreg_quality", "ev03_funnel",
+    "sim08_quantized_ivf",
+    # --- positions 11-38: last driver row round 5 ---
+    "dd10_line_dedup", "ds03_pack_sequences", "sim07_quantized_topk",
+    "dd11_repeated_spans", "tx11_length_quantiles", "tx12_bpe_pairs",
+    "ds05_packed_text", "ev04_retention", "ts09_asof_join",
+    "ev05_interval_join", "dd14_incremental_dedup", "ds06_mixture_sample",
+    "sim09_pq_topk", "st05_stream_stream_join", "tx15_ppl_buckets",
+    "tx16_kmv_distinct", "ev07_rollup_day", "dd15_semantic_dedup",
+    "sim10_ivfpq_topk", "tx17_wordpiece", "tpch_q6_forecast",
+    "ds07_sample_quantiles", "st06_stream_quality_dedup",
+    "in03_json_ingest", "in04_orc_ingest", "ir03_bm25_hybrid",
+    "ds08_hash_split", "dd16_cut_spans",
     # --- positions 39-50: sentinels spanning every family, each
     # long-green, kept in-window for cross-round regression
     # continuity ---
@@ -98,11 +96,10 @@ _DRIVER_ORDER = [
     "p01_parse_echo", "set01_session_state",
     "st04_stream_sessionize", "dd07_lsh_jaccard",
 ]
-# After the round-7 driver run no gate's last driver row is older than
-# round 4 (the round-3-stale set all sit in positions 1-23).  Gates
-# outside the window this round (all driver-green in r4-r6) follow in
-# decoration order and stay covered by tools/check_gate.py's full local
-# sweep.
+# After the round-8 driver run no gate's last driver row is older than
+# round 5.  Gates outside the window this round (all driver-green in
+# r5-r7) follow in decoration order and stay covered by
+# tools/check_gate.py's full local sweep.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
