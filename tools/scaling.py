@@ -27,6 +27,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/cantera_scaling"
 
 
+def sized_shuffle_partitions(factor: int, cpus: int) -> int:
+    """SCALE.md sizing rule, applied automatically: initial shuffle
+    partitions grow with the data volume so a post-shuffle partition
+    stays bounded (~1-2M rows / <=128 MB), and AQE coalesces the small
+    stages back down.  A real cluster sets this by default (initial
+    partitions ~ 2-3x total cores, sized to the input); the fixed
+    cores-sized local default was the 4096x ceiling — retention's
+    superlinear step was 32 partitions each hash-aggregating ~13M rows
+    and spilling, and the hand-run 256-partition A/B was 2.1x faster on
+    the identical plan (BASELINE.md).  cpus*factor/512 reproduces that
+    sizing (32 cores, 4096x -> 256) while leaving every factor <= 512
+    at the historical cores-sized value, so old rows stay comparable."""
+    return int(min(1024, max(cpus, cpus * factor // 512)))
+
+
 def scaled(df, factor, id_cols):
     """Replicate `factor` shifted copies so ids stay distinct.
 
