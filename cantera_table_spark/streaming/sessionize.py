@@ -68,6 +68,48 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800
             .drop("__sid"))
 
 
+def sessionize_stream_native(events: DataFrame, gap_seconds: int = 1800,
+                             watermark: str = "1 hour") -> DataFrame:
+    """JVM-native gap sessionization: ``F.session_window`` (Spark 3.2+)
+    instead of the ``applyInPandasWithState`` fold — no Arrow boundary,
+    state merge entirely inside the JVM aggregation operator.
+
+    Gap-merge semantics are IDENTICAL to ``sessionize_batch`` /
+    ``sessionize_stream`` (verified: events exactly ``gap_seconds``
+    apart merge — Spark merges adjacent session windows — and one
+    microsecond past the gap splits), and cross-batch merging is
+    handled by the operator's own session state, so it never exhibits
+    the custom fold's documented late-split divergence.
+
+    What differs is EMISSION, which is why this is a variant and not a
+    drop-in replacement for the st04 contract:
+
+    - native (append mode): a session emits only when the watermark
+      passes its window end (last event + gap).  Gap-CLOSED sessions
+      whose end is still inside the watermark horizon are held in
+      state — up to ``watermark`` of extra emission latency.
+    - custom fold: a session closed by a later event of the same user
+      emits in the batch that closes it, watermark notwithstanding;
+      only trailing OPEN sessions wait for the event-time timeout.
+
+    On a bounded replay the native emitted set is therefore a subset
+    of the custom fold's (identical values on the intersection; pinned
+    in tests/test_streaming_ab.py).  Use this form when watermark-gated
+    emission latency is acceptable — it keeps the whole pipeline
+    JVM-side, the scale lever for the heaviest streaming path
+    (SCALE.md records the measured speedup)."""
+    return (events.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", watermark)
+            .groupBy("user_id",
+                     F.session_window("ts", f"{gap_seconds} seconds"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "total_value"))
+
+
 def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                       watermark: str = "1 hour") -> DataFrame:
     """Streaming sessionization with per-user state.

@@ -330,6 +330,17 @@ def main():
         src = _restream(e).select("user_id", "ts", "value")
         _run_stream(sessionize_stream(src, gap_seconds=1800), "sess")
 
+    def stream_sessionize_native(e):
+        # the JVM-native session_window A/B against the custom fold:
+        # same gap-merge semantics, watermark-gated emission, zero
+        # Arrow crossings (tests/test_streaming_ab.py pins the
+        # semantics; this case measures the speedup)
+        from cantera_table_spark.streaming.sessionize import (
+            sessionize_stream_native)
+        src = _restream(e).select("user_id", "ts", "value")
+        _run_stream(sessionize_stream_native(src, gap_seconds=1800),
+                    "sessnat")
+
     def stream_rollup(e):
         # st02 shape at scale: watermarked event-time windowed agg —
         # state per (key, window), bounded by the watermark horizon
@@ -500,6 +511,7 @@ def main():
         ("jpeg_codec", "documents", jpeg_codec),
         ("ipv_codec", "documents", ipv_codec),
         ("stream_sessionize", "events", stream_sessionize),
+        ("stream_sessionize_native", "events", stream_sessionize_native),
         ("stream_rollup", "events", stream_rollup),
         ("stream_dedup", "events", stream_dedup),
     ]
@@ -524,18 +536,34 @@ def main():
         datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
                           spark.read.parquet(f"{WORK}/{name}_{factor}x"))
 
+    # the SCALE.md sizing rule, applied automatically: 1x runs keep the
+    # historical cores-sized shuffle; Nx runs get factor-sized initial
+    # partitions (AQE coalesces small stages back down).  Plans are
+    # identical — only the exchange's initial partition count moves.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_parts = sized_shuffle_partitions(factor, cpus)
+
+    def run_sized(fn, d, parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            fn(d)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+
     results = {}
     for name, ds, fn in cases:
         d1, dn = datasets[ds]
-        fn(d1)                       # warm both (plan compile, JIT) so
-        fn(dn)                       # the ratio compares steady states
-        t1 = timed(lambda: fn(d1))
-        tn = timed(lambda: fn(dn))
+        run_sized(fn, d1, cpus)      # warm both (plan compile, JIT) so
+        run_sized(fn, dn, n_parts)   # the ratio compares steady states
+        t1 = timed(lambda: run_sized(fn, d1, cpus))
+        tn = timed(lambda: run_sized(fn, dn, n_parts))
         results[name] = {"t_1x": t1, f"t_{factor}x": tn,
                          "ratio": round(tn / max(t1, 1e-9), 1)}
         print(name, results[name])
 
-    print(json.dumps({"factor": factor, "results": results}))
+    print(json.dumps({"factor": factor,
+                      "shuffle_partitions_nx": n_parts,
+                      "results": results}))
     spark.stop()
 
 
