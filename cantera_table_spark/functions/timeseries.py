@@ -27,7 +27,8 @@ def prediction_bands(ts: DataFrame, key_col: str = "key",
 
 
 def with_bands(ts: DataFrame, key_col: str = "key",
-               value_col: str = "value") -> DataFrame:
+               value_col: str = "value",
+               max_rows_per_key: int | None = None) -> DataFrame:
     """Attach the series-level bands to every posting — the shape the
     reference stores (nullable band columns per row) and dumps
     (ca-dump.cc:148-216).
@@ -47,9 +48,21 @@ def with_bands(ts: DataFrame, key_col: str = "key",
     Rows with a NULL series key are dropped — they belong to no
     series (the former join formulation dropped them as inner-join
     non-matches, and a window would otherwise lump them into one
-    meaningless NULL group)."""
+    meaningless NULL group).
+
+    ``max_rows_per_key`` (default off) is the degenerate-key guard: a
+    series whose row count exceeds it is EXCLUDED from the output
+    (operators.skew.quarantine_heavy_keys — one key's rows must land
+    in one window task, no salt can split them, so at 100 TB a
+    constant key is an executor OOM; quarantine it to a report
+    instead).  Callers wanting the report run
+    ``top_heavy_keys(ts, key_col, budget)`` on the same input."""
     from pyspark.sql import Window
     ts = ts.filter(F.col(key_col).isNotNull())
+    if max_rows_per_key is not None:
+        from cantera_table_spark.operators.skew import (
+            quarantine_heavy_keys)
+        ts, _ = quarantine_heavy_keys(ts, key_col, max_rows_per_key)
     w = Window.partitionBy(key_col)
     v = F.col(value_col)
     return ts.select(
@@ -102,7 +115,8 @@ def asof_prior(events: DataFrame, anchor_filter,
 
 def funnel(events: DataFrame, stages: list[str],
            key_col: str = "user_id", type_col: str = "event_type",
-           ts_col: str = "ts") -> DataFrame:
+           ts_col: str = "ts",
+           max_rows_per_key: int | None = None) -> DataFrame:
     """Ordered funnel analysis: for each key, how far through the
     ``stages`` sequence it progressed, where stage k counts only if it
     happened strictly AFTER the key's qualifying stage k-1 time.
@@ -123,6 +137,15 @@ def funnel(events: DataFrame, stages: list[str],
     and any such event sorts after the event that set t_{k-1}.
 
     Returns (key_col, stage_<k>_ts ..., funnel_depth).
+
+    ``max_rows_per_key`` (default off) quarantines degenerate keys:
+    per-key memory is that key's own FUNNEL-STAGE events (collect_list
+    after the stage filter), bounded by user activity — except for the
+    bot user whose activity is unbounded.  With the guard set, keys
+    whose stage-event count exceeds the budget are excluded from the
+    output (operators.skew.quarantine_heavy_keys; run
+    ``top_heavy_keys`` on the stage-filtered events for the report) —
+    a data-quality quarantine, not an executor OOM.
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
@@ -139,6 +162,10 @@ def funnel(events: DataFrame, stages: list[str],
                   idx.alias("_s"))
           .filter(F.col("_s").isNotNull() & F.col("_ts").isNotNull() &
                   F.col(key_col).isNotNull()))
+    if max_rows_per_key is not None:
+        from cantera_table_spark.operators.skew import (
+            quarantine_heavy_keys)
+        ev, _ = quarantine_heavy_keys(ev, key_col, max_rows_per_key)
     grouped = ev.groupBy(key_col).agg(
         F.sort_array(F.collect_list(F.struct("_ts", "_s"))).alias("_evs"))
     init = F.array(*[F.lit(None).cast(ts_type) for _ in range(n)])

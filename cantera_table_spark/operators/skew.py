@@ -69,3 +69,27 @@ def top_heavy_keys(df: DataFrame, key: str, threshold_rows: int
     return (df.groupBy(key).agg(F.count("*").alias("n_rows"))
             .filter(F.col("n_rows") > threshold_rows)
             .orderBy(F.col("n_rows").desc()))
+
+
+def quarantine_heavy_keys(df: DataFrame, key: str,
+                          max_rows_per_key: int
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Pre-flight for the per-key SEQUENTIAL operators (sessionize,
+    funnel, bands, as-of windows) whose semantics require one key's
+    rows together in one task: no salt can split them (SCALE.md), so a
+    degenerate key — a bot user with 10^8 events, a constant series
+    key — is an executor OOM waiting at 100 TB.  This turns that
+    failure mode into a REPORT: returns ``(kept, heavy)`` where
+    ``kept`` excludes every key whose row count exceeds the budget and
+    ``heavy`` is the (key, n_rows) quarantine report (same shape as
+    :func:`top_heavy_keys`) for data-quality triage.
+
+    Cost: one map-side-combinable count aggregation plus a broadcast
+    anti-join — the heavy-key table has at most rows/threshold entries
+    by construction, so the broadcast hint is always safe.  The whole
+    guard stays lazy (no driver action); wire it behind the operators'
+    ``max_rows_per_key`` parameter, default off."""
+    heavy = (df.groupBy(key).agg(F.count("*").alias("n_rows"))
+             .filter(F.col("n_rows") > max_rows_per_key))
+    kept = df.join(F.broadcast(heavy.select(key)), key, "left_anti")
+    return kept, heavy

@@ -1628,3 +1628,43 @@ def test_review_fix_regressions(spark):
                       .withColumn("e", F.col("s")),
                       ts_col="ts", start_col="s", end_col="e",
                       bin_width_s=0)
+
+
+def test_heavy_key_quarantine_guard(spark):
+    """The degenerate-key pre-flight on the sequential-window family
+    (r7 verdict item 5): a key whose row count exceeds the budget is
+    excluded from bands/funnel output — a quarantine report, not an
+    executor OOM — and the guard is value-invisible for every key
+    under the budget."""
+    import datetime
+    from pyspark.sql import functions as F
+    from cantera_table_spark.functions.timeseries import funnel, with_bands
+    from cantera_table_spark.operators.skew import (quarantine_heavy_keys,
+                                                    top_heavy_keys)
+    # series "hot" floods 50 rows; "cold" has 5
+    rows = ([("hot", float(i)) for i in range(50)] +
+            [("cold", float(i)) for i in range(5)])
+    ts = spark.createDataFrame(rows, "key string, value double")
+    banded = with_bands(ts, max_rows_per_key=10)
+    keys = {r.key for r in banded.select("key").distinct().collect()}
+    assert keys == {"cold"}
+    # guarded output over surviving keys == unguarded output restricted
+    # to them (the guard never changes a kept key's bands)
+    unguarded = with_bands(ts.filter(F.col("key") == "cold"))
+    assert sorted(map(tuple, banded.collect())) == \
+        sorted(map(tuple, unguarded.collect()))
+    # the report names the quarantined key with its count
+    rep = top_heavy_keys(ts, "key", 10).collect()
+    assert [(r.key, r.n_rows) for r in rep] == [("hot", 50)]
+    # funnel: bot user 9 floods stage events, users 1/3 stay intact
+    ev = ([(1, "a", 100), (1, "b", 200), (3, "a", 100)] +
+          [(9, "a", 100 + i) for i in range(40)])
+    e = spark.createDataFrame(
+        [(u, t, datetime.datetime.utcfromtimestamp(s)) for u, t, s in ev],
+        "user_id long, event_type string, ts timestamp")
+    out = {r.user_id: r.funnel_depth
+           for r in funnel(e, ["a", "b"], max_rows_per_key=10).collect()}
+    assert out == {1: 2, 3: 1}
+    # kept/heavy partition the input by key
+    kept, heavy = quarantine_heavy_keys(e, "user_id", 10)
+    assert kept.count() == 3 and heavy.count() == 1
