@@ -117,6 +117,15 @@ def format_query(q: Node) -> str:
             return f"{_atom(q.lhs)}[{_num(q.value)},{_num(q.value2)}]"
         sym = {"eq": "=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}[q.op]
         if q.rhs is not None:
+            if q.op not in ("gt", "lt"):
+                # the grammar builds theta joins only for > and <
+                # (query-parser.yy: '>' '<' between subqueries); = >= <=
+                # with a subquery rhs has no parseable echo, so a
+                # hand-built AST must fail loudly rather than print
+                # text that breaks the round-trip contract
+                raise TypeError(
+                    f"comparison op {q.op!r} cannot take a subquery rhs"
+                    " (theta joins exist only for gt/lt)")
             # theta join: atomize BOTH operands — a bare postfix
             # comparison on the rhs would re-parse with the literal
             # bound to the whole join, and a bare `~x` on the lhs would
@@ -144,8 +153,7 @@ def _atom(q: Node) -> str:
         or (isinstance(q, Unary) and q.op in ("max", "min"))
         or (isinstance(q, Binary) and (
             q.op in ("sample", "or", "and", "subtract", "orderby")
-            or (q.op in ("eq", "gt", "ge", "lt", "le")
-                and q.rhs is not None)))
+            or (q.op in ("gt", "lt") and q.rhs is not None)))
     )
     return text if self_delimited else f"({text})"
 

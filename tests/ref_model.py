@@ -104,7 +104,7 @@ def dedup(v, use_max=True):
     return out
 
 
-def correlate(postings, set_a, set_b):
+def correlate(postings, set_a, set_b, raw=False):
     """Pure-Python transcription of the full CORRELATE mining pipeline
     (correlate.cc:84-358 via operators/correlate.py::correlate_sets):
     keyword support pre-filter, class tagging, boolean-vs-continuous
@@ -119,7 +119,13 @@ def correlate(postings, set_a, set_b):
 
     Returns sorted rows (log_odds_rounded3, match_count_a,
     match_count_b, keyword, min_score, max_score) with None for
-    unbounded range ends — the engine's output schema.
+    unbounded range ends — the engine's output schema.  ``raw=True``
+    emits the UNROUNDED log-odds instead — the boundary-guard hook:
+    round3_half_up is binary floor(x*1000+0.5) while Spark's ROUND is
+    decimal HALF_UP via BigDecimal on the double's shortest repr, so a
+    value within ~1 ulp of a .0005 boundary can round differently on
+    the two engines and the fuzz guard must be able to see it
+    pre-rounding (tests/test_correlate.py::_boundary_safe).
     """
     import math
     from collections import defaultdict
@@ -205,5 +211,6 @@ def correlate(postings, set_a, set_b):
             lo_odds = math.log((ma + 1.0) / (mb + 1.0)) - prior
             if abs(lo_odds) < logit_cutoff:
                 continue
-            out.append((round3_half_up(lo_odds), ma, mb, kw, lo, hi))
+            out.append((lo_odds if raw else round3_half_up(lo_odds),
+                        ma, mb, kw, lo, hi))
     return sorted(out, key=lambda r: (r[3], repr(r[4]), repr(r[5])))
