@@ -108,7 +108,31 @@ _DRIVER_ORDER = [
 # runner drains the registry after materializing each gate
 # (tools/check_gate.py) so storage does not accumulate across a
 # 101-gate session.  bench.py's clearCache covers its own runs.
-_GATE_CACHES: list = []
+
+
+class _BoundedCacheList(list):
+    """Defensive cap: a caller that materializes many caching gates
+    WITHOUT ever calling release_gate_caches() must not accumulate
+    unbounded cached frames across a long session.  Appending past
+    ``maxlen`` unpersists and drops the oldest entry — safe at any
+    time (unpersisting a frame a plan still references merely makes
+    Spark recompute it), and far above any single gate's registration
+    count (max observed: 2), so in-gate correctness and the two
+    in-repo draining consumers see no behavior change."""
+
+    maxlen = 8
+
+    def append(self, df):
+        super().append(df)
+        while len(self) > self.maxlen:
+            old = super().pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+
+
+_GATE_CACHES: list = _BoundedCacheList()
 
 
 def release_gate_caches() -> None:

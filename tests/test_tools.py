@@ -38,3 +38,24 @@ def test_rotate_window_proposal_invariants():
     # the planner promises, regression-prone against truncation)
     assert set(stats["sentinels"]) <= head, \
         set(stats["sentinels"]) - head
+
+
+def test_gate_cache_registry_bounded_without_release(spark):
+    """r7 verdict stretch item: a third-party caller that materializes
+    caching gates without ever calling release_gate_caches() must see
+    bounded cache storage — the registry caps itself by unpersisting
+    the oldest entry past maxlen."""
+    from cantera_table_spark import gate as g
+    g.release_gate_caches()          # clean slate
+    n = g._BoundedCacheList.maxlen + 5
+    frames = [spark.range(i + 1).cache() for i in range(n)]
+    for f in frames:
+        f.count()                    # materialize the cache
+        g._GATE_CACHES.append(f)
+    assert len(g._GATE_CACHES) == g._BoundedCacheList.maxlen
+    # the evicted oldest frames are no longer cached; the newest are
+    assert all(f.storageLevel.useMemory is False for f in frames[:5])
+    assert all(f.storageLevel.useMemory for f in frames[5:])
+    g.release_gate_caches()
+    assert len(g._GATE_CACHES) == 0
+    assert all(f.storageLevel.useMemory is False for f in frames)
