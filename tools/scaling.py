@@ -334,12 +334,32 @@ def main():
         # the JVM-native session_window A/B against the custom fold:
         # same gap-merge semantics, watermark-gated emission, zero
         # Arrow crossings (tests/test_streaming_ab.py pins the
-        # semantics; this case measures the speedup)
+        # semantics; this case measures the throughput difference).
+        # State sizing is the honest cost of the native form: append
+        # mode RETAINS every session the watermark has not passed, and
+        # a single-batch availableNow replay emits nothing — state ==
+        # all sessions.  Measured: the default HDFS-backed (on-heap)
+        # store OOMs the 32g harness heap at 1024x, while the custom
+        # fold (state = one open session per user, gap-closed sessions
+        # emitted eagerly) completes.  RocksDB is the state store that
+        # session-window class of state runs on in production (native
+        # memory + disk, not heap) — configured here per-query.
         from cantera_table_spark.streaming.sessionize import (
             sessionize_stream_native)
         src = _restream(e).select("user_id", "ts", "value")
-        _run_stream(sessionize_stream_native(src, gap_seconds=1800),
-                    "sessnat")
+        key = "spark.sql.streaming.stateStore.providerClass"
+        rocks = ("org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, rocks)
+        try:
+            _run_stream(sessionize_stream_native(src, gap_seconds=1800),
+                        "sessnat")
+        finally:
+            if prev:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
 
     def stream_rollup(e):
         # st02 shape at scale: watermarked event-time windowed agg —
