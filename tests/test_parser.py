@@ -296,3 +296,19 @@ def test_query_statement_fuzz(q, keys_only, thr, limit, fetch, offset):
         assert s.thresholds.key == "score key"
     assert s.limit == (limit if limit is not None else -1)
     assert s.offset == (offset or 0)
+
+
+def test_theta_join_printer_rejects_non_gt_lt_subquery_rhs():
+    """The grammar builds theta joins only for > and < — a hand-built
+    comparison node with a subquery rhs on any other op has no
+    parseable echo, so format_query must fail loudly instead of
+    printing text that breaks the round-trip contract (r7 advisory)."""
+    for op in ("eq", "ge", "le"):
+        q = Binary(op, Leaf("a"), rhs=Leaf("b"))
+        with pytest.raises(TypeError, match="theta joins exist only"):
+            format_query(q)
+    # gt/lt with a subquery rhs still print and re-parse to themselves
+    for op, sym in (("gt", ">"), ("lt", "<")):
+        echo = format_query(Binary(op, Leaf("a"), rhs=Leaf("b")))
+        assert echo == f"(a {sym} b)"
+        assert format_query(parse_query(echo)) == echo
