@@ -115,3 +115,44 @@ def test_native_stream_emits_subset_of_custom(spark):
     # session_end + gap(600s) < watermark(10:05), i.e. end < 09:55
     assert native == sorted(r for r in batch
                             if r[2] < "2024-01-01 09:55:00")
+
+
+def test_native_merges_session_across_micro_batches(spark):
+    """Cross-batch session merge, the property the custom fold only
+    approximates (its documented late-split divergence): a session
+    whose events split across two micro-batches must emit as ONE
+    merged row from the native session_window operator — the state
+    merge happens inside the JVM aggregation.  A later unrelated event
+    pushes the watermark past the merged window so it emits in the
+    availableNow wrap-up."""
+    from cantera_table_spark.streaming.sessionize import (
+        sessionize_stream_native)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # batch 1: the session opens
+        with open(os.path.join(src, "a_1.csv"), "w") as f:
+            f.write("1,2024-01-01 10:00:00,1.0\n")
+            f.write("1,2024-01-01 10:05:00,2.0\n")
+        # batch 2: continues within the 600s gap, plus a watermark
+        # driver at 13:00 (watermark 12:00 > merged window end 10:19)
+        with open(os.path.join(src, "b_2.csv"), "w") as f:
+            f.write("1,2024-01-01 10:09:00,4.0\n")
+            f.write("2,2024-01-01 13:00:00,9.0\n")
+        stream = (spark.readStream.option("maxFilesPerTrigger", 1)
+                  .schema("user_id long, ts_s string, value double")
+                  .csv(src)
+                  .select("user_id", F.to_timestamp("ts_s").alias("ts"),
+                          "value"))
+        q = (sessionize_stream_native(stream, gap_seconds=600)
+             .writeStream.format("memory").queryName("xbatch_native")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            (r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM xbatch_native").collect())
+    # exactly the merged session; user 2's (window end 13:10 > final
+    # watermark 12:00) stays in state
+    assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 10:09:00",
+                    3, 7.0)]
