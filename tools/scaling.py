@@ -236,6 +236,19 @@ def main():
                              F.col("value").alias("value")))
          .write.format("noop").mode("overwrite").save())
 
+    def bands_keyed(e):
+        # the key-RICH form: series key = user_id, whose cardinality
+        # grows with the factor (scaled() shifts it) — window-group
+        # parallelism grows with the data, the documented contract for
+        # this operator.  The `bands` case above keeps its 5 constant
+        # event_type keys as the deliberate degenerate fixture (its
+        # superlinear ratio measures the window-group bound the
+        # quarantine guard exists for).
+        from cantera_table_spark.functions.timeseries import with_bands
+        (with_bands(e.select(F.col("user_id").alias("key"), "ts",
+                             F.col("value").alias("value")))
+         .write.format("noop").mode("overwrite").save())
+
     def asof_join_general(e):
         from cantera_table_spark.functions.timeseries import asof_join
         left = (e.filter(F.col("event_type") == "view")
@@ -516,6 +529,7 @@ def main():
         ("dedup_clusters", "documents", dedup_clusters),
         ("retention", "events", retention),
         ("bands", "events", bands),
+        ("bands_keyed", "events", bands_keyed),
         ("asof_join_general", "events", asof_join_general),
         ("interval_join", "events", interval_join_case),
         ("mixture_sample", "documents", mixture),
