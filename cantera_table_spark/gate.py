@@ -65,40 +65,43 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-8 rotation (from
-# tools/rotate_window.py at round start): positions 1-10 are the ten
-# gates whose last driver row is round 4 (three rounds of HEAD churn),
-# positions 11-38 the round-5-stale gates, and positions 39-50 the
-# long-green cross-family sentinel band.
+# then a cross-family sentinel band).  Round-9 rotation (from
+# tools/rotate_window.py at round start): positions 1-5 are the five
+# gates whose last driver row is round 5 (three rounds of HEAD churn),
+# positions 6-43 the ENTIRE round-6-stale set (38 gates), and
+# positions 44-50 a 7-slot long-green cross-family sentinel band —
+# this retires the freshness debt completely for one rotation period
+# (after the round-9 run no gate's last driver row is older than
+# round 7).
 _DRIVER_ORDER = [
-    # --- positions 1-10: last driver row round 4 ---
-    "mm07_decode_gif", "ds02_weighted_sample", "tx10_lm_score",
-    "ds04_shuffle_shards", "dd12_dedup_apply", "tx13_chunking",
-    "ir02_rrf_hybrid", "ml01_logreg_quality", "ev03_funnel",
-    "sim08_quantized_ivf",
-    # --- positions 11-38: last driver row round 5 ---
-    "dd10_line_dedup", "ds03_pack_sequences", "sim07_quantized_topk",
-    "dd11_repeated_spans", "tx11_length_quantiles", "tx12_bpe_pairs",
-    "ds05_packed_text", "ev04_retention", "ts09_asof_join",
-    "ev05_interval_join", "dd14_incremental_dedup", "ds06_mixture_sample",
-    "sim09_pq_topk", "st05_stream_stream_join", "tx15_ppl_buckets",
-    "tx16_kmv_distinct", "ev07_rollup_day", "dd15_semantic_dedup",
-    "sim10_ivfpq_topk", "tx17_wordpiece", "tpch_q6_forecast",
-    "ds07_sample_quantiles", "st06_stream_quality_dedup",
-    "in03_json_ingest", "in04_orc_ingest", "ir03_bm25_hybrid",
-    "ds08_hash_split", "dd16_cut_spans",
-    # --- positions 39-50: sentinels spanning every family, each
-    # long-green, kept in-window for cross-round regression
+    # --- positions 1-5: last driver row round 5 ---
+    "sim11_pq_trained", "tpch_q18_large_orders",
+    "ev08_top_events_per_user", "st07_stream_complete_totals",
+    "ts10_asof_forward_tol",
+    # --- positions 6-43: last driver row round 6 (all 38) ---
+    "q02_or", "q03_subtract", "q04_score_filters", "q05_eq_and_range",
+    "q06_theta_join", "q07_order_by", "q08_negate", "q09_min_dedup",
+    "q10_prefix_scan", "q11_summary_key", "q12_thresholds",
+    "q20_threshold_headers", "q13_topk_page", "q14_random_sample",
+    "q15_select_matrix", "ts01_daily_rollup", "ts02_merge_sum",
+    "ts03_pick_one", "ts04_asof_prior", "tpch_q1_pricing",
+    "tpch_q5_region_volume", "ev01_user_running", "dd01_exact_dedup",
+    "dd02_minhash", "ev02_sessionize", "tx05_tfidf",
+    "sim03_lsh_neardup", "ts08_dsl_date_filter",
+    "corr02_event_prediction", "dd06_dedup_clusters",
+    "tx06_quality_filter", "sim04_ivf_assign", "mm06_decode_png",
+    "mm08_decode_jpeg", "mm09_video_frames", "mm10_ipv_video",
+    "ds01_stratified_sample", "ir01_bm25",
+    # --- positions 44-50: sentinels spanning the major subsystems,
+    # each long-green, kept in-window for cross-round regression
     # continuity ---
     "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
     "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
-    "in01_tsv_postings", "dp02_dump_timeseries", "x02_export_results",
-    "p01_parse_echo", "set01_session_state",
-    "st04_stream_sessionize", "dd07_lsh_jaccard",
+    "in01_tsv_postings", "dp02_dump_timeseries",
 ]
-# After the round-8 driver run no gate's last driver row is older than
-# round 5.  Gates outside the window this round (all driver-green in
-# r5-r7) follow in decoration order and stay covered by
+# After the round-9 driver run no gate's last driver row is older than
+# round 7.  Gates outside the window this round (all driver-green in
+# r7-r8) follow in decoration order and stay covered by
 # tools/check_gate.py's full local sweep.
 
 
