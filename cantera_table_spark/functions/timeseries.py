@@ -28,7 +28,8 @@ def prediction_bands(ts: DataFrame, key_col: str = "key",
 
 def with_bands(ts: DataFrame, key_col: str = "key",
                value_col: str = "value",
-               max_rows_per_key: int | None = None) -> DataFrame:
+               max_rows_per_key: int | None = None,
+               heavy_out: list | None = None) -> DataFrame:
     """Attach the series-level bands to every posting — the shape the
     reference stores (nullable band columns per row) and dumps
     (ca-dump.cc:148-216).
@@ -55,14 +56,19 @@ def with_bands(ts: DataFrame, key_col: str = "key",
     (operators.skew.quarantine_heavy_keys — one key's rows must land
     in one window task, no salt can split them, so at 100 TB a
     constant key is an executor OOM; quarantine it to a report
-    instead).  Callers wanting the report run
-    ``top_heavy_keys(ts, key_col, budget)`` on the same input."""
+    instead).  Pass a list as ``heavy_out`` to receive the lazy
+    (key, n_rows) quarantine report frame (appended, not returned, so
+    the common no-guard signature stays a plain DataFrame) — the
+    report shares the guard's own count aggregation, so triage costs
+    no second scan of the input."""
     from pyspark.sql import Window
     ts = ts.filter(F.col(key_col).isNotNull())
     if max_rows_per_key is not None:
         from cantera_table_spark.operators.skew import (
             quarantine_heavy_keys)
-        ts, _ = quarantine_heavy_keys(ts, key_col, max_rows_per_key)
+        ts, heavy = quarantine_heavy_keys(ts, key_col, max_rows_per_key)
+        if heavy_out is not None:
+            heavy_out.append(heavy)
     w = Window.partitionBy(key_col)
     v = F.col(value_col)
     return ts.select(
@@ -116,7 +122,8 @@ def asof_prior(events: DataFrame, anchor_filter,
 def funnel(events: DataFrame, stages: list[str],
            key_col: str = "user_id", type_col: str = "event_type",
            ts_col: str = "ts",
-           max_rows_per_key: int | None = None) -> DataFrame:
+           max_rows_per_key: int | None = None,
+           heavy_out: list | None = None) -> DataFrame:
     """Ordered funnel analysis: for each key, how far through the
     ``stages`` sequence it progressed, where stage k counts only if it
     happened strictly AFTER the key's qualifying stage k-1 time.
@@ -143,9 +150,11 @@ def funnel(events: DataFrame, stages: list[str],
     after the stage filter), bounded by user activity — except for the
     bot user whose activity is unbounded.  With the guard set, keys
     whose stage-event count exceeds the budget are excluded from the
-    output (operators.skew.quarantine_heavy_keys; run
-    ``top_heavy_keys`` on the stage-filtered events for the report) —
-    a data-quality quarantine, not an executor OOM.
+    output (operators.skew.quarantine_heavy_keys) — a data-quality
+    quarantine, not an executor OOM.  Pass a list as ``heavy_out`` to
+    receive the lazy (key, n_rows) quarantine report frame; it shares
+    the guard's count aggregation over the already-stage-filtered
+    events, so triage costs no second scan.
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
@@ -165,7 +174,9 @@ def funnel(events: DataFrame, stages: list[str],
     if max_rows_per_key is not None:
         from cantera_table_spark.operators.skew import (
             quarantine_heavy_keys)
-        ev, _ = quarantine_heavy_keys(ev, key_col, max_rows_per_key)
+        ev, heavy = quarantine_heavy_keys(ev, key_col, max_rows_per_key)
+        if heavy_out is not None:
+            heavy_out.append(heavy)
     grouped = ev.groupBy(key_col).agg(
         F.sort_array(F.collect_list(F.struct("_ts", "_s"))).alias("_evs"))
     init = F.array(*[F.lit(None).cast(ts_type) for _ in range(n)])

@@ -116,23 +116,45 @@ _DRIVER_ORDER = [
 class _BoundedCacheList(list):
     """Defensive cap: a caller that materializes many caching gates
     WITHOUT ever calling release_gate_caches() must not accumulate
-    unbounded cached frames across a long session.  Appending past
-    ``maxlen`` unpersists and drops the oldest entry — safe at any
+    unbounded cached frames across a long session.  Growing past
+    ``maxlen`` unpersists and drops the oldest entries — safe at any
     time (unpersisting a frame a plan still references merely makes
     Spark recompute it), and far above any single gate's registration
     count (max observed: 2), so in-gate correctness and the two
-    in-repo draining consumers see no behavior change."""
+    in-repo draining consumers see no behavior change.  Every
+    LENGTH-GROWING mutation enforces the cap (append/extend/insert/
+    ``+=``/slice assignment), not just append — a third-party caller
+    bulk-registering via ``extend`` must not bypass the bound."""
 
     maxlen = 8
 
-    def append(self, df):
-        super().append(df)
+    def _trim(self):
         while len(self) > self.maxlen:
             old = super().pop(0)
             try:
                 old.unpersist()
             except Exception:
                 pass
+
+    def append(self, df):
+        super().append(df)
+        self._trim()
+
+    def extend(self, dfs):
+        super().extend(dfs)
+        self._trim()
+
+    def insert(self, idx, df):
+        super().insert(idx, df)
+        self._trim()
+
+    def __iadd__(self, dfs):
+        self.extend(dfs)
+        return self
+
+    def __setitem__(self, idx, val):
+        super().__setitem__(idx, val)
+        self._trim()
 
 
 _GATE_CACHES: list = _BoundedCacheList()

@@ -84,12 +84,18 @@ def quarantine_heavy_keys(df: DataFrame, key: str,
     ``heavy`` is the (key, n_rows) quarantine report (same shape as
     :func:`top_heavy_keys`) for data-quality triage.
 
-    Cost: one map-side-combinable count aggregation plus a broadcast
-    anti-join — the heavy-key table has at most rows/threshold entries
-    by construction, so the broadcast hint is always safe.  The whole
-    guard stays lazy (no driver action); wire it behind the operators'
-    ``max_rows_per_key`` parameter, default off."""
+    Cost: one map-side-combinable count aggregation plus an anti-join
+    on the heavy-key table.  That table has at most rows/budget entries
+    by construction — small for any sane budget, but NOT always
+    driver-small: a tiny budget over a huge input (say 10 rows/key over
+    10^9 rows) admits up to 10^8 heavy keys, so the join carries no
+    forced broadcast hint.  AQE (on by default, session.py) sees the
+    post-aggregation runtime size and converts to a broadcast join
+    exactly when the table is actually small; when it is not, a forced
+    hint would OOM the driver where a shuffled anti-join succeeds.
+    The whole guard stays lazy (no driver action); wire it behind the
+    operators' ``max_rows_per_key`` parameter, default off."""
     heavy = (df.groupBy(key).agg(F.count("*").alias("n_rows"))
              .filter(F.col("n_rows") > max_rows_per_key))
-    kept = df.join(F.broadcast(heavy.select(key)), key, "left_anti")
+    kept = df.join(heavy.select(key), key, "left_anti")
     return kept, heavy

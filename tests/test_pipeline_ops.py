@@ -1668,3 +1668,19 @@ def test_heavy_key_quarantine_guard(spark):
     # kept/heavy partition the input by key
     kept, heavy = quarantine_heavy_keys(e, "user_id", 10)
     assert kept.count() == 3 and heavy.count() == 1
+    # r8 advisory: the heavy_out out-param surfaces the quarantine
+    # report (no silent drop, no second scan) from both operators
+    rep_bands: list = []
+    with_bands(ts, max_rows_per_key=10, heavy_out=rep_bands).collect()
+    assert len(rep_bands) == 1
+    assert [(r.key, r.n_rows) for r in rep_bands[0].collect()] == \
+        [("hot", 50)]
+    rep_funnel: list = []
+    funnel(e, ["a", "b"], max_rows_per_key=10,
+           heavy_out=rep_funnel).collect()
+    assert [(r.user_id, r.n_rows) for r in rep_funnel[0].collect()] == \
+        [(9, 40)]
+    # without the guard the out-param stays untouched
+    untouched: list = []
+    with_bands(ts, heavy_out=untouched).collect()
+    assert untouched == []

@@ -59,3 +59,26 @@ def test_gate_cache_registry_bounded_without_release(spark):
     g.release_gate_caches()
     assert len(g._GATE_CACHES) == 0
     assert all(f.storageLevel.useMemory is False for f in frames)
+
+
+def test_gate_cache_registry_caps_every_mutation_path(spark):
+    """r8 advisory: the cap must hold for extend/insert/+=/slice
+    assignment too, not just append — any growth path a third-party
+    caller uses trims (and unpersists) down to maxlen."""
+    from cantera_table_spark import gate as g
+    g.release_gate_caches()
+    cap = g._BoundedCacheList.maxlen
+    frames = [spark.range(i + 1).cache() for i in range(cap + 4)]
+    for f in frames:
+        f.count()
+    g._GATE_CACHES.extend(frames)            # bulk registration
+    assert len(g._GATE_CACHES) == cap
+    assert all(f.storageLevel.useMemory is False for f in frames[:4])
+    extra = spark.range(100).cache()
+    extra.count()
+    g._GATE_CACHES += [extra]                 # __iadd__
+    assert len(g._GATE_CACHES) == cap
+    g._GATE_CACHES.insert(0, extra)           # insert
+    assert len(g._GATE_CACHES) == cap
+    g.release_gate_caches()
+    assert len(g._GATE_CACHES) == 0
