@@ -42,6 +42,35 @@ STATE_SCHEMA = T.StructType([
     T.StructField("total_value", T.DoubleType()),
 ])
 
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider")
+
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def ensure_state_store_provider(spark, provider_class: str =
+                                ROCKSDB_STATE_STORE_PROVIDER) -> None:
+    """Set and VERIFY the streaming state-store provider on the
+    session.  Session-state-heavy operators (append-mode
+    ``session_window``) retain every unemitted session in state; the
+    default HDFS-backed provider keeps that state ON-HEAP, and the
+    measured 1024x replay OOMs a 32g heap where RocksDB (native
+    memory + disk) completes (SCALE.md, streaming scaling).  This
+    helper is the library-side switch so callers adopting the fast
+    path do not have to know the provider class string.  Raises
+    ``RuntimeError`` when the conf cannot be applied (e.g. a cluster
+    that pins it via a non-modifiable conf entry) rather than letting
+    the query run into the on-heap OOM."""
+    spark.conf.set(_STATE_STORE_KEY, provider_class)
+    got = spark.conf.get(_STATE_STORE_KEY, None)
+    if got != provider_class:
+        raise RuntimeError(
+            f"could not apply {_STATE_STORE_KEY}={provider_class} "
+            f"(session reports {got!r}); set it in the cluster conf "
+            "or pass state_store=None to manage the state store "
+            "yourself")
+
 
 def sessionize_batch(events: DataFrame, gap_seconds: int = 1800
                      ) -> DataFrame:
@@ -69,7 +98,9 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800
 
 
 def sessionize_stream_native(events: DataFrame, gap_seconds: int = 1800,
-                             watermark: str = "1 hour") -> DataFrame:
+                             watermark: str = "1 hour",
+                             state_store: str | None = "rocksdb"
+                             ) -> DataFrame:
     """JVM-native gap sessionization: ``F.session_window`` (Spark 3.2+)
     instead of the ``applyInPandasWithState`` fold — no Arrow boundary,
     state merge entirely inside the JVM aggregation operator.
@@ -97,7 +128,23 @@ def sessionize_stream_native(events: DataFrame, gap_seconds: int = 1800,
     in tests/test_streaming_ab.py).  Use this form when watermark-gated
     emission latency is acceptable — it keeps the whole pipeline
     JVM-side, the scale lever for the heaviest streaming path
-    (SCALE.md records the measured speedup)."""
+    (SCALE.md records the measured speedup).
+
+    ``state_store`` (streaming inputs only; ignored for batch frames,
+    which involve no state store): append-mode session state holds
+    EVERY session the watermark has not passed, and on the default
+    HDFS-backed provider that state is ON-HEAP — the measured 1024x
+    replay OOMs a 32g heap there while RocksDB completes (SCALE.md).
+    The default ``"rocksdb"`` therefore applies
+    :func:`ensure_state_store_provider` to the frame's session before
+    building the plan (raising if the conf cannot take effect); pass a
+    fully-qualified provider class to use a different store, or
+    ``None`` to leave the session conf untouched and accept the
+    documented on-heap OOM risk at volume."""
+    if state_store is not None and events.isStreaming:
+        provider = (ROCKSDB_STATE_STORE_PROVIDER
+                    if state_store == "rocksdb" else state_store)
+        ensure_state_store_provider(events.sparkSession, provider)
     return (events.filter(F.col("ts").isNotNull())
             .withWatermark("ts", watermark)
             .groupBy("user_id",

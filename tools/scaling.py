@@ -356,23 +356,24 @@ def main():
         # fold (state = one open session per user, gap-closed sessions
         # emitted eagerly) completes.  RocksDB is the state store that
         # session-window class of state runs on in production (native
-        # memory + disk, not heap) — configured here per-query.
+        # memory + disk, not heap) — applied by the operator's own
+        # state_store="rocksdb" default (sessionize.py).
         from cantera_table_spark.streaming.sessionize import (
-            sessionize_stream_native)
+            _STATE_STORE_KEY, sessionize_stream_native)
         src = _restream(e).select("user_id", "ts", "value")
-        key = "spark.sql.streaming.stateStore.providerClass"
-        rocks = ("org.apache.spark.sql.execution.streaming.state."
-                 "RocksDBStateStoreProvider")
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, rocks)
+        # the operator's default state_store="rocksdb" now applies the
+        # provider itself (r9, lifted out of this harness); the harness
+        # only restores the previous conf so later measures see the
+        # session they started with
+        prev = spark.conf.get(_STATE_STORE_KEY, None)
         try:
             _run_stream(sessionize_stream_native(src, gap_seconds=1800),
                         "sessnat")
         finally:
             if prev:
-                spark.conf.set(key, prev)
+                spark.conf.set(_STATE_STORE_KEY, prev)
             else:
-                spark.conf.unset(key)
+                spark.conf.unset(_STATE_STORE_KEY)
 
     def stream_rollup(e):
         # st02 shape at scale: watermarked event-time windowed agg —
