@@ -23,18 +23,60 @@ from pyspark.sql import functions as F
 from cantera_table_spark.sources.ingest import _unescape_tsv
 
 
+def _timeseries_projection(raw: DataFrame, date_format: str) -> DataFrame:
+    """Shared parse for every timeseries stream source: TSV key
+    unescape, timestamp parse, drop unparseable rows.  ``raw`` has
+    string columns (key, date, value) — the file source gets them from
+    the CSV reader's schema, the Kafka source from splitting the
+    record value; both meet here so the two edges cannot drift."""
+    return (raw.select(_unescape_tsv(F.col("key")).alias("key"),
+                       F.try_to_timestamp(F.col("date"),
+                                          F.lit(date_format)).alias("ts"),
+                       F.col("value").cast("double").alias("value"))
+            .filter(F.col("ts").isNotNull()))
+
+
 def stream_tsv_timeseries(spark: SparkSession, path: str,
                           date_format: str = "yyyy-MM-dd HH:mm:ss",
                           ) -> DataFrame:
     """Streaming variant of sources.ingest.read_tsv_timeseries: a file
     source watching ``path`` for new TSV drops."""
     raw = (spark.readStream.option("sep", "\t").option("quote", "")
-           .schema("key string, date string, value double")
+           .schema("key string, date string, value string")
            .csv(path))
-    return (raw.select(_unescape_tsv(F.col("key")).alias("key"),
-                       F.try_to_timestamp(F.col("date"), F.lit(date_format)).alias("ts"),
-                       "value")
-            .filter(F.col("ts").isNotNull()))
+    return _timeseries_projection(raw, date_format)
+
+
+def stream_kafka_timeseries(spark: SparkSession, bootstrap_servers: str,
+                            topic: str,
+                            date_format: str = "yyyy-MM-dd HH:mm:ss",
+                            starting_offsets: str = "earliest",
+                            ) -> DataFrame:
+    """Kafka variant of :func:`stream_tsv_timeseries`: each record
+    value is one TSV line ``key\\tdate\\tvalue`` (exactly what the
+    batch ingest reads from stdin dumps), parsed by the SAME projection
+    as the file source — the other half of the documented "file/Kafka
+    source" edge.
+
+    Requires the ``spark-sql-kafka`` connector package on the session
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    without it ``.load()`` raises Spark's "Failed to find data source:
+    kafka" at plan-build time, so the failure is immediate and clear
+    rather than at query start.  Partitioning posture: one input
+    partition per Kafka topic-partition (use ``minPartitions`` to fan
+    out hotter topics); everything downstream is the shared projection,
+    so the rollup/sink plans are identical to the file edge's."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    parts = F.split(F.col("value").cast("string"), "\t", 3)
+    return _timeseries_projection(
+        raw.select(parts[0].alias("key"),
+                   parts[1].alias("date"),
+                   parts[2].alias("value")),
+        date_format)
 
 
 def windowed_rollup(stream: DataFrame, window: str = "1 hour",

@@ -218,3 +218,50 @@ def test_tsv_postings_with_scores(spark, tmpdir):
     df = read_tsv_postings(spark, p, docs, score_col=True, threshold=1.0)
     rows = [(r.keyword, r.doc_id, r.score) for r in df.collect()]
     assert rows == [("kw", 0, 2.5)]   # threshold drops the 0.1 posting
+
+
+def test_kafka_source_constructor_and_shared_projection(spark, tmpdir):
+    """The Kafka edge (r8 verdict item 4; no broker in the sandbox so
+    this is a plan/parse test, not e2e): (a) the value-line split +
+    shared projection parses exactly like the file edge, escapes and
+    unparseable-date drops included; (b) the constructor fails FAST
+    and clearly when the kafka connector package is absent (or, were
+    it present, builds a streaming plan)."""
+    from cantera_table_spark.streaming.ingest import (
+        _timeseries_projection, stream_kafka_timeseries,
+        stream_tsv_timeseries)
+    lines = [
+        "a\\tkey\t2024-01-01 00:10:00\t1.5",   # escaped tab in key
+        "plain\t2024-01-01 00:20:00\t2.0",
+        "bad\tnot-a-date\t3.0",                 # dropped by the parse
+    ]
+    # the Kafka path's parse: split the record value, shared projection
+    vals = spark.createDataFrame([(v,) for v in lines], "value string")
+    parts = F.split(F.col("value"), "\t", 3)
+    got = _timeseries_projection(
+        vals.select(parts[0].alias("key"), parts[1].alias("date"),
+                    parts[2].alias("value")), "yyyy-MM-dd HH:mm:ss")
+    rows = sorted((r.key, str(r.ts), r.value) for r in got.collect())
+    assert rows == [("a\tkey", "2024-01-01 00:10:00", 1.5),
+                    ("plain", "2024-01-01 00:20:00", 2.0)]
+    # identical rows through the file edge (same projection by
+    # construction; this pins the no-drift claim end-to-end)
+    src = os.path.join(tmpdir, "kafka_parity")
+    os.makedirs(src)
+    write_lines(os.path.join(src, "b.tsv"), lines)
+    fstream = stream_tsv_timeseries(spark, src)
+    q = (fstream.writeStream.format("memory").queryName("kafka_parity")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    frows = sorted((r.key, str(r.ts), r.value) for r in
+                   spark.sql("SELECT * FROM kafka_parity").collect())
+    assert frows == rows
+    # constructor: either the connector is present (streaming frame
+    # with the projected schema) or .load() names the missing source
+    try:
+        kstream = stream_kafka_timeseries(spark, "localhost:9092", "t")
+    except Exception as e:
+        assert "kafka" in str(e).lower()
+    else:
+        assert kstream.isStreaming
+        assert [f.name for f in kstream.schema] == ["key", "ts", "value"]
