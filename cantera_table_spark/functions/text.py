@@ -457,7 +457,52 @@ def ppl_buckets(df: DataFrame, text_col: str = "text",
             .select(id_col, "avg_nll", "ppl_bucket"))
 
 
-def wordpiece_encode_words(words: DataFrame, vocab: list,
+def wordpiece_vocab_file(docs: DataFrame, path: str,
+                         text_col: str = "text", min_count: int = 20,
+                         max_piece_len: int = 8) -> str:
+    """Derive and PERSIST the tokenizer vocab — the "tokenizer file"
+    artifact every production tokenizer ships: frequent whole words
+    (``count >= min_count``, ``len <= max_piece_len``) plus the 26
+    single characters, written as a one-column parquet table
+    (``piece string``).  One map-side-combinable count aggregation and
+    one write job, NO driver collect — the vocab never rides the
+    driver.  Idempotent: if ``path`` already holds a completed write
+    (``_SUCCESS`` marker) it is reused, so repeated gate runs derive
+    once and read thereafter.  Returns ``path``.
+    """
+    import os
+    import string
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        vdf = (docs.select(F.explode(tokens(F.col(text_col)))
+                           .alias("piece"))
+               .groupBy("piece").agg(F.count("*").alias("c"))
+               .filter((F.col("c") >= min_count) &
+                       (F.length("piece") <= max_piece_len))
+               .select("piece"))
+        chars = docs.sparkSession.createDataFrame(
+            [(c,) for c in string.ascii_lowercase], "piece string")
+        (vdf.union(chars).distinct().coalesce(1)
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _load_vocab_pieces(vocab_path: str) -> list:
+    """Worker-side vocab load (pyarrow, no Spark session needed): the
+    kernel opens the tokenizer file exactly the way a production
+    tokenizer does.  On a cluster the path must be worker-visible
+    (distributed FS / artifact store) — the same contract as any
+    tokenizer file."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(_glob.glob(f"{vocab_path}/*.parquet"))
+    return [p for f in parts
+            for p in pq.read_table(f).column("piece").to_pylist()]
+
+
+def wordpiece_encode_words(words: DataFrame, vocab: list | str,
                            word_col: str = "tok",
                            unk: str = "[UNK]") -> DataFrame:
     """Greedy longest-match subword encoding of a word table (the
@@ -470,8 +515,11 @@ def wordpiece_encode_words(words: DataFrame, vocab: list,
     The 100 TB trick is the INPUT, not the kernel: encode the DISTINCT
     word table (vocabulary-sized, like bpe_pair_stats) and join the
     corpus against the result — the corpus text itself never passes
-    through Python.  The kernel is an Arrow-batched mapInPandas with
-    the vocab as a closure set (tokenizer vocabularies are bounded
+    through Python.  The kernel is an Arrow-batched mapInPandas;
+    ``vocab`` is either an in-memory piece list or the PATH of a
+    persisted tokenizer file (:func:`wordpiece_vocab_file`) — with a
+    path, each worker loads the artifact itself and the vocab never
+    passes through the driver (tokenizer vocabularies are bounded
     artifacts — 30-250k pieces — exactly what production tokenizers
     ship as files).
 
@@ -479,10 +527,19 @@ def wordpiece_encode_words(words: DataFrame, vocab: list,
     """
     import pandas as pd
 
-    vset = frozenset(vocab)
-    max_len = max((len(p) for p in vocab), default=1)
+    vocab_path = vocab if isinstance(vocab, str) else None
+    vset, max_len = frozenset(), 1
+    if vocab_path is None:
+        vset = frozenset(vocab)
+        max_len = max((len(p) for p in vocab), default=1)
 
     def encode(batches):
+        if vocab_path is not None:
+            pieces_list = _load_vocab_pieces(vocab_path)
+            _vset = frozenset(pieces_list)
+            _max_len = max((len(p) for p in pieces_list), default=1)
+        else:
+            _vset, _max_len = vset, max_len
         for pdf in batches:
             out_p, out_n, out_u = [], [], []
             for w in pdf[word_col]:
@@ -490,9 +547,9 @@ def wordpiece_encode_words(words: DataFrame, vocab: list,
                 n_unk = 0
                 pos = 0
                 while pos < len(w):
-                    for l in range(min(max_len, len(w) - pos), 0, -1):
+                    for l in range(min(_max_len, len(w) - pos), 0, -1):
                         cand = w[pos:pos + l]
-                        if cand in vset:
+                        if cand in _vset:
                             pieces.append(cand)
                             pos += l
                             break
@@ -511,13 +568,15 @@ def wordpiece_encode_words(words: DataFrame, vocab: list,
                 "n_pieces int, n_unk int")
 
 
-def wordpiece_doc_stats(df: DataFrame, vocab: list,
+def wordpiece_doc_stats(df: DataFrame, vocab: list | str,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
-    """Per-document subword statistics under a fixed tokenizer vocab:
-    total piece count and UNK count — the real token accounting that
-    sequence packing and mixture budgeting consume (the whitespace
-    token count is the cheap approximation).
+    """Per-document subword statistics under a fixed tokenizer vocab
+    (an in-memory piece list, or the path of a persisted tokenizer
+    file — see :func:`wordpiece_encode_words`): total piece count and
+    UNK count — the real token accounting that sequence packing and
+    mixture budgeting consume (the whitespace token count is the cheap
+    approximation).
 
     One corpus shuffle builds the per-(doc, word) counts; the greedy
     encoder runs over DISTINCT words only; the final join multiplies

@@ -4377,19 +4377,23 @@ def tx17_wordpiece(spark, sf_dir):
     single characters), reported as per-doc piece/UNK counts.  The
     greedy kernel runs over DISTINCT words only (the corpus joins the
     encoded word table); the oracle replays the same greedy recurrence
-    as a recursive CTE.  The driver-side vocab collect is the bounded
-    tokenizer artifact every production tokenizer ships as a file."""
-    from cantera_table_spark.functions.text import wordpiece_doc_stats
+    as a recursive CTE.  The vocab is a PERSISTED tokenizer-file
+    artifact (wordpiece_vocab_file — derived once by a Spark write
+    job, loaded worker-side by the kernel): no driver collect anywhere
+    on the path, the way a production vocab is a file, not a query.
+    The artifact path embeds the documents table's mtime so regenerated
+    testdata re-derives instead of reusing a stale vocab."""
+    import os
+    from cantera_table_spark.functions.text import (wordpiece_doc_stats,
+                                                    wordpiece_vocab_file)
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(
-        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"),
-                 lambda x: x != "")).alias("tok"))
-    vdf = (tok.groupBy("tok").agg(F.count("*").alias("c"))
-           .filter((F.col("c") >= 20) & (F.length("tok") <= 8))
-           .select("tok"))
-    vocab = sorted({r["tok"] for r in vdf.collect()} |
-                   set("abcdefghijklmnopqrstuvwxyz"))
-    return wordpiece_doc_stats(docs, vocab)
+    try:
+        mtime = int(os.path.getmtime(
+            os.path.join(sf_dir, "documents.parquet")))
+    except OSError:
+        mtime = 0
+    path = _gate_tmp(sf_dir, f"wordpiece_vocab_{mtime}")
+    return wordpiece_doc_stats(docs, wordpiece_vocab_file(docs, path))
 
 
 @gate("tpch_q6_forecast", """

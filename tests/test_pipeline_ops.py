@@ -1472,6 +1472,38 @@ def test_wordpiece_greedy_laws(spark):
     assert stats == {1: (2 * 1 + 2, 0), 2: (0, 0)}
 
 
+def test_wordpiece_vocab_file_artifact(spark, tmpdir):
+    """r8 verdict item 5: the vocab as a persisted tokenizer-file
+    artifact — derived by a Spark write job (no driver collect),
+    loaded WORKER-side by the encode kernel, value-identical to the
+    in-memory list form, and reused (not re-derived) on a second run."""
+    import os
+    from cantera_table_spark.functions.text import (
+        wordpiece_doc_stats, wordpiece_vocab_file)
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 5) for i in range(25)] +
+        [(100, "zzq unseen")],
+        "doc_id long, text string")
+    path = os.path.join(tmpdir, "vocab")
+    got = wordpiece_vocab_file(docs, path, min_count=20, max_piece_len=8)
+    assert got == path and os.path.exists(os.path.join(path, "_SUCCESS"))
+    pieces = sorted(r.piece for r in spark.read.parquet(path).collect())
+    # frequent words (>= 20 occurrences) + the 26 single chars
+    for w in ["the", "cat", "sat", "mat", "on"]:
+        assert w in pieces
+    assert "zzq" not in pieces and "q" in pieces
+    # file form == list form on the full doc-stats path
+    by_list = sorted(map(tuple, wordpiece_doc_stats(docs, pieces)
+                         .collect()))
+    by_file = sorted(map(tuple, wordpiece_doc_stats(docs, path)
+                         .collect()))
+    assert by_list == by_file
+    # idempotent reuse: marker mtime unchanged by a second call
+    m1 = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    wordpiece_vocab_file(docs, path)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == m1
+
+
 def test_pq_dim_divisibility_guard(spark):
     # dim % m != 0 must raise, not silently truncate the trailing dims
     # (FAISS's d % m == 0 requirement)
