@@ -3,9 +3,10 @@ report the time ratio.  Near-linear ratios (<= ~N on a fixed-core box)
 are the evidence that plans stay shuffle/broadcast-sane as data grows —
 the local stand-in for the 100 TB posture.
 
-Usage: python tools/scaling.py [factor] [case1,case2,...]
+Usage: python tools/scaling.py [factor[,factor2,...]] [case1,case2,...]
 (default factor 16, all cases; a case filter also skips materializing
-the unused scaled inputs)
+the unused scaled inputs; several comma-separated factors run
+back-to-back in one session so per-doubling steps share a host window)
 """
 
 from __future__ import annotations
@@ -64,7 +65,16 @@ def timed(fn):
 
 
 def main():
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # "8192" (historical) or "8192,16384": with several factors every
+    # factor of a case runs back-to-back in THIS session, so the
+    # per-doubling ratio is computed within one host window.  Measured
+    # motivation (round 9): fresh-JVM invocations minutes apart swung
+    # retention 8192x between 56.7 s and 186.3 s (IO/reclaim pressure
+    # on the virtualized host), so a cross-invocation doubling factor
+    # can misread window drift as superlinearity — the same lesson as
+    # BASELINE.md's two-artifact bench protocol, applied here.
+    factors = ([int(f) for f in sys.argv[1].split(",")]
+               if len(sys.argv) > 1 else [16])
     case_filter = (set(sys.argv[2].split(","))
                    if len(sys.argv) > 2 else None)
     spark = get_spark("cantera-scaling")
@@ -566,17 +576,20 @@ def main():
         # output then writes with full parallelism and never shuffles
         # (a post-crossJoin repartition funnels factor x rows through
         # however few input splits the source parquet has)
-        (scaled(df.repartition(32), factor, idc)
-         .write.mode("overwrite").parquet(f"{WORK}/{name}_{factor}x"))
-        datasets[name] = (spark.read.parquet(f"{WORK}/{name}_1x"),
-                          spark.read.parquet(f"{WORK}/{name}_{factor}x"))
+        for f in factors:
+            (scaled(df.repartition(32), f, idc)
+             .write.mode("overwrite").parquet(f"{WORK}/{name}_{f}x"))
+        datasets[name] = (
+            spark.read.parquet(f"{WORK}/{name}_1x"),
+            {f: spark.read.parquet(f"{WORK}/{name}_{f}x")
+             for f in factors})
 
     # the SCALE.md sizing rule, applied automatically: 1x runs keep the
     # historical cores-sized shuffle; Nx runs get factor-sized initial
     # partitions (AQE coalesces small stages back down).  Plans are
     # identical — only the exchange's initial partition count moves.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_parts = sized_shuffle_partitions(factor, cpus)
+    n_parts = {f: sized_shuffle_partitions(f, cpus) for f in factors}
 
     def run_sized(fn, d, parts):
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -587,16 +600,26 @@ def main():
 
     results = {}
     for name, ds, fn in cases:
-        d1, dn = datasets[ds]
-        run_sized(fn, d1, cpus)      # warm both (plan compile, JIT) so
-        run_sized(fn, dn, n_parts)   # the ratio compares steady states
-        t1 = timed(lambda: run_sized(fn, d1, cpus))
-        tn = timed(lambda: run_sized(fn, dn, n_parts))
-        results[name] = {"t_1x": t1, f"t_{factor}x": tn,
-                         "ratio": round(tn / max(t1, 1e-9), 1)}
-        print(name, results[name])
+        d1, dns = datasets[ds]
+        run_sized(fn, d1, cpus)      # warm (plan compile, JIT) so the
+        t1 = timed(lambda: run_sized(fn, d1, cpus))  # ratio compares
+        row = {"t_1x": t1}                           # steady states
+        for f in sorted(factors):
+            dn = dns[f]
+            run_sized(fn, dn, n_parts[f])
+            tn = timed(lambda: run_sized(fn, dn, n_parts[f]))
+            row[f"t_{f}x"] = tn
+            row[f"ratio_{f}x"] = round(tn / max(t1, 1e-9), 1)
+        fs = sorted(factors)
+        for a, b in zip(fs, fs[1:]):
+            # same-session per-step factor between adjacent factors —
+            # the window-stable scaling signal
+            row[f"step_{a}x_to_{b}x"] = round(
+                row[f"t_{b}x"] / max(row[f"t_{a}x"], 1e-9), 2)
+        results[name] = row
+        print(name, row)
 
-    print(json.dumps({"factor": factor,
+    print(json.dumps({"factors": sorted(factors),
                       "shuffle_partitions_nx": n_parts,
                       "results": results}))
     spark.stop()
