@@ -473,7 +473,22 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
     import os
     import string
 
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _completed(p: str) -> bool:
+        # the write goes through Spark's Hadoop filesystem, so the
+        # idempotency probe must too — a driver-local os.path.exists
+        # never sees an hdfs://, s3a://, or non-driver-local marker
+        # and would re-derive + overwrite on every call (r9 review
+        # finding).  Local paths resolve through the same API.
+        try:
+            jvm = docs.sparkSession._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(
+                docs.sparkSession._jsc.hadoopConfiguration())
+            return bool(fs.exists(hpath))
+        except Exception:
+            return os.path.exists(p)
+
+    if not _completed(os.path.join(path, "_SUCCESS")):
         vdf = (docs.select(F.explode(tokens(F.col(text_col)))
                            .alias("piece"))
                .groupBy("piece").agg(F.count("*").alias("c"))
@@ -487,19 +502,57 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
     return path
 
 
+# process-level memo for worker-side vocab loads, keyed by the file
+# list + mtimes so a rewritten artifact invalidates: without it every
+# partition-task of an encode job re-reads the parquet and re-hashes
+# the piece set (~shuffle-partition-count redundant loads per job)
+_VOCAB_MEMO: dict = {}
+
+
 def _load_vocab_pieces(vocab_path: str) -> list:
     """Worker-side vocab load (pyarrow, no Spark session needed): the
     kernel opens the tokenizer file exactly the way a production
-    tokenizer does.  On a cluster the path must be worker-visible
-    (distributed FS / artifact store) — the same contract as any
-    tokenizer file."""
+    tokenizer does.  The path must be a worker-visible POSIX path
+    (local FS, NFS, or a fuse-mounted artifact store) — the same
+    contract as any tokenizer file a training job ships.  Raises
+    ``FileNotFoundError`` when the path holds no parquet parts: an
+    empty vocab would silently encode every word as [UNK], which is
+    never what a caller wants (r9 review finding)."""
     import glob as _glob
+    import os as _os
 
     import pyarrow.parquet as pq
 
-    parts = sorted(_glob.glob(f"{vocab_path}/*.parquet"))
-    return [p for f in parts
-            for p in pq.read_table(f).column("piece").to_pylist()]
+    parts = tuple(sorted(_glob.glob(f"{vocab_path}/*.parquet")))
+    if not parts:
+        raise FileNotFoundError(
+            f"no parquet vocab parts under {vocab_path!r} — not a "
+            "completed wordpiece_vocab_file artifact, or not a "
+            "worker-visible POSIX path")
+    key = (parts, tuple(_os.path.getmtime(f) for f in parts))
+    hit = _VOCAB_MEMO.get(vocab_path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    pieces = [p for f in parts
+              for p in pq.read_table(f).column("piece").to_pylist()]
+    _VOCAB_MEMO[vocab_path] = (key, pieces)
+    return pieces
+
+
+def _load_vocab_set(vocab_path: str) -> tuple:
+    """Memoized (frozenset, max piece length) view of the tokenizer
+    file — what the encode kernel actually needs.  Cached alongside
+    the piece list so repeat partition-tasks in one worker process
+    skip both the parquet read and the 30-250k-piece set build."""
+    _load_vocab_pieces(vocab_path)           # ensure/refresh the memo
+    entry = _VOCAB_MEMO[vocab_path]
+    if len(entry) == 2:                      # (key, pieces) — add view
+        key, pieces = entry
+        vset = frozenset(pieces)
+        max_len = max((len(p) for p in pieces), default=1)
+        _VOCAB_MEMO[vocab_path] = (key, pieces, vset, max_len)
+    _, _, vset, max_len = _VOCAB_MEMO[vocab_path]
+    return vset, max_len
 
 
 def wordpiece_encode_words(words: DataFrame, vocab: list | str,
@@ -535,9 +588,7 @@ def wordpiece_encode_words(words: DataFrame, vocab: list | str,
 
     def encode(batches):
         if vocab_path is not None:
-            pieces_list = _load_vocab_pieces(vocab_path)
-            _vset = frozenset(pieces_list)
-            _max_len = max((len(p) for p in pieces_list), default=1)
+            _vset, _max_len = _load_vocab_set(vocab_path)
         else:
             _vset, _max_len = vset, max_len
         for pdf in batches:

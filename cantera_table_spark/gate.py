@@ -123,38 +123,76 @@ class _BoundedCacheList(list):
     count (max observed: 2), so in-gate correctness and the two
     in-repo draining consumers see no behavior change.  Every
     LENGTH-GROWING mutation enforces the cap (append/extend/insert/
-    ``+=``/slice assignment), not just append — a third-party caller
-    bulk-registering via ``extend`` must not bypass the bound."""
+    ``+=``/``*=``/slice assignment), not just append — a third-party
+    caller bulk-registering via ``extend`` must not bypass the bound.
+    Trim never evicts a frame the current mutation just registered
+    (eviction is oldest-first among the REST), and REPLACED entries
+    (item/slice assignment) are unpersisted as they leave the
+    registry — a displaced frame nothing tracks anymore would
+    otherwise stay cached forever, the exact leak the cap exists to
+    bound (r9 review findings)."""
 
     maxlen = 8
 
-    def _trim(self):
+    def _trim(self, protect=()):
+        protect_ids = {id(p) for p in protect}
         while len(self) > self.maxlen:
-            old = super().pop(0)
+            idx = next((i for i, e in enumerate(self)
+                        if id(e) not in protect_ids), 0)
+            old = super().pop(idx)
             try:
                 old.unpersist()
             except Exception:
                 pass
 
+    @staticmethod
+    def _unpersist_all(entries):
+        for e in entries:
+            try:
+                e.unpersist()
+            except Exception:
+                pass
+
     def append(self, df):
         super().append(df)
-        self._trim()
+        self._trim(protect=(df,))
 
     def extend(self, dfs):
+        dfs = list(dfs)
         super().extend(dfs)
-        self._trim()
+        self._trim(protect=dfs)
 
     def insert(self, idx, df):
         super().insert(idx, df)
-        self._trim()
+        self._trim(protect=(df,))
 
     def __iadd__(self, dfs):
         self.extend(dfs)
         return self
 
+    def __imul__(self, n):
+        if n <= 0:
+            self._unpersist_all(list(self))
+            super().clear()
+            return self
+        added = list(self) * (n - 1)
+        super().extend(added)
+        self._trim(protect=added)
+        return self
+
     def __setitem__(self, idx, val):
+        if isinstance(idx, slice):
+            val = list(val)      # materialize before the base consumes
+        displaced = self[idx]    # a one-shot iterable (protect needs it)
         super().__setitem__(idx, val)
-        self._trim()
+        # unpersist what the assignment displaced (slice: the whole
+        # replaced run; scalar: one entry) unless it is still present
+        # elsewhere in the registry (duplicate registrations)
+        gone = (displaced if isinstance(idx, slice) else [displaced])
+        still = {id(e) for e in self}
+        self._unpersist_all([e for e in gone if id(e) not in still])
+        self._trim(protect=(list(val) if isinstance(idx, slice)
+                            else (val,)))
 
 
 _GATE_CACHES: list = _BoundedCacheList()

@@ -71,7 +71,14 @@ def stream_kafka_timeseries(spark: SparkSession, bootstrap_servers: str,
            .option("subscribe", topic)
            .option("startingOffsets", starting_offsets)
            .load())
-    parts = F.split(F.col("value").cast("string"), "\t", 3)
+    # no split limit: the file edge's CSV reader DROPS tokens beyond
+    # its 3-column schema, so a trailing-extra-field line must parse
+    # to the same (key, date, value) here — a limit-3 split would fold
+    # the extras into the value string and null it at the double cast,
+    # silently diverging from the file edge on exactly the malformed
+    # lines parity matters for (probed: both edges now yield value=2.0
+    # for "k\tdate\t2.0\textra")
+    parts = F.split(F.col("value").cast("string"), "\t")
     return _timeseries_projection(
         raw.select(parts[0].alias("key"),
                    parts[1].alias("date"),

@@ -58,10 +58,33 @@ def ensure_state_store_provider(spark, provider_class: str =
     measured 1024x replay OOMs a 32g heap where RocksDB (native
     memory + disk) completes (SCALE.md, streaming scaling).  This
     helper is the library-side switch so callers adopting the fast
-    path do not have to know the provider class string.  Raises
+    path do not have to know the provider class string.
+
+    The conf is SESSION-GLOBAL: Spark reads it at query START, so it
+    applies to every streaming query started on this session
+    afterwards, and an existing checkpointed query must NOT be
+    restarted under a different provider than it was created with
+    (state formats are incompatible).  Two guards follow from that
+    (r9 review finding): a provider the caller already set EXPLICITLY
+    to something else raises a conflict instead of being silently
+    replaced — pass ``state_store=None`` at the call site (or align
+    the session conf) to resolve; and mixed-provider applications
+    should give each pipeline its own ``spark.newSession()`` (child
+    sessions have independent runtime conf).  Also raises
     ``RuntimeError`` when the conf cannot be applied (e.g. a cluster
     that pins it via a non-modifiable conf entry) rather than letting
     the query run into the on-heap OOM."""
+    current = spark.conf.get(_STATE_STORE_KEY, None)
+    if current == provider_class:
+        return
+    if current is not None:
+        raise RuntimeError(
+            f"{_STATE_STORE_KEY} is already set to {current!r}; "
+            f"refusing to replace it with {provider_class!r} behind "
+            "your back — restarting an existing checkpointed query "
+            "under a different provider is unsupported.  Pass "
+            "state_store=None to keep your setting, or use a "
+            "separate spark.newSession() per provider")
     spark.conf.set(_STATE_STORE_KEY, provider_class)
     got = spark.conf.get(_STATE_STORE_KEY, None)
     if got != provider_class:

@@ -234,15 +234,20 @@ def test_kafka_source_constructor_and_shared_projection(spark, tmpdir):
         "a\\tkey\t2024-01-01 00:10:00\t1.5",   # escaped tab in key
         "plain\t2024-01-01 00:20:00\t2.0",
         "bad\tnot-a-date\t3.0",                 # dropped by the parse
+        "extra\t2024-01-01 00:30:00\t4.0\ttrailing\tfields",
+        # ^ both edges must DROP the trailing tokens (the CSV reader's
+        # 3-column schema does; a limit-3 split would fold them into
+        # the value and null it at the cast — the r9 review finding)
     ]
     # the Kafka path's parse: split the record value, shared projection
     vals = spark.createDataFrame([(v,) for v in lines], "value string")
-    parts = F.split(F.col("value"), "\t", 3)
+    parts = F.split(F.col("value"), "\t")
     got = _timeseries_projection(
         vals.select(parts[0].alias("key"), parts[1].alias("date"),
                     parts[2].alias("value")), "yyyy-MM-dd HH:mm:ss")
     rows = sorted((r.key, str(r.ts), r.value) for r in got.collect())
     assert rows == [("a\tkey", "2024-01-01 00:10:00", 1.5),
+                    ("extra", "2024-01-01 00:30:00", 4.0),
                     ("plain", "2024-01-01 00:20:00", 2.0)]
     # identical rows through the file edge (same projection by
     # construction; this pins the no-drift claim end-to-end)

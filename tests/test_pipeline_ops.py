@@ -1504,6 +1504,39 @@ def test_wordpiece_vocab_file_artifact(spark, tmpdir):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == m1
 
 
+def test_vocab_load_fails_fast_and_memoizes(spark, tmpdir):
+    """r9 review findings: a path with no parquet parts raises (an
+    empty vocab would silently all-UNK every word), and the worker-side
+    load memoizes per process but invalidates when the artifact is
+    rewritten (file list/mtime key)."""
+    import os
+    import pytest
+    from cantera_table_spark.functions.text import (
+        _load_vocab_pieces, _load_vocab_set, wordpiece_vocab_file)
+    with pytest.raises(FileNotFoundError, match="vocab parts"):
+        _load_vocab_pieces(os.path.join(tmpdir, "nope"))
+    docs = spark.createDataFrame(
+        [(i, "aa bb " * 30) for i in range(25)],
+        "doc_id long, text string")
+    path = os.path.join(tmpdir, "v1")
+    wordpiece_vocab_file(docs, path, min_count=20)
+    p1 = _load_vocab_pieces(path)
+    assert _load_vocab_pieces(path) is p1            # memo hit
+    vset, max_len = _load_vocab_set(path)
+    assert "aa" in vset and max_len >= 2
+    assert _load_vocab_set(path) == (vset, max_len)  # cached view
+    # rewrite the artifact -> the memo must invalidate (new content)
+    import shutil
+    shutil.rmtree(path)
+    docs2 = spark.createDataFrame(
+        [(i, "cc dd " * 30) for i in range(25)],
+        "doc_id long, text string")
+    wordpiece_vocab_file(docs2, path, min_count=20)
+    p2 = _load_vocab_pieces(path)
+    assert p2 is not p1 and "cc" in p2 and "aa" not in p2
+    assert "cc" in _load_vocab_set(path)[0]
+
+
 def test_pq_dim_divisibility_guard(spark):
     # dim % m != 0 must raise, not silently truncate the trailing dims
     # (FAISS's d % m == 0 requirement)

@@ -82,3 +82,72 @@ def test_gate_cache_registry_caps_every_mutation_path(spark):
     assert len(g._GATE_CACHES) == cap
     g.release_gate_caches()
     assert len(g._GATE_CACHES) == 0
+
+
+def test_gate_cache_registry_eviction_and_replacement(spark):
+    """r9 review findings: trim must never evict the frame the current
+    mutation just registered (insert at the front included), replaced
+    entries (item/slice assignment) are unpersisted as they leave the
+    registry, and ``*=`` cannot grow past the cap either."""
+    from cantera_table_spark import gate as g
+    g.release_gate_caches()
+    cap = g._BoundedCacheList.maxlen
+    frames = [spark.range(i + 1).cache() for i in range(cap)]
+    for f in frames:
+        f.count()
+        g._GATE_CACHES.append(f)
+    fresh = spark.range(200).cache()
+    fresh.count()
+    g._GATE_CACHES.insert(0, fresh)           # at capacity, at front
+    assert len(g._GATE_CACHES) == cap
+    # the just-inserted frame SURVIVES; the oldest other entry went
+    assert fresh.storageLevel.useMemory
+    assert g._GATE_CACHES[0] is fresh
+    assert frames[0].storageLevel.useMemory is False
+    # scalar replacement unpersists the displaced frame
+    repl = spark.range(300).cache()
+    repl.count()
+    displaced = g._GATE_CACHES[1]
+    g._GATE_CACHES[1] = repl
+    assert displaced.storageLevel.useMemory is False
+    assert repl.storageLevel.useMemory
+    # slice replacement unpersists the whole displaced run
+    r2 = spark.range(400).cache()
+    r2.count()
+    displaced_run = list(g._GATE_CACHES[2:4])
+    g._GATE_CACHES[2:4] = [r2]
+    assert all(e.storageLevel.useMemory is False for e in displaced_run)
+    # *= enforces the cap too (docstring's every-growth-path claim)
+    g._GATE_CACHES *= 3
+    assert len(g._GATE_CACHES) == cap
+    g.release_gate_caches()
+    assert len(g._GATE_CACHES) == 0
+
+
+def test_native_state_store_conflict_raises(spark):
+    """r9 review finding: an EXPLICIT different provider already on the
+    session must raise a conflict, not be silently replaced — the conf
+    is session-global and a checkpointed query cannot change provider
+    between restarts."""
+    import pytest
+
+    from cantera_table_spark.streaming.sessionize import (
+        _STATE_STORE_KEY, ensure_state_store_provider)
+    prev = spark.conf.get(_STATE_STORE_KEY, None)
+    try:
+        spark.conf.set(_STATE_STORE_KEY, "com.example.OtherProvider")
+        with pytest.raises(RuntimeError, match="already set"):
+            ensure_state_store_provider(spark)
+        # matching value: no-op, no raise
+        from cantera_table_spark.streaming.sessionize import (
+            ROCKSDB_STATE_STORE_PROVIDER)
+        spark.conf.set(_STATE_STORE_KEY, ROCKSDB_STATE_STORE_PROVIDER)
+        ensure_state_store_provider(spark)
+    finally:
+        if prev:
+            spark.conf.set(_STATE_STORE_KEY, prev)
+        else:
+            try:
+                spark.conf.unset(_STATE_STORE_KEY)
+            except Exception:
+                pass
