@@ -10,10 +10,9 @@ from __future__ import annotations
 
 import bisect
 import json
-import math
 from typing import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cantera_table_spark.dsl import ast
@@ -201,8 +200,15 @@ class Engine:
             return []
         if mode == "approx":
             # reconcile the sample estimate with what the page proved:
-            # at least offset + len(page) rows exist
-            total = max(total, stmt.offset + len(rows))
+            # an under-full page (or a dump-all page) means the result
+            # ENDED inside it, so the exact total is known and beats
+            # the estimate in both directions (r9 review finding — a
+            # 3-doc result with frac 0.05 could otherwise report
+            # result-count 20); a full page only proves a lower bound
+            if stmt.limit < 0 or len(rows) < stmt.limit:
+                total = stmt.offset + len(rows)
+            else:
+                total = max(total, stmt.offset + len(rows))
 
         if stmt.keys_only:
             return [r["key"] for r in rows]

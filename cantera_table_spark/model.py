@@ -110,12 +110,45 @@ class Catalog:
         return df
 
     def override(self) -> DataFrame | None:
+        """One row per key with every override body MERGED in table
+        order, so the query/export join stays 1:1.
+
+        The reference appends each table's override body to the result
+        object and lets the client's later-keys-win JSON semantics
+        resolve collisions (query.cc:862-890).  A bare union here
+        reproduces the bodies but breaks the join cardinality: a key
+        present in several override tables (or streamed correction
+        batches — streaming/ingest.py routes late corrections to an
+        overrides table) would MULTIPLY page/export rows, duplicating
+        documents and overrunning LIMIT (r9 review finding).  Instead,
+        brace-stripped bodies concatenate into ONE JSON object per key
+        in table order — duplicate JSON keys resolve last-wins at
+        json.loads exactly like the reference's client contract.
+        Within one table, equal keys order by body for determinism
+        (the reference's tables are uniquely keyed; streamed batches
+        should carry their ordering in the body if it matters)."""
         if not self.overrides:
             return None
-        df = self.overrides[0]
-        for other in self.overrides[1:]:
-            df = df.unionByName(other, allowMissingColumns=True)
-        return df
+        dfs = [t.select("key", "doc").withColumn("__ord", F.lit(i))
+               for i, t in enumerate(self.overrides)]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        body = F.when(F.col("doc").startswith("{"),
+                      F.expr("substring(doc, 2, length(doc) - 2)")
+                      ).otherwise(F.col("doc"))
+        per = (df.select("key", "__ord", body.alias("__body"))
+               .filter(F.length(F.trim(F.col("__body"))) > 0))
+        return (per.groupBy("key")
+                .agg(F.concat(
+                    F.lit("{"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__ord", "__body"))),
+                            lambda s: s["__body"]),
+                        ","),
+                    F.lit("}")).alias("doc")))
 
     def _match_kind(self, key: str, kind: str) -> bool:
         """reference keywords.h:18-45 — prefix match, or full regex

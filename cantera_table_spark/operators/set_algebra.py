@@ -18,8 +18,10 @@ Duplicate semantics are transcribed from the reference's merge loops:
 - theta GT/LT (Join template, query.cc:139-164): element-wise pairing
   within an offset run (both cursors advance together), keep lhs element
   when filter(l.score, r.score) holds.
-- ORDER BY (query.cc:519-547): lhs score := first rhs score per offset;
-  -inf for lhs-only offsets.
+- ORDER BY (query.cc:519-547): the merge advances BOTH cursors on a
+  match, so duplicate runs pair element-wise by rank (lhs[i] takes
+  rhs[i]'s score); lhs elements beyond the rhs run, and lhs-only
+  offsets, get -inf.
 
 The reference's intra-offset run order is physical storage order.  A
 distributed engine has no such order, so this module fixes the canonical
@@ -173,8 +175,20 @@ def sample(df: DataFrame, n: int, seed: int = 1234) -> DataFrame:
     *different* sample than the reference — documented divergence
     (SURVEY.md §2.5 T3).
     """
-    rank = F.pmod(F.col(_DOC) * F.lit(2654435761) + F.lit(seed),
-                  F.lit(4294967296))
+    # (doc_id * K + seed) mod 2^32, computed WITHOUT the int64 multiply
+    # overflowing: a plain doc_id * K throws ARITHMETIC_OVERFLOW under
+    # Spark's default ANSI mode once doc_id >= 2^63/K ≈ 3.47e9 — i.e.
+    # any corpus past ~3.5B documents crashes every RANDOM_SAMPLE (r9
+    # review finding).  Split the low 32 bits (only they matter mod
+    # 2^32) into 16-bit halves so every intermediate stays < 2^48:
+    #   (d*K) mod 2^32 = (lo16*K + ((hi16*K) mod 2^16)*2^16) mod 2^32
+    # Value-identical to the old formula for every doc_id (the fuzz
+    # model and oracle gates pin the sampled sets unchanged).
+    k = F.lit(2654435761)
+    lo16 = F.col(_DOC).bitwiseAND(F.lit(65535))
+    hi16 = F.shiftright(F.col(_DOC), 16).bitwiseAND(F.lit(65535))
+    rank = F.pmod(lo16 * k + F.pmod(hi16 * k, F.lit(65536)) * F.lit(65536)
+                  + F.lit(seed), F.lit(4294967296))
     # score joins the tiebreak so duplicate rows of one doc at the limit
     # boundary cut deterministically too
     return (df.orderBy(rank.asc(), F.col(_DOC).asc(),

@@ -298,3 +298,76 @@ def test_unique_elision_fuzz_matches_general_path(spark, tree, seed,
                    gen.process_query(tree, use_max=use_max).collect())
     assert got_u == got_g
     assert len({d for d, _ in got_u}) == len(got_u)   # duplicate-free
+
+
+def test_multi_override_tables_merge_one_row_per_key(spark):
+    """r9 review finding: a key present in SEVERAL override tables (or
+    streamed correction batches) must patch as ONE page row with every
+    body applied in table order (later wins — the reference appends all
+    bodies and the client's JSON last-key-wins resolves:
+    query.cc:862-890), never multiply the page/export rows."""
+    postings = spark.createDataFrame(
+        [("alpha", 0, 2.0), ("alpha", 1, 1.0)],
+        "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame(
+        [(0, "d0", '{"title":"zero","rank":3}'), (1, "d1", '{}')],
+        "doc_id long, key string, doc string")
+    ov1 = spark.createDataFrame(
+        [("d0", '{"title":"patch-1","first":1}')], "key string, doc string")
+    ov2 = spark.createDataFrame(
+        [("d0", '{"title":"patch-2","second":2}')], "key string, doc string")
+    cat = Catalog(summaries=[docs], indexes=[postings],
+                  overrides=[ov1, ov2])
+    eng = Engine(cat, unique_postings=True)
+    res = eng.execute_script("QUERY (alpha) LIMIT 2;")[0]
+    # exactly two rows (LIMIT respected, no join multiplication) and
+    # the count agrees with the materialized result
+    assert res["result-count"] == 2 and len(res["result"]) == 2
+    r0 = next(r for r in res["result"] if r["_key"] == "d0")
+    # later table wins on the collision; both non-colliding fields land
+    assert r0["title"] == "patch-2"
+    assert r0["first"] == 1 and r0["second"] == 2
+    assert r0["rank"] == 3                      # base summary retained
+    # export: one line per doc, both bodies appended in table order
+    import json as _json
+    lines = {r.doc_id: r.result_json
+             for r in eng.export_results(
+                 __import__("cantera_table_spark.dsl.parser",
+                            fromlist=["parse_query"])
+                 .parse_query("alpha")).collect()}
+    assert len(lines) == 2
+    obj = _json.loads(lines[0])
+    assert obj["title"] == "patch-2" and obj["first"] == 1 \
+        and obj["second"] == 2
+
+
+def test_approx_count_underfull_page_is_exact(spark, catalog):
+    """r9 review finding: when the page comes back under-full (or
+    LIMIT -1 dumps everything), the result ended inside it — the
+    approx envelope must report the proven exact total, not an
+    inflated Bernoulli estimate."""
+    eng = Engine(catalog, unique_postings=True, count_mode="approx")
+    eng.approx_count_fraction = 0.05
+    # 3 alpha docs, LIMIT 10: page proves total == 3
+    res = eng.execute_script("QUERY (alpha) LIMIT 10;")[0]
+    assert res["result-count"] == 3 and len(res["result"]) == 3
+    # dump-all proves it too
+    res = eng.execute_script("QUERY (alpha);")[0]
+    assert res["result-count"] == 3
+
+
+def test_random_sample_survives_huge_doc_ids(spark):
+    """r9 review finding (confirmed live): doc_id * 2654435761 threw
+    ARITHMETIC_OVERFLOW under default ANSI mode for doc_id >= ~3.47e9
+    — any corpus past ~3.5B documents crashed every RANDOM_SAMPLE.
+    The split hash must (a) not throw on huge ids and (b) stay
+    value-identical to (doc_id*K + seed) mod 2^32 everywhere."""
+    import cantera_table_spark.operators.set_algebra as sa
+    ids = [0, 1, 65535, 65536, 3_470_000_000, 3_500_000_000,
+           2**32 - 1, 2**32, 2**40 + 12345, 2**62 + 7]
+    df = spark.createDataFrame([(d, float(i)) for i, d in enumerate(ids)],
+                               "doc_id long, score double")
+    got = {r.doc_id for r in sa.sample(df, 4).collect()}
+    model = sorted(ids, key=lambda d: ((d * 2654435761 + 1234) % 2**32,
+                                       d))[:4]
+    assert got == set(model)
