@@ -150,7 +150,6 @@ def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],
     if max_bucket is None:
         return pair_select(banded.alias("a"), banded.alias("b")) \
             .dropDuplicates(["doc_a", "doc_b"])
-    from pyspark.sql import Window
     # count AND hub in one window pass so every branch below derives
     # from the same exchange (a separate hubs groupBy + join would
     # re-run the candidate-generation pipeline per star side)
@@ -410,6 +409,13 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
                     .select("doc_id",
                             F.coalesce("canonical_id", "doc_id")
                             .alias("canonical_id")))
+    # non-convergence must not strand the loop's cached frames in
+    # executor storage: a caller that catches and retries with higher
+    # max_iters would otherwise accumulate orphaned caches (r9 review
+    # finding)
+    edges.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iters} iterations "
         f"(a duplicate chain longer than max_iters); raise max_iters")
@@ -588,6 +594,13 @@ def apply_dedup(df: DataFrame, clusters: DataFrame,
     but two-long columns; at 100 TB this is the id-join shape, the
     text never moves until the final survivor join).
     """
+    # clusters always carries (doc_id, canonical_id); align its id
+    # column with the caller's id_col so a non-default name actually
+    # works — previously any id_col other than "doc_id" raised an
+    # unresolved-column error (r9 review finding)
+    if id_col != "doc_id":
+        clusters = clusters.select(F.col("doc_id").alias(id_col),
+                                   "canonical_id")
     absorbed = (clusters.groupBy("canonical_id")
                 .agg((F.count("*") - 1).alias("n_duplicates_removed")))
     survivors = (clusters

@@ -79,7 +79,14 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
                          F.col(vec_col).alias("v"))
               .join(F.broadcast(c), F.lit(True))
               .select("vec_id", "v", F.struct(
-                  (-cosine(F.col("v"), F.col("cv"))).alias("negcos"),
+                  # NULL cosine (zero-norm/degenerate centroid) must
+                  # LOSE the min, not win it: struct ordering puts a
+                  # NULL field first, so an unguarded NULL negcos would
+                  # capture EVERY vector into the degenerate centroid
+                  # and collapse the index to one bucket (r9 review
+                  # finding) — coalesce to +inf so it sorts last
+                  F.coalesce(-cosine(F.col("v"), F.col("cv")),
+                             F.lit(float("inf"))).alias("negcos"),
                   F.col("centroid_id").alias("cid")).alias("__s")))
     return (scored.groupBy("vec_id")
             .agg(F.any_value(F.col("v")).alias("v"),
@@ -168,7 +175,10 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
                        F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(centroids), F.lit(True))
               .select("query_id", "qv", F.struct(
-                  (-cosine(F.col("qv"), F.col("cv"))).alias("negcos"),
+                  # same NULL-loses guard as ivf_assign: a degenerate
+                  # centroid must not consume a probe slot
+                  F.coalesce(-cosine(F.col("qv"), F.col("cv")),
+                             F.lit(float("inf"))).alias("negcos"),
                   F.col("centroid_id").alias("cid")).alias("__s")))
     probed = (probes.groupBy("query_id")
               .agg(F.any_value(F.col("qv")).alias("qv"),
@@ -389,7 +399,15 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cos": out_c})
 
-    partials = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    # NULL or wrong-dimension embedding rows would crash np.array's
+    # matrix build (inhomogeneous shape) inside the kernel, where the
+    # JVM path merely NULLs their cosine — filter them Spark-side like
+    # hyperplane_signature/pq_encode/quantize do (r9 review finding);
+    # dim comes from the (non-empty, checked above) query matrix
+    dim = int(q_mat.shape[1])
+    clean = emb.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+    partials = clean.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (partials.withColumn("rank", F.row_number().over(w))
@@ -450,8 +468,13 @@ def quantize_embeddings(emb: DataFrame, stats: DataFrame | None = None,
         mn = F.element_at(F.col("mins"), i)
         mx = F.element_at(F.col("maxs"), i)
         return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
-            F.least(F.floor(((x - mn) * lv) / (mx - mn)),
-                    F.lit(int(levels)).cast("long")))
+            # clamp BOTH ends: externally supplied stats (computed on a
+            # training sample) can see x outside [mn, mx], and an
+            # unclamped floor would emit negative codes, breaking the
+            # smallint-ranged code contract (r9 review finding)
+            F.greatest(F.lit(0).cast("long"),
+                       F.least(F.floor(((x - mn) * lv) / (mx - mn)),
+                               F.lit(int(levels)).cast("long"))))
 
     def deq(i):
         mn = F.element_at(F.col("mins"), i)
@@ -725,7 +748,9 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
                        F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(centroids), F.lit(True))
               .select("query_id", F.struct(
-                  (-cosine(F.col("qv"), F.col("cv"))).alias("negcos"),
+                  # same NULL-loses guard as ivf_assign
+                  F.coalesce(-cosine(F.col("qv"), F.col("cv")),
+                             F.lit(float("inf"))).alias("negcos"),
                   F.col("centroid_id").alias("cid")).alias("__s")))
     probed = (probes.groupBy("query_id")
               .agg(F.slice(F.array_sort(F.collect_list("__s")), 1,

@@ -1749,3 +1749,61 @@ def test_heavy_key_quarantine_guard(spark):
     untouched: list = []
     with_bands(ts, heavy_out=untouched).collect()
     assert untouched == []
+
+
+def test_r9_review_similarity_dedup_guards(spark):
+    """r9 review findings, fixed in one sweep: (a) a zero-norm centroid
+    must not capture every vector in ivf_assign (NULL cosine loses the
+    min instead of winning it); (b) brute_force_topk_pandas must skip
+    NULL/wrong-dimension embedding rows instead of crashing the Arrow
+    kernel; (c) quantize codes clamp at BOTH ends under external
+    stats; (d) apply_dedup works with a non-default id column."""
+    from pyspark.sql import functions as F
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas, ivf_assign,
+        quantization_stats, quantize_embeddings)
+    from cantera_table_spark.functions.dedup import apply_dedup
+
+    # (a) centroid 0 is all-zero (degenerate), centroid 1 is real
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "centroid_id int, cv array<double>")
+    got = {r.vec_id: r.cluster for r in ivf_assign(emb, cents).collect()}
+    assert got[1] == 1 and got[2] == 1      # real centroid wins
+    # vec 3 is orthogonal to centroid 1 (cos 0) but 0 > NULL-guarded inf
+    assert got[3] == 1
+
+    # (b) NULL + ragged rows skipped, results match the JVM path on
+    # the clean rows
+    dirty = emb.unionByName(spark.createDataFrame(
+        [(9, None), (10, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>"))
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    jvm = {(r.neighbor_id, r.cos)
+           for r in brute_force_topk(dirty.filter("vec_id < 9"), q, k=2)
+           .collect()}
+    pd_ = {(r.neighbor_id, r.cos)
+           for r in brute_force_topk_pandas(dirty, q, k=2).collect()}
+    assert pd_ == jvm and len(pd_) == 2
+
+    # (c) external stats narrower than the data: codes clamp to
+    # [0, levels], never negative
+    stats = quantization_stats(
+        emb.filter(F.col("vec_id") == 2))        # mins/maxs = vec 2
+    codes = quantize_embeddings(emb, stats=stats, levels=255)
+    mins = codes.select(
+        F.array_min(F.col("qcode")).alias("m")).collect()
+    assert all(r.m >= 0 for r in mins)
+
+    # (d) non-default id column
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "vec_id long, payload string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, canonical_id long")
+    out = {r.vec_id: r.n_duplicates_removed
+           for r in apply_dedup(df, clusters, id_col="vec_id").collect()}
+    assert out == {1: 1, 3: 0}
