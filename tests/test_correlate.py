@@ -197,16 +197,18 @@ def _boundary_safe(postings, set_a, set_b):
             return False                      # argmax tie
         if abs(top[0] - math.log(1.05)) < 1e-9:
             return False                      # use_split edge
-    # logit-cutoff edge + 3-decimal rounding boundary: reject outputs
-    # within noise of either.  The rounding check needs the UNROUNDED
-    # log-odds (raw=True): the model rounds via binary
+    # 3-decimal rounding boundary: both engines now decide the cutoff
+    # on the ROUNDED log-odds (exact 3-decimal doubles vs 0.201 — no
+    # unrounded knife edge left), so the one remaining float hazard is
+    # the rounding itself: the model rounds via binary
     # floor(x*1000+0.5) while Spark's ROUND is decimal HALF_UP on the
     # double's shortest repr, so a value ~1 ulp from a .0005 boundary
-    # can legitimately round differently on the two engines.
-    cutoff = math.log(0.55 / 0.45)
+    # can legitimately round differently — flipping the emitted VALUE
+    # and, near the cutoff, the emission decision.  raw=True yields
+    # every support-passing candidate INCLUDING cutoff-dropped rows
+    # (the r9 hole: scanning only emitted rows let a model-dropped
+    # near-miss through).
     for r in ref_model.correlate(postings, set_a, set_b, raw=True):
-        if abs(abs(r[0]) - cutoff) < 5e-4:    # post-rounding margin
-            return False
         frac = abs(r[0]) * 1000.0
         if abs(frac - math.floor(frac) - 0.5) < 1e-9:
             return False                      # half-up rounding edge
