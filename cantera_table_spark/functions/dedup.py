@@ -110,8 +110,14 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     if k is None:
         first = sigs.agg(F.max("h_idx").alias("m")).first()
         if first is None or first["m"] is None:
-            return sigs.sparkSession.createDataFrame(
-                [], "doc_a long, doc_b long")
+            # pair ids keep the input doc_id type — a hardcoded long
+            # mismatched non-long ids on empty inputs (r9 finding (c))
+            from pyspark.sql import types as T
+            idt = sigs.schema["doc_id"].dataType
+            return sigs.sparkSession.createDataFrame([], T.StructType([
+                T.StructField("doc_a", idt),
+                T.StructField("doc_b", idt),
+            ]))
         k = int(first["m"]) + 1
     if k % bands:
         raise ValueError(f"k={k} must divide evenly into bands={bands}")
@@ -513,6 +519,48 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                         F.col("n_contaminated_shingles") > 0))
 
 
+def _merged_spans(base: DataFrame, n: int, min_docs: int) -> DataFrame:
+    """Shared core of :func:`repeated_spans` / :func:`cut_repeated_spans`
+    (the find and the apply step of Lee et al. 2021 exact-substring
+    dedup): explode each document's length-``n`` token windows, keep
+    window hashes occurring in >= ``min_docs`` distinct documents (an
+    explicit TWO-PHASE distinct count — groupBy(hash, doc) then
+    groupBy(hash), both map-side combinable, never a count_distinct
+    expand), and merge each document's hit windows into maximal spans
+    (windows at positions p < q merge when q - p <= n).
+
+    ``base``: (doc_id, __toks) rows with size(__toks) >= n.  Returns one
+    row per merged span: (doc_id, s, e, __nwin) where s/e are the
+    1-based first/last covered token positions (e = last window pos +
+    n - 1) and __nwin the number of hit windows merged into the span.
+    """
+    wins = (base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
+                .alias("wh")))).alias("w"))
+        .select("doc_id", "w.pos", "w.wh"))
+    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
+           .groupBy("wh").agg(F.count("*").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("wh"))
+    hits = wins.join(dup, "wh")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    return (hits
+            .withColumn("__new", F.when(
+                F.col("pos") - F.lag("pos").over(wdoc) <= n, 0)
+                .otherwise(1))
+            .withColumn("__sid", F.sum("__new").over(wdoc))
+            .groupBy("doc_id", "__sid")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + (n - 1)).alias("e"),
+                 F.count("*").alias("__nwin"))
+            .select("doc_id", "s", "e", "__nwin"))
+
+
 def repeated_spans(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 8,
                    min_docs: int = 2) -> DataFrame:
@@ -543,34 +591,12 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     toks = tokens(F.col(text_col))
     base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
             .filter(F.size("__toks") >= n))
-    wins = (base.select(
-        "doc_id", F.size("__toks").alias("n_tokens"),
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
-                .alias("wh")))).alias("w"))
-            .select("doc_id", "n_tokens", "w.pos", "w.wh"))
-    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
-           .groupBy("wh").agg(F.count("*").alias("__nd"))
-           .filter(F.col("__nd") >= min_docs)
-           .select("wh"))
-    hits = wins.join(dup, "wh")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (hits
-             .withColumn("__new", F.when(
-                 F.col("pos") - F.lag("pos").over(wdoc) <= n, 0)
-                 .otherwise(1))
-             .withColumn("__sid", F.sum("__new").over(wdoc))
-             .groupBy("doc_id", "__sid")
-             .agg(F.count("*").alias("__nwin"),
-                  (F.max("pos") + (n - 1) - F.min("pos") + 1)
-                  .alias("__toklen")))
+    spans = _merged_spans(base, n, min_docs)
     agg = (spans.groupBy("doc_id")
            .agg(F.count("*").alias("n_spans"),
                 F.sum("__nwin").alias("n_shared_windows"),
-                F.sum("__toklen").alias("__rep_toks")))
+                # span token length = e - s + 1
+                F.sum(F.col("e") - F.col("s") + 1).alias("__rep_toks")))
     return (base.select("doc_id", F.size("__toks").alias("n_tokens"),
                         (F.size("__toks") - (n - 1)).alias("n_windows"))
             .join(agg, "doc_id", "left")
@@ -731,30 +757,8 @@ def cut_repeated_spans(df: DataFrame, text_col: str = "text",
     base = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"), toks.alias("__toks")))
     eligible = base.filter(F.size("__toks") >= n)
-    wins = (eligible.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
-                .alias("wh")))).alias("w"))
-        .select("doc_id", "w.pos", "w.wh"))
-    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
-           .groupBy("wh").agg(F.count("*").alias("__nd"))
-           .filter(F.col("__nd") >= min_docs)
-           .select("wh"))
-    hits = wins.join(dup, "wh")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (hits
-             .withColumn("__new", F.when(
-                 F.col("pos") - F.lag("pos").over(wdoc) <= n, 0)
-                 .otherwise(1))
-             .withColumn("__sid", F.sum("__new").over(wdoc))
-             .groupBy("doc_id", "__sid")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + (n - 1)).alias("e")))
-    spansd = (spans.groupBy("doc_id")
+    spansd = (_merged_spans(eligible, n, min_docs)
+              .groupBy("doc_id")
               .agg(F.collect_list(F.struct("s", "e")).alias("__spans")))
     joined = base.join(spansd, "doc_id", "left").withColumn(
         "__spans", F.coalesce(

@@ -43,6 +43,14 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     neighbor_id ascending (deterministic).  The query side is
     broadcast; ranking uses a per-query window over the already-reduced
     candidate set.
+
+    NULL cosines (zero-norm or NULL vectors on either side) are NOT
+    ranked: a query with fewer than k non-degenerate candidates returns
+    fewer than k rows, in lockstep with brute_force_topk_pandas (whose
+    kernel masks NaN scores) and the gate oracles' ``cos IS NOT NULL``
+    — previously the JVM path let NULLs (which desc-sort last) fill the
+    trailing ranks while the pandas path dropped them (r9 deferred
+    divergence (a)).
     """
     from pyspark.sql import Window
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -52,7 +60,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     scored = (c.join(F.broadcast(q),
                      F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cos", F.round(cosine(F.col("qv"),
-                                                F.col("cv")), 6)))
+                                                F.col("cv")), 6))
+              .filter(F.col("cos").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -188,7 +197,11 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
                       F.explode(F.col("__p.cid")).alias("cluster")))
     cand = (indexed.join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6)))
+            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+            # degenerate (zero-norm/NULL) indexed vectors must not
+            # surface as trailing-rank neighbors — same contract as
+            # brute_force_topk
+            .filter(F.col("cos").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -246,8 +259,15 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
     emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("n")).first()
     if first is None:
-        return emb.sparkSession.createDataFrame(
-            [], f"vec_id long, v array<double>, sig long")
+        # derive the empty frame's schema from the input — a hardcoded
+        # long id mismatched non-long id columns on empty shards and
+        # broke downstream unions (r9 finding (c))
+        from pyspark.sql import types as T
+        return emb.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("vec_id", emb.schema[id_col].dataType),
+            T.StructField("v", emb.schema[vec_col].dataType),
+            T.StructField("sig", T.LongType()),
+        ]))
     dim = first["n"]
     emb = emb.filter(F.size(vec_col) == dim)
     planes = _hyperplanes(n_bits, dim)
@@ -343,34 +363,42 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     matmul — the throughput path for wide embeddings, where per-element
     JVM folds (brute_force_topk) pay per-dimension expression overhead.
 
-    Results match brute_force_topk up to float summation order (both
-    exact cosine; scores rounded to 6 like the JVM path).  Per-batch
-    partial top-k keeps executor->driver traffic at
-    O(batches * queries * k), and the final global top-k is a tiny
-    window over the partials.
+    Results match brute_force_topk exactly: scores round to 6 decimals
+    BEFORE the per-batch partial selection (selecting on unrounded sims
+    let 1e-7-scale ties cut a tie group differently than the JVM path's
+    post-round ranking — r9 deferred divergence (b)), and the partial
+    selection orders by (rounded cos desc, neighbor_id asc), the same
+    total order as the global window, so a batch can never evict a row
+    the global top-k would keep.  Per-batch partial top-k keeps
+    executor->driver traffic at O(batches * queries * k), and the final
+    global top-k is a tiny window over the partials.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # id columns keep their input types (empty and non-empty shards
+    # must agree with the JVM path on int/long ids — r9 finding (c))
+    q_id_t = queries.schema[id_col].dataType
+    n_id_t = emb.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("query_id", q_id_t),
+        T.StructField("neighbor_id", n_id_t),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
     q_rows = queries.select(F.col(id_col).alias("qid"),
                             F.col(vec_col).alias("qv")).collect()
     if not q_rows:
         return emb.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int")
+            [], schema.add("rank", T.IntegerType()))
     q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = np.nan       # zero-norm queries -> no matches
     bc = emb.sparkSession.sparkContext.broadcast(
         (q_ids, q_mat, q_norm, k))
-
-    schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
 
     def score(batches):
         ids, mat, norms, kk = bc.value
@@ -379,23 +407,25 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = np.nan
-            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            sims = np.round((c_mat @ mat.T) / np.outer(c_norm, norms), 6)
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids)):
                 col = sims[:, j]
                 # drop self-matches AND NaN scores (zero-norm vectors);
                 # Spark would otherwise sort NaN as the LARGEST value
-                # and rank them first — the JVM path's try_divide NULLs
-                # sort last, so NaN rows must never be emitted
+                # and rank them first — the JVM path's NULL cosines are
+                # filtered before ranking, so NaN rows must never be
+                # emitted
                 mask = (c_ids != ids[j]) & ~np.isnan(col)
                 cand = np.where(mask)[0]
                 if not len(cand):
                     continue
-                top = cand[np.argsort(-col[cand],
-                                      kind="stable")[:kk]]
+                # lexsort: primary -rounded cos, secondary neighbor_id
+                # asc — the JVM window's exact tie order
+                top = cand[np.lexsort((c_ids[cand], -col[cand]))[:kk]]
                 out_q.extend([ids[j]] * len(top))
                 out_n.extend(c_ids[top].tolist())
-                out_c.extend(np.round(col[top], 6).tolist())
+                out_c.extend(col[top].tolist())
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cos": out_c})
 

@@ -1086,7 +1086,7 @@ hsigs AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored) t
+  FROM scored WHERE cos IS NOT NULL) t
 WHERE rank <= 5
 """)
 def sim01_brute_topk(spark, sf_dir):
@@ -1157,7 +1157,7 @@ cand AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM cand) t
+  FROM cand WHERE cos IS NOT NULL) t
 WHERE rank <= 5
 """)
 def sim02_ivf_topk(spark, sf_dir):
@@ -3055,7 +3055,7 @@ scored AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored) t
+  FROM scored WHERE cos IS NOT NULL) t
 WHERE rank <= 5
 """)
 def sim07_quantized_topk(spark, sf_dir):
@@ -3421,7 +3421,7 @@ vec AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC,
                                       doc_id) AS rank
-    FROM scored) t
+    FROM scored WHERE cos IS NOT NULL) t
   WHERE rank <= 100
 ),
 contrib AS (
@@ -3656,7 +3656,7 @@ cand AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM cand) t
+  FROM cand WHERE cos IS NOT NULL) t
 WHERE rank <= 5
 """)
 def sim08_quantized_ivf(spark, sf_dir):
@@ -4643,7 +4643,7 @@ vec AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC,
                                       doc_id) AS rank
-    FROM scored) t
+    FROM scored WHERE cos IS NOT NULL) t
   WHERE rank <= 100
 ),
 contrib AS (

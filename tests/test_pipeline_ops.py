@@ -255,6 +255,93 @@ def test_pandas_topk_matches_jvm_topk(spark):
         assert n_j == n_p or abs(c_j - c_p) < 2e-6
 
 
+def test_topk_null_cos_alignment_jvm_vs_pandas(spark):
+    """r9 deferred divergence (a), pinned: a query with fewer than k
+    non-degenerate candidates returns fewer than k rows on BOTH paths —
+    the JVM window must not let NULL cosines (zero-norm / NULL vectors)
+    fill trailing ranks while the pandas kernel masks NaN."""
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas)
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, None), (4, [0.5, 0.5])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0)
+    jvm = sorted((r.neighbor_id, r.rank)
+                 for r in brute_force_topk(e, q, k=5).collect())
+    pnd = sorted((r.neighbor_id, r.rank)
+                 for r in brute_force_topk_pandas(e, q, k=5).collect())
+    # only vec 1 and 4 are rankable: 2 rows, not 4
+    assert jvm == pnd == [(1, 1), (4, 2)]
+
+
+def test_pandas_topk_rounded_tie_matches_jvm(spark):
+    """r9 deferred divergence (b), pinned: sims that differ by ~1e-7
+    (identical after the 6-decimal round) must break ties by
+    neighbor_id ascending on both paths — the pandas kernel rounds
+    BEFORE its per-batch partial selection and lexsorts on
+    (-cos, neighbor_id), so a batch boundary can never flip a tie."""
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas)
+    # all candidates nearly parallel to the query: unrounded cosines
+    # differ at the 1e-8..1e-7 scale, all rounding to the same value
+    base = [1.0, 1.0, 1.0, 1.0]
+    rows = [(0, base)] + [
+        (i, [1.0 + 1e-8 * i, 1.0, 1.0, 1.0]) for i in range(1, 7)]
+    e = (spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+         .repartition(4))   # force multiple kernel batches
+    q = spark.createDataFrame([rows[0]],
+                              "vec_id long, embedding array<double>")
+    jvm = [(r.rank, r.neighbor_id, r.cos)
+           for r in brute_force_topk(e, q, k=3).orderBy("rank").collect()]
+    pnd = [(r.rank, r.neighbor_id, r.cos)
+           for r in brute_force_topk_pandas(e, q, k=3)
+           .orderBy("rank").collect()]
+    assert jvm == pnd
+    assert [n for _, n, _ in jvm] == [1, 2, 3]   # id-asc on the tie
+
+
+def test_empty_input_schemas_preserve_id_types(spark):
+    """r9 deferred divergence (c), pinned: empty-input fallbacks derive
+    their schemas from the input id columns instead of hardcoding
+    long — an empty int-id shard must union cleanly with a non-empty
+    one."""
+    from cantera_table_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingles)
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk_pandas, hyperplane_signature)
+    from pyspark.sql import types as T
+
+    empty_int = spark.createDataFrame(
+        [], "vec_id int, embedding array<float>")
+    hs = hyperplane_signature(empty_int)
+    assert hs.schema["vec_id"].dataType == T.IntegerType()
+    assert hs.schema["v"].dataType == T.ArrayType(T.FloatType())
+    assert hs.count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id int, text string")
+    sigs = minhash_signatures(shingles(empty_docs), k=16)
+    pairs = lsh_candidate_pairs(sigs)       # k=None -> empty fallback
+    assert pairs.schema["doc_a"].dataType == T.IntegerType()
+    assert pairs.schema["doc_b"].dataType == T.IntegerType()
+    assert pairs.count() == 0
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id int, embedding array<double>")
+    topk = brute_force_topk_pandas(
+        corpus, corpus.filter(F.col("vec_id") < 0), k=3)
+    assert topk.schema["query_id"].dataType == T.IntegerType()
+    assert topk.schema["neighbor_id"].dataType == T.IntegerType()
+    assert topk.count() == 0
+    # non-empty shards agree: int ids stay int through the kernel
+    topk2 = brute_force_topk_pandas(corpus.unionByName(
+        spark.createDataFrame([(2, [0.9, 0.1])],
+                              "vec_id int, embedding array<double>")),
+        corpus, k=3)
+    assert topk2.schema["neighbor_id"].dataType == T.IntegerType()
+    assert topk2.count() == 1
+
+
 def test_bmp_codec_roundtrip_and_resize(spark):
     import numpy as np
     from cantera_table_spark.functions.multimodal import (
