@@ -110,23 +110,28 @@ class Catalog:
         return df
 
     def override(self) -> DataFrame | None:
-        """One row per key with every override body MERGED in table
+        """One row per key with the override bodies MERGED in table
         order, so the query/export join stays 1:1.
 
-        The reference appends each table's override body to the result
-        object and lets the client's later-keys-win JSON semantics
-        resolve collisions (query.cc:862-890).  A bare union here
-        reproduces the bodies but breaks the join cardinality: a key
-        present in several override tables (or streamed correction
-        batches — streaming/ingest.py routes late corrections to an
-        overrides table) would MULTIPLY page/export rows, duplicating
-        documents and overrunning LIMIT (r9 review finding).  Instead,
-        brace-stripped bodies concatenate into ONE JSON object per key
-        in table order — duplicate JSON keys resolve last-wins at
-        json.loads exactly like the reference's client contract.
-        Within one table, equal keys order by body for determinism
-        (the reference's tables are uniquely keyed; streamed batches
-        should carry their ordering in the body if it matters)."""
+        The reference walks the override tables in order and BREAKS at
+        the first table that lacks the key (query.cc:876-877: ``if
+        (!summary_override_table->SeekToKey(row_key)) break;``) — a
+        later table's body applies only when every earlier table also
+        contains the key.  Replicated exactly: per key, only the bodies
+        from the longest prefix of consecutive table ordinals starting
+        at 0 merge; a key absent from table 0 gets no override at all,
+        even if later tables contain it.  Within the kept prefix the
+        brace-stripped bodies concatenate into ONE JSON object in table
+        order — duplicate JSON keys resolve last-wins at json.loads
+        exactly like the reference's client contract (the reference
+        appends all bodies and the client resolves; a bare union here
+        would instead MULTIPLY page/export rows and overrun LIMIT, the
+        r9 review finding).  Empty/NULL bodies contribute nothing but
+        still count as "key present" for the prefix walk (the
+        reference's seek succeeds regardless of the payload).  Within
+        one table, equal keys order by body for determinism (the
+        reference's tables are uniquely keyed; streamed batches should
+        carry their ordering in the body if it matters)."""
         if not self.overrides:
             return None
         dfs = [t.select("key", "doc").withColumn("__ord", F.lit(i))
@@ -137,18 +142,29 @@ class Catalog:
         body = F.when(F.col("doc").startswith("{"),
                       F.expr("substring(doc, 2, length(doc) - 2)")
                       ).otherwise(F.col("doc"))
-        per = (df.select("key", "__ord", body.alias("__body"))
-               .filter(F.length(F.trim(F.col("__body"))) > 0))
-        return (per.groupBy("key")
-                .agg(F.concat(
+        per_key = (df.select("key", "__ord", body.alias("__body"))
+                   .groupBy("key")
+                   .agg(F.array_sort(F.collect_list(
+                       F.struct("__ord", "__body"))).alias("__bs")))
+        # longest consecutive-ordinal prefix 0..cut-1: fold the distinct
+        # (sorted) ordinals, advancing the counter only while they stay
+        # consecutive from 0 — the break-at-first-miss walk
+        cut = F.aggregate(
+            F.array_distinct(F.transform(F.col("__bs"),
+                                         lambda s: s["__ord"])),
+            F.lit(0),
+            lambda acc, o: F.when(o == acc, acc + 1).otherwise(acc))
+        kept = F.filter(
+            F.col("__bs"),
+            lambda s: (s["__ord"] < cut) &
+                      (F.length(F.trim(s["__body"])) > 0))
+        return (per_key
+                .select("key", F.concat(
                     F.lit("{"),
                     F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("__ord", "__body"))),
-                            lambda s: s["__body"]),
-                        ","),
-                    F.lit("}")).alias("doc")))
+                        F.transform(kept, lambda s: s["__body"]), ","),
+                    F.lit("}")).alias("doc"))
+                .filter(F.col("doc") != "{}"))
 
     def _match_kind(self, key: str, kind: str) -> bool:
         """reference keywords.h:18-45 — prefix match, or full regex

@@ -71,18 +71,31 @@ def stream_kafka_timeseries(spark: SparkSession, bootstrap_servers: str,
            .option("subscribe", topic)
            .option("startingOffsets", starting_offsets)
            .load())
-    # no split limit: the file edge's CSV reader DROPS tokens beyond
-    # its 3-column schema, so a trailing-extra-field line must parse
-    # to the same (key, date, value) here — a limit-3 split would fold
-    # the extras into the value string and null it at the double cast,
-    # silently diverging from the file edge on exactly the malformed
-    # lines parity matters for (probed: both edges now yield value=2.0
-    # for "k\tdate\t2.0\textra")
+    return _split_record_value(raw, date_format)
+
+
+def _split_record_value(raw: DataFrame, date_format: str) -> DataFrame:
+    """Kafka record-value parse, malformed-line-parity-matched to the
+    file edge's CSV reader (the parity test drives THIS function, not a
+    re-implementation, so the two cannot drift):
+
+    - no split limit: the CSV reader DROPS tokens beyond its 3-column
+      schema, so a trailing-extra-field line must parse to the same
+      (key, date, value) here — a limit-3 split would fold the extras
+      into the value string and null it at the double cast (r9 review
+      finding; probed: both edges yield value=2.0 for
+      ``k\\tdate\\t2.0\\textra``).
+    - try_element_at, not parts[n]: a SHORT record (< 3 fields) indexes
+      past the array, which under Spark's default ANSI mode throws
+      INVALID_ARRAY_INDEX and fails the whole streaming query — the CSV
+      reader yields NULL for missing columns instead, so short records
+      must parse to NULL fields and flow through the shared
+      projection's drop the same way (r9 advisory)."""
     parts = F.split(F.col("value").cast("string"), "\t")
     return _timeseries_projection(
-        raw.select(parts[0].alias("key"),
-                   parts[1].alias("date"),
-                   parts[2].alias("value")),
+        raw.select(F.try_element_at(parts, F.lit(1)).alias("key"),
+                   F.try_element_at(parts, F.lit(2)).alias("date"),
+                   F.try_element_at(parts, F.lit(3)).alias("value")),
         date_format)
 
 

@@ -228,7 +228,7 @@ def test_kafka_source_constructor_and_shared_projection(spark, tmpdir):
     and clearly when the kafka connector package is absent (or, were
     it present, builds a streaming plan)."""
     from cantera_table_spark.streaming.ingest import (
-        _timeseries_projection, stream_kafka_timeseries,
+        _split_record_value, stream_kafka_timeseries,
         stream_tsv_timeseries)
     lines = [
         "a\\tkey\t2024-01-01 00:10:00\t1.5",   # escaped tab in key
@@ -238,17 +238,24 @@ def test_kafka_source_constructor_and_shared_projection(spark, tmpdir):
         # ^ both edges must DROP the trailing tokens (the CSV reader's
         # 3-column schema does; a limit-3 split would fold them into
         # the value and null it at the cast — the r9 review finding)
+        "short\t2024-01-01 00:40:00",
+        # ^ 2 fields: the CSV reader NULLs the missing value column and
+        # keeps the row; parts[2] indexing would ANSI-throw
+        # INVALID_ARRAY_INDEX and fail the whole streaming query (r9
+        # advisory) — try_element_at must parse it to value=NULL
+        "lonely",
+        # ^ 1 field: date NULL -> ts unparseable -> dropped on both
     ]
-    # the Kafka path's parse: split the record value, shared projection
+    # the Kafka path's parse: the PRODUCTION record-value split (the
+    # inline re-implementation this test used before is exactly how
+    # the short-record hole survived)
     vals = spark.createDataFrame([(v,) for v in lines], "value string")
-    parts = F.split(F.col("value"), "\t")
-    got = _timeseries_projection(
-        vals.select(parts[0].alias("key"), parts[1].alias("date"),
-                    parts[2].alias("value")), "yyyy-MM-dd HH:mm:ss")
+    got = _split_record_value(vals, "yyyy-MM-dd HH:mm:ss")
     rows = sorted((r.key, str(r.ts), r.value) for r in got.collect())
     assert rows == [("a\tkey", "2024-01-01 00:10:00", 1.5),
                     ("extra", "2024-01-01 00:30:00", 4.0),
-                    ("plain", "2024-01-01 00:20:00", 2.0)]
+                    ("plain", "2024-01-01 00:20:00", 2.0),
+                    ("short", "2024-01-01 00:40:00", None)]
     # identical rows through the file edge (same projection by
     # construction; this pins the no-drift claim end-to-end)
     src = os.path.join(tmpdir, "kafka_parity")

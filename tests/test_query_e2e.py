@@ -341,6 +341,38 @@ def test_multi_override_tables_merge_one_row_per_key(spark):
         and obj["second"] == 2
 
 
+def test_override_breaks_at_first_missing_table(spark):
+    """Reference parity (query.cc:876-877): the override walk BREAKS at
+    the first table lacking the key — a later table's body applies only
+    when every earlier table contains the key, and a key absent from
+    table 0 gets no override at all.  Empty bodies still count as 'key
+    present' for the walk (the seek succeeds regardless of payload)."""
+    postings = spark.createDataFrame(
+        [("alpha", i, float(10 - i)) for i in range(4)],
+        "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", '{"base":true}') for i in range(4)],
+        "doc_id long, key string, doc string")
+    # d0: in both tables -> both apply; d1: only in table 0 -> applies;
+    # d2: only in table 1 -> break at table 0, NO override;
+    # d3: empty body in table 0, real body in table 1 -> table 1 applies
+    ov1 = spark.createDataFrame(
+        [("d0", '{"a":1}'), ("d1", '{"b":2}'), ("d3", '{}')],
+        "key string, doc string")
+    ov2 = spark.createDataFrame(
+        [("d0", '{"c":3}'), ("d2", '{"x":9}'), ("d3", '{"d":4}')],
+        "key string, doc string")
+    cat = Catalog(summaries=[docs], indexes=[postings],
+                  overrides=[ov1, ov2])
+    eng = Engine(cat, unique_postings=True)
+    res = eng.execute_script("QUERY (alpha) LIMIT 4;")[0]
+    by_key = {r["_key"]: r for r in res["result"]}
+    assert by_key["d0"].get("a") == 1 and by_key["d0"].get("c") == 3
+    assert by_key["d1"].get("b") == 2
+    assert "x" not in by_key["d2"]           # break-at-first-miss
+    assert by_key["d3"].get("d") == 4        # empty body keeps the walk
+
+
 def test_approx_count_underfull_page_is_exact(spark, catalog):
     """r9 review finding: when the page comes back under-full (or
     LIMIT -1 dumps everything), the result ended inside it — the
