@@ -74,30 +74,56 @@ def gate(name: str, oracle: str | None = None):
 # (after the round-9 run no gate's last driver row is older than
 # round 7).
 _DRIVER_ORDER = [
-    # --- positions 1-5: last driver row round 5 ---
-    "sim11_pq_trained", "tpch_q18_large_orders",
-    "ev08_top_events_per_user", "st07_stream_complete_totals",
-    "ts10_asof_forward_tol",
-    # --- positions 6-43: last driver row round 6 (all 38) ---
-    "q02_or", "q03_subtract", "q04_score_filters", "q05_eq_and_range",
-    "q06_theta_join", "q07_order_by", "q08_negate", "q09_min_dedup",
-    "q10_prefix_scan", "q11_summary_key", "q12_thresholds",
-    "q20_threshold_headers", "q13_topk_page", "q14_random_sample",
-    "q15_select_matrix", "ts01_daily_rollup", "ts02_merge_sum",
-    "ts03_pick_one", "ts04_asof_prior", "tpch_q1_pricing",
-    "tpch_q5_region_volume", "ev01_user_running", "dd01_exact_dedup",
-    "dd02_minhash", "ev02_sessionize", "tx05_tfidf",
-    "sim03_lsh_neardup", "ts08_dsl_date_filter",
-    "corr02_event_prediction", "dd06_dedup_clusters",
-    "tx06_quality_filter", "sim04_ivf_assign", "mm06_decode_png",
-    "mm08_decode_jpeg", "mm09_video_frames", "mm10_ipv_video",
-    "ds01_stratified_sample", "ir01_bm25",
-    # --- positions 44-50: sentinels spanning the major subsystems,
-    # each long-green, kept in-window for cross-round regression
-    # continuity ---
-    "q01_and", "corr01_feature_mining", "tpch_q3_revenue",
-    "dd13_dedup_pipeline", "f32_02_threshold_fidelity",
-    "in01_tsv_postings", "dp02_dump_timeseries",
+    "dd03_ngram_jaccard",
+    "dd08_jaccard_stopshingle",
+    "dd04_simhash",
+    "tx01_text_stats",
+    "tx02_token_counts",
+    "tx03_lang_id",
+    "tx04_fingerprint",
+    "sim01_brute_topk",
+    "sim02_ivf_topk",
+    "sim06_ivf_partitioned",
+    "mm05_frame_sample",
+    "dd05_embedding_neardup",
+    "mm01_decode_media",
+    "a06_posting_counts",
+    "ts05_prediction_bands",
+    "ts06_band_outliers",
+    "q16_uri_decode",
+    "x01_date_days",
+    "q17_external_expansion",
+    "ts07_union_merge",
+    "q18_override_patch",
+    "q19_keys_for",
+    "f32_01_score_fidelity",
+    "cat01_multi_table",
+    "tx07_corpus_stats",
+    "in02_tsv_timeseries",
+    "st01_stream_ingest",
+    "st02_stream_windowed_rollup",
+    "sim05_hyperplane_sig",
+    "mm02_decode_bmp",
+    "mm03_decode_wav",
+    "dp01_dump_index",
+    "sk01_salted_rollup",
+    "mm04_thumbnail",
+    "tx08_repetition",
+    "tx09_pii_scrub",
+    "dd09_decontaminate",
+    "st03_stream_dedup",
+    "q01_and",
+    "corr01_feature_mining",
+    "tpch_q3_revenue",
+    "dd13_dedup_pipeline",
+    "f32_02_threshold_fidelity",
+    "in01_tsv_postings",
+    "dp02_dump_timeseries",
+    "x02_export_results",
+    "p01_parse_echo",
+    "set01_session_state",
+    "st04_stream_sessionize",
+    "dd07_lsh_jaccard",
 ]
 # After the round-9 driver run no gate's last driver row is older than
 # round 7.  Gates outside the window this round (all driver-green in
