@@ -110,14 +110,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     if k is None:
         first = sigs.agg(F.max("h_idx").alias("m")).first()
         if first is None or first["m"] is None:
-            # pair ids keep the input doc_id type — a hardcoded long
-            # mismatched non-long ids on empty inputs (r9 finding (c))
-            from pyspark.sql import types as T
-            idt = sigs.schema["doc_id"].dataType
-            return sigs.sparkSession.createDataFrame([], T.StructType([
-                T.StructField("doc_a", idt),
-                T.StructField("doc_b", idt),
-            ]))
+            return _empty_result(sigs, [("doc_a", "doc_id"),
+                                        ("doc_b", "doc_id")])
         k = int(first["m"]) + 1
     if k % bands:
         raise ValueError(f"k={k} must divide evenly into bands={bands}")
@@ -129,6 +123,21 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
                   .alias("band_hash")))
     return _bucketed_pairs(banded, ["band", "band_hash"], "doc_id",
                            max_bucket)
+
+
+def _empty_result(df: DataFrame, fields) -> DataFrame:
+    """Empty frame whose schema derives from the input: ``fields`` is a
+    list of (output name, source) pairs where source is a column name
+    in ``df`` (type copied) or an explicit DataType.  Centralizes the
+    empty-input fallback so id columns can never drift back to
+    hardcoded ``long`` (r9 finding (c): a hardcoded-long empty shard
+    failed to union with non-long-id inputs)."""
+    from pyspark.sql import types as T
+    st = T.StructType([
+        T.StructField(name, df.schema[src].dataType
+                      if isinstance(src, str) else src)
+        for name, src in fields])
+    return df.sparkSession.createDataFrame([], st)
 
 
 def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],

@@ -61,7 +61,12 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cos", F.round(cosine(F.col("qv"),
                                                 F.col("cv")), 6))
-              .filter(F.col("cos").isNotNull()))
+              # NULL (zero-norm, try_divide) AND NaN (NaN-element
+              # vectors — Spark sorts NaN LARGEST, which would rank
+              # them first) both drop; the pandas kernel masks NaN the
+              # same way
+              .filter(F.col("cos").isNotNull() &
+                      ~F.isnan(F.col("cos"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -198,10 +203,11 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
     cand = (indexed.join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
-            # degenerate (zero-norm/NULL) indexed vectors must not
-            # surface as trailing-rank neighbors — same contract as
-            # brute_force_topk
-            .filter(F.col("cos").isNotNull()))
+            # degenerate (zero-norm/NULL/NaN) indexed vectors must not
+            # surface as neighbors (NaN would sort FIRST) — same
+            # contract as brute_force_topk
+            .filter(F.col("cos").isNotNull() &
+                    ~F.isnan(F.col("cos"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -259,15 +265,11 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
     emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("n")).first()
     if first is None:
-        # derive the empty frame's schema from the input — a hardcoded
-        # long id mismatched non-long id columns on empty shards and
-        # broke downstream unions (r9 finding (c))
+        # schema derives from the input (r9 finding (c))
         from pyspark.sql import types as T
-        return emb.sparkSession.createDataFrame([], T.StructType([
-            T.StructField("vec_id", emb.schema[id_col].dataType),
-            T.StructField("v", emb.schema[vec_col].dataType),
-            T.StructField("sig", T.LongType()),
-        ]))
+        from cantera_table_spark.functions.dedup import _empty_result
+        return _empty_result(emb, [("vec_id", id_col), ("v", vec_col),
+                                   ("sig", T.LongType())])
     dim = first["n"]
     emb = emb.filter(F.size(vec_col) == dim)
     planes = _hyperplanes(n_bits, dim)
@@ -363,15 +365,22 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     matmul — the throughput path for wide embeddings, where per-element
     JVM folds (brute_force_topk) pay per-dimension expression overhead.
 
-    Results match brute_force_topk exactly: scores round to 6 decimals
-    BEFORE the per-batch partial selection (selecting on unrounded sims
-    let 1e-7-scale ties cut a tie group differently than the JVM path's
-    post-round ranking — r9 deferred divergence (b)), and the partial
-    selection orders by (rounded cos desc, neighbor_id asc), the same
-    total order as the global window, so a batch can never evict a row
-    the global top-k would keep.  Per-batch partial top-k keeps
-    executor->driver traffic at O(batches * queries * k), and the final
-    global top-k is a tiny window over the partials.
+    Results match brute_force_topk on homogeneous-dimension corpora
+    (the kernel's contract — candidates of any other length are
+    filtered like hyperplane_signature does): scores round to 6
+    decimals with HALF_UP semantics BEFORE the per-batch partial
+    selection (selecting on unrounded sims let 1e-7-scale ties cut a
+    tie group differently than the JVM path's post-round ranking — r9
+    deferred divergence (b)), and the partial selection orders by
+    (rounded cos desc, neighbor_id asc), the same total order as the
+    global window, so a batch can never evict a row the global top-k
+    would keep.  The one remaining float edge is the rounding itself —
+    binary floor(x*1e6+0.5) here vs Spark's decimal HALF_UP on the
+    double's shortest repr — which can differ only within ~1 ulp of a
+    .0000005 boundary (the same noise class the correlate property
+    guard rejects).  Per-batch partial top-k keeps executor->driver
+    traffic at O(batches * queries * k), and the final global top-k is
+    a tiny window over the partials.
     """
     import numpy as np
     import pandas as pd
@@ -388,8 +397,16 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
         T.StructField("cos", T.DoubleType()),
     ])
 
-    q_rows = queries.select(F.col(id_col).alias("qid"),
-                            F.col(vec_col).alias("qv")).collect()
+    # NULL query vectors drop Spark-side BEFORE the collect, like the
+    # JVM path (where they produce only NULL cosines and vanish) — the
+    # kernel's matrix build would crash on a None row; off-dimension
+    # queries drop by the same homogeneous-dim rule as candidates
+    q_rows = (queries.filter(F.col(vec_col).isNotNull())
+              .select(F.col(id_col).alias("qid"),
+                      F.col(vec_col).alias("qv")).collect())
+    if q_rows:
+        dim0 = len(q_rows[0].qv)
+        q_rows = [r for r in q_rows if len(r.qv) == dim0]
     if not q_rows:
         return emb.sparkSession.createDataFrame(
             [], schema.add("rank", T.IntegerType()))
@@ -407,7 +424,12 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = np.nan
-            sims = np.round((c_mat @ mat.T) / np.outer(c_norm, norms), 6)
+            raw = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            # HALF_UP to 6 decimals (np.round is half-to-EVEN, which
+            # rounds exact-half reprs away from Spark's HALF_UP);
+            # NaN propagates through and is masked below
+            sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6,
+                               raw)
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids)):
                 col = sims[:, j]

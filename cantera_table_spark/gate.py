@@ -65,14 +65,11 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-9 rotation (from
-# tools/rotate_window.py at round start): positions 1-5 are the five
-# gates whose last driver row is round 5 (three rounds of HEAD churn),
-# positions 6-43 the ENTIRE round-6-stale set (38 gates), and
-# positions 44-50 a 7-slot long-green cross-family sentinel band —
-# this retires the freshness debt completely for one rotation period
-# (after the round-9 run no gate's last driver row is older than
-# round 7).
+# then a cross-family sentinel band).  Round-10 rotation (from
+# tools/rotate_window.py at round start): positions 1-38 are the
+# r7-stale set (stalest first), then the r8-stale gates, then a
+# 12-slot long-green cross-family sentinel band — after the round-10
+# run no gate's last driver row is older than round 8.
 _DRIVER_ORDER = [
     "dd03_ngram_jaccard",
     "dd08_jaccard_stopshingle",
@@ -1112,7 +1109,7 @@ hsigs AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored WHERE cos IS NOT NULL) t
+  FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos)) t
 WHERE rank <= 5
 """)
 def sim01_brute_topk(spark, sf_dir):
@@ -1183,7 +1180,7 @@ cand AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM cand WHERE cos IS NOT NULL) t
+  FROM cand WHERE cos IS NOT NULL AND NOT isnan(cos)) t
 WHERE rank <= 5
 """)
 def sim02_ivf_topk(spark, sf_dir):
@@ -3081,7 +3078,7 @@ scored AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored WHERE cos IS NOT NULL) t
+  FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos)) t
 WHERE rank <= 5
 """)
 def sim07_quantized_topk(spark, sf_dir):
@@ -3447,7 +3444,7 @@ vec AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC,
                                       doc_id) AS rank
-    FROM scored WHERE cos IS NOT NULL) t
+    FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos)) t
   WHERE rank <= 100
 ),
 contrib AS (
@@ -3682,7 +3679,7 @@ cand AS (
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM cand WHERE cos IS NOT NULL) t
+  FROM cand WHERE cos IS NOT NULL AND NOT isnan(cos)) t
 WHERE rank <= 5
 """)
 def sim08_quantized_ivf(spark, sf_dir):
@@ -4669,7 +4666,7 @@ vec AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC,
                                       doc_id) AS rank
-    FROM scored WHERE cos IS NOT NULL) t
+    FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos)) t
   WHERE rank <= 100
 ),
 contrib AS (

@@ -9,6 +9,12 @@ edge maps that naturally onto Spark:
 - late corrections land in an ``overrides`` table (the reference's
   summary-override layer) instead of rewriting the base — the override
   join at query time (engine.query_stmt) already patches them in.
+  NOTE the reference's override walk BREAKS at the first table lacking
+  the key (query.cc:876-877, replicated in Catalog.override), so a
+  streamed-corrections table must be the FIRST (or only) entry in
+  ``Catalog(overrides=[...])``; placed after another override table,
+  corrections for keys absent from the earlier tables would never
+  apply.
 - windowed rollups use event-time watermarks for late data.
 
 Kept deliberately thin: statement semantics stay in the batch engine;

@@ -272,6 +272,15 @@ def test_topk_null_cos_alignment_jvm_vs_pandas(spark):
                  for r in brute_force_topk_pandas(e, q, k=5).collect())
     # only vec 1 and 4 are rankable: 2 rows, not 4
     assert jvm == pnd == [(1, 1), (4, 2)]
+    # all-pairs shape: NULL-vector and zero-norm QUERY rows must drop
+    # (Spark-side / NaN-masked) in the pandas path instead of crashing
+    # the kernel's matrix build on a None row
+    jvm_all = sorted((r.query_id, r.neighbor_id, r.cos, r.rank)
+                     for r in brute_force_topk(e, e, k=5).collect())
+    pnd_all = sorted((r.query_id, r.neighbor_id, r.cos, r.rank)
+                     for r in brute_force_topk_pandas(e, e, k=5).collect())
+    assert jvm_all == pnd_all
+    assert {q for q, *_ in jvm_all} == {0, 1, 4}   # 2 and 3 degenerate
 
 
 def test_pandas_topk_rounded_tie_matches_jvm(spark):
