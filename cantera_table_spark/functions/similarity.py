@@ -42,9 +42,13 @@ def _rankable(vec: Column) -> Column:
     (measured 1.8x on the sim01 bench phase); this predicate costs one
     fold per input row, not per pair.  NaN needs the explicit isnan:
     Spark orders NaN LARGEST, so ``nv > 0`` alone would let NaN-element
-    vectors through to rank first."""
+    vectors through to rank first.  The norm must also be FINITE:
+    an Inf-element (or overflow) vector has norm inf and every pair
+    cosine NaN/0 — the pandas kernel masks those (x/inf arithmetic),
+    so the JVM side must drop them too, not rank the NaN first."""
     nv = norm(F.transform(vec, lambda x: x.cast("double")))
-    return vec.isNotNull() & (nv > 0) & ~F.isnan(nv)
+    return (vec.isNotNull() & (nv > 0) & ~F.isnan(nv) &
+            (nv < F.lit(float("inf"))))
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -416,10 +420,15 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     # NULL query vectors drop Spark-side BEFORE the collect, like the
     # JVM path (where they produce only NULL cosines and vanish) — the
     # kernel's matrix build would crash on a None row; off-dimension
-    # queries drop by the same homogeneous-dim rule as candidates
+    # queries drop by the same homogeneous-dim rule as candidates.
+    # The kernel dimension is the LOWEST-id query's (orderBy makes the
+    # rule deterministic — an unordered collect would pick whichever
+    # partition arrived first and silently flip which ragged queries
+    # survive across plans)
     q_rows = (queries.filter(F.col(vec_col).isNotNull())
               .select(F.col(id_col).alias("qid"),
-                      F.col(vec_col).alias("qv")).collect())
+                      F.col(vec_col).alias("qv"))
+              .orderBy("qid").collect())
     if q_rows:
         dim0 = len(q_rows[0].qv)
         q_rows = [r for r in q_rows if len(r.qv) == dim0]

@@ -122,10 +122,11 @@ _DRIVER_ORDER = [
     "st04_stream_sessionize",
     "dd07_lsh_jaccard",
 ]
-# After the round-9 driver run no gate's last driver row is older than
-# round 7.  Gates outside the window this round (all driver-green in
-# r7-r8) follow in decoration order and stay covered by
-# tools/check_gate.py's full local sweep.
+# Gates outside the window this round (all driver-green in r8-r9)
+# follow in decoration order and stay covered by tools/check_gate.py's
+# full local sweep.  Freshness target: see the header comment above
+# the list (round-10 rotation — after the r10 run no gate's last
+# driver row is older than round 8).
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,

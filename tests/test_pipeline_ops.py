@@ -262,15 +262,18 @@ def test_topk_null_cos_alignment_jvm_vs_pandas(spark):
     fill trailing ranks while the pandas kernel masks NaN."""
     from cantera_table_spark.functions.similarity import (
         brute_force_topk, brute_force_topk_pandas)
+    inf = float("inf")
     rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
-            (3, None), (4, [0.5, 0.5])]
+            (3, None), (4, [0.5, 0.5]), (5, [inf, 1.0])]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = e.filter(F.col("vec_id") == 0)
     jvm = sorted((r.neighbor_id, r.rank)
                  for r in brute_force_topk(e, q, k=5).collect())
     pnd = sorted((r.neighbor_id, r.rank)
                  for r in brute_force_topk_pandas(e, q, k=5).collect())
-    # only vec 1 and 4 are rankable: 2 rows, not 4
+    # only vec 1 and 4 are rankable: 2 rows, not 4 — vec 5's Inf
+    # element (norm inf, every pair cosine NaN) must drop too, not
+    # rank its NaN first (Spark orders NaN LARGEST)
     assert jvm == pnd == [(1, 1), (4, 2)]
     # all-pairs shape: NULL-vector and zero-norm QUERY rows must drop
     # (Spark-side / NaN-masked) in the pandas path instead of crashing
@@ -280,7 +283,7 @@ def test_topk_null_cos_alignment_jvm_vs_pandas(spark):
     pnd_all = sorted((r.query_id, r.neighbor_id, r.cos, r.rank)
                      for r in brute_force_topk_pandas(e, e, k=5).collect())
     assert jvm_all == pnd_all
-    assert {q for q, *_ in jvm_all} == {0, 1, 4}   # 2 and 3 degenerate
+    assert {q for q, *_ in jvm_all} == {0, 1, 4}   # 2, 3, 5 degenerate
 
 
 def test_pandas_topk_rounded_tie_matches_jvm(spark):
