@@ -95,7 +95,8 @@ SHUFFLE_SALT = "shuf:"
 
 
 def shuffle_shards(df: DataFrame, n_shards: int,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   stable: bool = False) -> DataFrame:
     """Deterministic global corpus shuffle + round-robin shard
     assignment — the training-order stage that feeds a dataloader:
     every epoch-0 consumer must see the same pseudo-random document
@@ -114,14 +115,20 @@ def shuffle_shards(df: DataFrame, n_shards: int,
     would ``.repartition('shard').write.partitionBy('shard')`` — kept
     out of this operator so the assignment stays a pure, testable
     function.
+
+    Pass ``stable=True`` when ``df`` is downstream of an aggregation or
+    other nondeterministically-ordered source — ordering.py's HARD
+    INVARIANT: without it a re-executed range exchange can sample
+    different boundaries per branch and the global numbering gets
+    duplicates/gaps (non-disjoint shards).
     """
-    h = F.md5(F.concat(F.lit(SHUFFLE_SALT),
-                       F.col(id_col).cast("string"))).alias("__h")
+    from cantera_table_spark.functions.sampling import sample_hash
     from cantera_table_spark.operators.ordering import global_row_number
+    h = sample_hash(F.col(id_col), salt=SHUFFLE_SALT).alias("__h")
     ranked = global_row_number(
         df.select(F.col(id_col), h),
         F.col("__h").asc(), F.col(id_col).asc(),
-        col_name="shuffle_rank")
+        col_name="shuffle_rank", stable=stable)
     return (ranked
             .select(id_col, "shuffle_rank",
                     ((F.col("shuffle_rank") - 1) % n_shards)
@@ -139,7 +146,11 @@ def assemble_packed_text(docs: DataFrame, packed: DataFrame,
     (shard, bin) — bounded by capacity per group.  Returns
     (shard, bin, n_docs, n_tokens, text).
     """
-    joined = (packed.select(id_col, "shard", "bin", "n_tokens")
+    # pack_sequences always emits its id as 'doc_id' (PACK_SCHEMA) no
+    # matter what id_col the caller packed with — align it to the
+    # docs-side name so the documented pairing composes for any id_col
+    joined = (packed.select(F.col("doc_id").alias(id_col),
+                            "shard", "bin", "n_tokens")
               .join(docs.select(id_col, text_col), id_col))
     return (joined.groupBy("shard", "bin")
             .agg(F.count("*").alias("n_docs"),

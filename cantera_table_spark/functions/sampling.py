@@ -19,17 +19,25 @@ from pyspark.sql import functions as F
 SAMPLE_SALT = "samp:"
 
 
-def sample_hash(id_col: Column) -> Column:
+def sample_hash(id_col: Column, salt: str = SAMPLE_SALT) -> Column:
     """Portable per-row sample key: md5 hex of the salted id string.
-    DuckDB equivalent: md5('samp:' || id::VARCHAR)."""
-    return F.md5(F.concat(F.lit(SAMPLE_SALT), id_col.cast("string")))
+    DuckDB equivalent: md5('<salt>' || id::VARCHAR).  The salt
+    parameterization is shared with packing.shuffle_shards so the
+    bit-for-bit cross-engine contract lives in exactly one expression."""
+    return F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+
+
+def _u_from_hash(h: Column) -> Column:
+    """Uniform double in [0, 1) from an md5 hex key (first 8 hex chars
+    / 2^32) — factored out so callers that already carry the hash
+    column don't recompute the md5 per row."""
+    return (F.conv(F.substring(h, 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
 
 
 def sample_u(id_col: Column) -> Column:
-    """The same key as a uniform double in [0, 1) (first 8 hex chars /
-    2^32) — used only for the oversample pre-filter."""
-    return (F.conv(F.substring(sample_hash(id_col), 1, 8), 16, 10)
-            .cast("double") / F.lit(float(1 << 32)))
+    """The sample key as a uniform double in [0, 1)."""
+    return _u_from_hash(sample_hash(id_col))
 
 
 def stratified_sample(df: DataFrame, strata_col: str, quota: int,
@@ -72,6 +80,8 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
     oracle stays a plain window.
     """
     quotas = quota if isinstance(quota, dict) else None
+    if quotas is not None and not quotas:
+        raise ValueError("quota dict is empty: no stratum is budgeted")
     qmax = max(quotas.values()) if quotas else quota
     h = sample_hash(F.col(id_col)).alias("__h")
     pre = df.select(F.col(strata_col), F.col(id_col), h)
@@ -94,7 +104,11 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
         cutoff = F.least(
             F.lit(1.0), F.lit(float(oversample)) * per_quota / F.col("__n"))
         pre = (pre.join(F.broadcast(counts), strata_col)
-               .filter(sample_u(F.col(id_col)) <= cutoff)
+               # derive u from the already-computed __h column — the
+               # projection and this filter are separate operators, so
+               # subexpression elimination would NOT collapse a second
+               # sample_u(id) md5 on this hot pre-filter path
+               .filter(_u_from_hash(F.col("__h")) <= cutoff)
                .drop("__n"))
     w = (Window.partitionBy(strata_col)
          .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
@@ -129,11 +143,16 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
        (stratum, bucket) token totals are one map-side-combinable
        aggregation (#strata * 256 rows), and the exclusive bucket-start
        offsets are a window over THAT tiny table;
-    2. buckets entirely under quota admit wholesale and buckets
-       starting past quota reject wholesale — NO window touches their
-       rows; only each stratum's single boundary bucket (~1/256 of the
-       stratum) runs the exact within-bucket cumsum, seeded with its
-       bucket-start offset.
+    2. buckets starting past quota reject wholesale — the corpus mass
+       beyond the quota never reaches a window; surviving rows (all
+       under-quota buckets, ~the admitted sample) run ONE within-bucket
+       exclusive cumsum seeded with the bucket-start offset, and
+       full buckets (ending strictly under quota) admit regardless of
+       it.  The window partitions by (stratum, bucket), so each sort is
+       bucket-sized and parallel, and the whole corpus pipeline
+       (tokenize + md5, the dominant per-row cost) is consumed ONCE —
+       the earlier two-branch union re-scanned it per branch (the
+       one-consumption rule, SCALE.md).
 
     Both paths return IDENTICAL rows (the hash orders by (first-byte
     bucket, rest) exactly like the flat hash string; equivalence
@@ -141,6 +160,9 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
     """
     from pyspark.sql import types as T
     w_sum = float(sum(weights.values()))
+    if not weights or w_sum <= 0:
+        raise ValueError(
+            f"weights must be non-empty with a positive sum: {weights}")
     quotas = {s: int(total_tokens * w / w_sum) for s, w in weights.items()}
     spark = df.sparkSession
     qdf = spark.createDataFrame(
@@ -176,21 +198,18 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
     # full-bucket admission must be STRICT: a zero-token doc sitting
     # at a bucket end that lands exactly on the quota has exclusive
     # cumsum == quota, which the naive rule (cum < quota) rejects —
-    # buckets ending exactly at the quota go through the exact
-    # boundary refinement instead
-    full = (j.filter(F.col("__bs") + F.col("__bt") < F.col("__q"))
-            .select(*out_cols))
-    boundary = j.filter((F.col("__bs") < F.col("__q")) &
-                        (F.col("__bs") + F.col("__bt") >= F.col("__q")))
+    # buckets ending exactly at the quota fall to the exact per-row
+    # refinement term instead
     wf = (Window.partitionBy(strata_col, "__b")
           .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
           .rowsBetween(Window.unboundedPreceding, -1))
-    fine = (boundary
-            .withColumn("__cum", F.col("__bs") +
-                        F.coalesce(F.sum("n_tokens").over(wf), F.lit(0)))
-            .filter(F.col("__cum") < F.col("__q"))
+    cum = (F.col("__bs") +
+           F.coalesce(F.sum("n_tokens").over(wf), F.lit(0)))
+    return (j.filter(F.col("__bs") < F.col("__q"))
+            .withColumn("__cum", cum)
+            .filter((F.col("__bs") + F.col("__bt") < F.col("__q")) |
+                    (F.col("__cum") < F.col("__q")))
             .select(*out_cols))
-    return full.unionByName(fine)
 
 
 def hash_split(df: DataFrame, fractions: dict,
@@ -204,6 +223,9 @@ def hash_split(df: DataFrame, fractions: dict,
     audits want hash splits).  Pure map, no shuffle.
     """
     total = float(sum(fractions.values()))
+    if not fractions or total <= 0:
+        raise ValueError(
+            f"fractions must be non-empty with a positive sum: {fractions}")
     u = sample_u(F.col(id_col))
     expr = None
     acc = 0.0

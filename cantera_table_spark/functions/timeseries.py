@@ -158,6 +158,11 @@ def funnel(events: DataFrame, stages: list[str],
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    if len(set(stages)) != len(stages):
+        # the first-match type mapping below routes EVERY occurrence of
+        # a repeated name to its first index, so later repeats would
+        # silently never fill and every depth past them reads wrong
+        raise ValueError(f"duplicate stage names unsupported: {stages}")
     n = len(stages)
     ts_type = events.schema[ts_col].dataType.simpleString()
     idx = F.when(F.col(type_col) == stages[0], F.lit(0))
@@ -291,6 +296,14 @@ def asof_join(left: DataFrame, right: DataFrame,
     backward = direction == "backward"
     lp = [c for c in left.columns if c not in (key_col, ts_col)]
     rv = list(value_cols)
+    # same contract as interval_join: a left payload column named like
+    # a prefixed output would silently duplicate a column name in the
+    # result (AMBIGUOUS_REFERENCE downstream)
+    clash = [c for c in lp
+             if c in [f"{prefix}{ts_col}"] + [f"{prefix}{v}" for v in rv]]
+    if clash:
+        raise ValueError(
+            f"left columns collide with prefixed outputs: {clash}")
     rtypes = {c: right.schema[c].dataType for c in rv}
     ltypes = {c: left.schema[c].dataType for c in lp}
     lsel = (left.filter(F.col(key_col).isNotNull())

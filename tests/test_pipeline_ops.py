@@ -1054,6 +1054,61 @@ def test_lm_score_prefers_predictable_text(spark):
     assert out[0].n_bigrams == 10
 
 
+def test_degenerate_config_guards(spark):
+    """r10 third-sweep findings: degenerate configurations raise clean
+    ValueErrors instead of opaque driver crashes (TypeError on int({}),
+    ZeroDivisionError, IndexError) or silently-wrong analytics
+    (duplicate funnel stages map every occurrence to the first index;
+    asof prefix collisions emit duplicate column names)."""
+    import pytest
+    from cantera_table_spark.functions.sampling import (
+        hash_split, mixture_sample, stratified_sample)
+    from cantera_table_spark.functions.timeseries import asof_join, funnel
+    d = spark.createDataFrame([(1, "en", "a b")],
+                              "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="quota dict is empty"):
+        stratified_sample(d, "lang", quota={})
+    with pytest.raises(ValueError, match="positive sum"):
+        mixture_sample(d, {"en": 0.0}, total_tokens=10, strata_col="lang")
+    with pytest.raises(ValueError, match="positive sum"):
+        hash_split(d, {})
+    ev = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="duplicate stage"):
+        funnel(ev, ["view", "view", "buy"], key_col="user_id",
+               type_col="event_type")
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 9.9)],
+        "key string, ts string, r_value double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)],
+        "key string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="collide with prefixed"):
+        asof_join(left, right, key_col="key", ts_col="ts",
+                  value_cols=("value",))
+
+
+def test_pack_assemble_composes_with_custom_id_col(spark):
+    """pack_sequences always emits 'doc_id' (PACK_SCHEMA); the
+    documented assemble pairing must still compose when the caller
+    packed with a different id column name (r10 third-sweep finding:
+    it raised UNRESOLVED_COLUMN)."""
+    from cantera_table_spark.functions.packing import (
+        assemble_packed_text, pack_sequences)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")],
+        "event_id long, text string")
+    packed = pack_sequences(docs, capacity=4, n_shards=1,
+                            id_col="event_id")
+    out = assemble_packed_text(docs, packed, id_col="event_id").collect()
+    assert sum(r.n_docs for r in out) == 3
+    assert all(r.n_tokens <= 4 for r in out)
+
+
 def test_pack_sequences_capacity_and_coverage(spark):
     from cantera_table_spark.functions.packing import (pack_sequences,
                                                        pack_stats)
