@@ -25,7 +25,9 @@ def _sigmoid(z: Column) -> Column:
 
 def logreg_train_score(df: DataFrame, feature_cols: list[str],
                        label_col: str, steps: int = 3, lr: float = 1.0,
-                       out_col: str = "p") -> tuple[DataFrame, list[float]]:
+                       out_col: str = "p",
+                       caches: list | None = None
+                       ) -> tuple[DataFrame, list[float]]:
     """Train logistic regression (bias + one weight per feature,
     initialized 0) with ``steps`` full-batch gradient steps at rate
     ``lr``, then score every row.
@@ -34,14 +36,24 @@ def logreg_train_score(df: DataFrame, feature_cols: list[str],
       grad_j = sum((sigmoid(z) - y) * x_j) / N      (x_0 = 1)
       w_j   -= lr * grad_j
 
+    N counts TRAINABLE rows only — rows with a NULL label or any NULL
+    feature contribute nothing to the sums (SQL NULL arithmetic) and
+    therefore must not inflate the divisor either, or every gradient
+    step silently shrinks by the NULL fraction (r10 review finding;
+    the ml01 oracle divides by the same filtered count).  Such rows
+    are still scored (``out_col`` NULL when a feature is NULL).
+
     Returns (df + ``out_col`` = round(sigmoid(z_final), 4), weights).
 
     Each step is one aggregation job collecting d+1 doubles to the
-    driver; the scoring pass is pure column arithmetic.  Feature
-    columns should be deterministic and identically-rounded on both
-    engines for oracle parity (e.g. the rounded with_text_stats
-    ratios); the only cross-engine divergence is then double-sum
-    order, absorbed by the output rounding.
+    driver — and each step RE-EXECUTES the input lineage (the
+    bm25_scores hazard): feed a materialized frame, or pass ``caches``
+    (a list) to have the trainable subset Spark-cached and registered
+    for the caller to unpersist.  Feature columns should be
+    deterministic and identically-rounded on both engines for oracle
+    parity (e.g. the rounded with_text_stats ratios); the only
+    cross-engine divergence is then double-sum order, absorbed by the
+    output rounding.
     """
     y = F.col(label_col).cast("double")
     w = [0.0] * (len(feature_cols) + 1)
@@ -52,13 +64,21 @@ def logreg_train_score(df: DataFrame, feature_cols: list[str],
             z = z + F.lit(wj) * F.col(c)
         return z
 
+    trainable = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        trainable = trainable & F.col(c).isNotNull()
+    train = df.filter(trainable)
+    if caches is not None and steps > 1:
+        train = train.cache()
+        caches.append(train)
+
     n = F.count(F.lit(1))
     for _ in range(steps):
         e = _sigmoid(z_expr(w)) - y
         aggs = [(F.sum(e) / n).alias("g0")]
         aggs += [(F.sum(e * F.col(c)) / n).alias(f"g{j + 1}")
                  for j, c in enumerate(feature_cols)]
-        g = df.agg(*aggs).first()
+        g = train.agg(*aggs).first()
         # an empty training frame yields NULL gradients (sum over no
         # rows); zero steps leave the zero weights — the scored output
         # is empty anyway, and crashing on float(None) helps nobody

@@ -36,13 +36,28 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
 
     Returns (group_col, est_distinct, n_mins): the estimate (rounded
     to 4) and the number of retained minima (= min(k, distinct)).
+
+    Numeric/bool/date/timestamp group keys round-trip through their
+    canonical STRING form across the Python kernel: Spark's
+    Arrow->pandas conversion turns a nullable int64 column into
+    float64, which silently rounds ids >= 2^53 (merging distinct
+    groups) and folds genuine NaN double groups into the NULL group
+    (r10 review finding).  The string cast is exact both ways (integer
+    parse; shortest-repr doubles; NaN keeps its own identity) and the
+    original type is restored on output.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
-    gtype = df.schema[group_col].dataType.simpleString()
+    gdt = df.schema[group_col].dataType
+    roundtrip = isinstance(gdt, (T.NumericType, T.BooleanType,
+                                 T.DateType, T.TimestampType))
+    gtype = "string" if roundtrip else gdt.simpleString()
+    gexpr = (F.col(group_col).cast("string") if roundtrip
+             else F.col(group_col))
     hashed = df.select(
-        F.col(group_col).alias("g"),
+        gexpr.alias("g"),
         ((F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
                  16, 10).cast("double") + 1) /
          F.lit(float(1 << 32))).alias("u"))
@@ -65,8 +80,9 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
         F.slice(F.array_sort(F.array_distinct(
             F.flatten(F.collect_list("us")))), 1, k).alias("us"))
     n = F.size("us")
+    gout = F.col("g").cast(gdt) if roundtrip else F.col("g")
     return merged.select(
-        F.col("g").alias(group_col),
+        gout.alias(group_col),
         F.when(n < k, n.cast("double"))
         .otherwise(F.round(F.lit(float(k - 1)) / F.element_at("us", k), 4))
         .alias("est_distinct"),

@@ -232,13 +232,17 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     per input partition before the shuffle (a window
     ``row_number() over (partition by line)`` would funnel every copy
     of a hot line through one task; the aggregation form is the one
-    that survives skew).  Two shuffles total: winners groupBy(line) and
-    the reassembly groupBy(doc_id); the winners join is keyed by the
-    distinct-line set, which AQE can broadcast when small.
+    that survives skew).  The line pipeline is consumed ONCE: the
+    winners join flags each line instead of filtering, and one
+    groupBy(doc_id) produces both the total and the surviving text
+    (the earlier totals/kept two-branch form re-scanned and
+    re-exploded the corpus — r10 review finding).
 
     Returns one row per input document: ``id_col``, n_lines,
     n_removed, and ``out_col`` (the deduplicated text; empty string
-    when every line was removed).
+    when every line was removed).  NULL-text documents are preserved
+    with n_lines 0 and a NULL ``out_col`` (the NULL-stats convention —
+    previously they were silently dropped, r10 review finding).
     """
     lines = df.select(
         id_col,
@@ -248,24 +252,29 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
                .groupBy("key")
                .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                    F.col("pos").alias("p"))).alias("w")))
-    keep = (keyed.join(winners, "key", "left")
-            .filter((F.col("key") == "") |
-                    ((F.col("w.d") == F.col(id_col)) &
-                     (F.col("w.p") == F.col("pos")))))
-    kept = (keep.groupBy(id_col)
-            .agg(F.count("*").alias("__n_kept"),
+    keep_flag = ((F.col("key") == "") |
+                 ((F.col("w.d") == F.col(id_col)) &
+                  (F.col("w.p") == F.col("pos"))))
+    # collect_list skips NULL entries, so the conditional struct keeps
+    # only surviving lines while count(*) still sees every line
+    kept = (keyed.join(winners, "key", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_lines"),
+                 F.count(F.when(keep_flag, 1)).alias("__n_kept"),
                  F.array_join(
                      F.transform(
                          F.array_sort(F.collect_list(
-                             F.struct("pos", "line"))),
+                             F.when(keep_flag,
+                                    F.struct("pos", "line")))),
                          lambda s: s["line"]),
                      "\n").alias("__text")))
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return (totals.join(kept, id_col, "left")
-            .select(id_col, "n_lines",
-                    (F.col("n_lines") -
+    return (df.select(id_col)
+            .join(kept, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                    (F.coalesce("n_lines", F.lit(0)) -
                      F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
-                    F.coalesce("__text", F.lit("")).alias(out_col)))
+                    F.col("__text").alias(out_col)))
 
 
 def lm_quality_score(df: DataFrame, text_col: str = "text",
@@ -468,7 +477,13 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
     one write job, NO driver collect — the vocab never rides the
     driver.  Idempotent: if ``path`` already holds a completed write
     (``_SUCCESS`` marker) it is reused, so repeated gate runs derive
-    once and read thereafter.  Returns ``path``.
+    once and read thereafter.  A ``_params`` sidecar records
+    (min_count, max_piece_len); reusing an artifact built with
+    DIFFERENT parameters raises instead of silently encoding with the
+    wrong vocabulary (r10 review finding).  Path identity IS artifact
+    identity for the corpus (the tokenizer-file convention: you
+    version the file, it is not re-derived when the corpus grows).
+    Returns ``path``.
     """
     import os
     import string
@@ -488,6 +503,8 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
         except Exception:
             return os.path.exists(p)
 
+    spark = docs.sparkSession
+    pdir = os.path.join(path, "_params")
     if not _completed(os.path.join(path, "_SUCCESS")):
         vdf = (docs.select(F.explode(tokens(F.col(text_col)))
                            .alias("piece"))
@@ -495,10 +512,26 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
                .filter((F.col("c") >= min_count) &
                        (F.length("piece") <= max_piece_len))
                .select("piece"))
-        chars = docs.sparkSession.createDataFrame(
+        chars = spark.createDataFrame(
             [(c,) for c in string.ascii_lowercase], "piece string")
         (vdf.union(chars).distinct().coalesce(1)
          .write.mode("overwrite").parquet(path))
+        # sidecar subdirectory: _load_vocab_pieces globs only
+        # {path}/*.parquet, so the params table cannot be mistaken
+        # for vocab parts
+        (spark.createDataFrame(
+            [(int(min_count), int(max_piece_len))],
+            "min_count int, max_piece_len int")
+         .coalesce(1).write.mode("overwrite").parquet(pdir))
+    elif _completed(os.path.join(pdir, "_SUCCESS")):
+        row = spark.read.parquet(pdir).first()
+        got = (row["min_count"], row["max_piece_len"])
+        if got != (int(min_count), int(max_piece_len)):
+            raise ValueError(
+                f"vocab artifact at {path!r} was built with "
+                f"(min_count, max_piece_len)={got}, requested "
+                f"{(int(min_count), int(max_piece_len))} — use a "
+                "different path to derive a new vocabulary")
     return path
 
 
@@ -594,6 +627,16 @@ def wordpiece_encode_words(words: DataFrame, vocab: list | str,
         for pdf in batches:
             out_p, out_n, out_u = [], [], []
             for w in pdf[word_col]:
+                # a NULL word cannot be encoded: NULL stats (the
+                # NULL-text convention — NULL, not 0), never a kernel
+                # TypeError that kills the whole encode job (r10
+                # review finding; tokens() never yields NULL, so only
+                # external word tables hit this)
+                if w is None or (not isinstance(w, str) and pd.isna(w)):
+                    out_p.append(None)
+                    out_n.append(None)
+                    out_u.append(None)
+                    continue
                 pieces = []
                 n_unk = 0
                 pos = 0
@@ -632,21 +675,23 @@ def wordpiece_doc_stats(df: DataFrame, vocab: list | str,
     One corpus shuffle builds the per-(doc, word) counts; the greedy
     encoder runs over DISTINCT words only; the final join multiplies
     encodes by occurrence counts.  Documents with no tokens (or NULL
-    text) report zeros.
+    text) report zeros.  The caller's ``id_col`` name is preserved in
+    the output (previously silently renamed to ``doc_id`` — r10
+    review finding).
     """
     toks = tokens(F.col(text_col))
-    wcnt = (df.select(F.col(id_col).alias("doc_id"),
+    wcnt = (df.select(F.col(id_col).alias("__id"),
                       F.explode(toks).alias("tok"))
-            .groupBy("doc_id", "tok").agg(F.count("*").alias("cnt")))
+            .groupBy("__id", "tok").agg(F.count("*").alias("cnt")))
     words = wcnt.select("tok").distinct()
     enc = wordpiece_encode_words(words, vocab)
     per_doc = (wcnt.join(enc, "tok")
-               .groupBy("doc_id")
+               .groupBy("__id")
                .agg(F.sum(F.col("cnt") * F.col("n_pieces"))
                     .alias("n_pieces"),
                     F.sum(F.col("cnt") * F.col("n_unk")).alias("n_unk")))
-    return (df.select(F.col(id_col).alias("doc_id"))
-            .join(per_doc, "doc_id", "left")
-            .select("doc_id",
+    return (df.select(F.col(id_col).alias("__id"))
+            .join(per_doc, "__id", "left")
+            .select(F.col("__id").alias(id_col),
                     F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
                     F.coalesce("n_unk", F.lit(0)).alias("n_unk")))

@@ -3498,12 +3498,20 @@ feats AS (
     (lang = 'en')::INT AS y
   FROM arrs
 ),
+-- trainable rows only: NULL label/features contribute nothing to the
+-- sums, so they must not inflate the divisor (lockstep with
+-- ml.logreg_train_score's filtered N)
+tfeats AS (
+  SELECT * FROM feats
+  WHERE y IS NOT NULL AND x1 IS NOT NULL
+    AND x2 IS NOT NULL AND x3 IS NOT NULL
+),
 w1 AS (
   SELECT -(sum((1/(1+exp(-(0.0))) - y))/count(*)) AS b,
          -(sum((1/(1+exp(-(0.0))) - y)*x1)/count(*)) AS a1,
          -(sum((1/(1+exp(-(0.0))) - y)*x2)/count(*)) AS a2,
          -(sum((1/(1+exp(-(0.0))) - y)*x3)/count(*)) AS a3
-  FROM feats
+  FROM tfeats
 ),
 w2 AS (
   SELECT
@@ -3515,7 +3523,7 @@ w2 AS (
                  - y)*x2)/count(*) AS a2,
     w1.a3 - sum((1/(1+exp(-(w1.b + w1.a1*x1 + w1.a2*x2 + w1.a3*x3)))
                  - y)*x3)/count(*) AS a3
-  FROM feats, w1 GROUP BY w1.b, w1.a1, w1.a2, w1.a3
+  FROM tfeats, w1 GROUP BY w1.b, w1.a1, w1.a2, w1.a3
 ),
 w3 AS (
   SELECT
@@ -3527,7 +3535,7 @@ w3 AS (
                  - y)*x2)/count(*) AS a2,
     w2.a3 - sum((1/(1+exp(-(w2.b + w2.a1*x1 + w2.a2*x2 + w2.a3*x3)))
                  - y)*x3)/count(*) AS a3
-  FROM feats, w2 GROUP BY w2.b, w2.a1, w2.a2, w2.a3
+  FROM tfeats, w2 GROUP BY w2.b, w2.a1, w2.a2, w2.a3
 )
 SELECT f.doc_id, f.y,
        round(1/(1+exp(-(w3.b + w3.a1*f.x1 + w3.a2*f.x2 + w3.a3*f.x3))), 4)

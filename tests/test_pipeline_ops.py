@@ -1054,6 +1054,85 @@ def test_lm_score_prefers_predictable_text(spark):
     assert out[0].n_bigrams == 10
 
 
+def test_fourth_sweep_null_and_identity_contracts(spark):
+    """r10 fourth-sweep findings, pinned: (a) dedup_lines preserves
+    NULL-text docs (NULL out, zero counts) instead of dropping them;
+    (b) the wordpiece encode kernel reports NULL stats for a NULL word
+    instead of a job-killing TypeError; (c) wordpiece_doc_stats keeps
+    the caller's id column name; (d) kmv_distinct keeps exact group
+    identity for nullable int64 group keys >= 2^53 (the Arrow->pandas
+    float64 coercion rounded them) and for NaN double groups; (e) the
+    logreg gradient divides by the TRAINABLE row count, so NULL-feature
+    rows don't shrink every step; (f) a vocab artifact reused with
+    different parameters raises instead of silently encoding with the
+    wrong vocabulary."""
+    import math
+    import pytest
+    from cantera_table_spark.functions.ml import logreg_train_score
+    from cantera_table_spark.functions.sketches import kmv_distinct
+    from cantera_table_spark.functions.text import (
+        dedup_lines, wordpiece_doc_stats, wordpiece_encode_words)
+
+    # (a) NULL-text doc preserved
+    d = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "a\nc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].n_lines == 0 and out[2].n_removed == 0
+    assert out[2].text is None
+    assert out[3].text == "c" and out[3].n_removed == 1
+
+    # (b) NULL word -> NULL stats, no crash
+    words = spark.createDataFrame([("ab",), (None,)], "tok string")
+    enc = {r.tok: r for r in
+           wordpiece_encode_words(words, ["a", "b"]).collect()}
+    assert enc["ab"].n_pieces == 2
+    assert enc[None].n_pieces is None and enc[None].pieces is None
+
+    # (c) id column name preserved
+    st = wordpiece_doc_stats(
+        spark.createDataFrame([(7, "a b")], "k long, text string"),
+        ["a", "b"], id_col="k")
+    assert st.columns == ["k", "n_pieces", "n_unk"]
+
+    # (d) big-int and NaN group identity through the kmv kernel
+    big = (1 << 60) + 1
+    kdf = spark.createDataFrame(
+        [(big, "x"), (big, "y"), (big + 2, "x"), (None, "z")],
+        "g long, v string")
+    got = {r.g: r.n_mins for r in kmv_distinct(kdf, "v", "g").collect()}
+    assert got == {big: 2, big + 2: 1, None: 1}
+    nan = float("nan")
+    ndf = spark.createDataFrame(
+        [(nan, "x"), (None, "y"), (1.5, "z")], "g double, v string")
+    rows = kmv_distinct(ndf, "v", "g").collect()
+    kinds = {("nan" if (r.g is not None and math.isnan(r.g)) else r.g)
+             for r in rows}
+    assert kinds == {"nan", None, 1.5}   # NaN group distinct from NULL
+
+    # (e) gradient N excludes NULL-feature rows: adding pure-NULL rows
+    # must not change the learned weights
+    base = spark.createDataFrame(
+        [(0.1, 0), (0.9, 1), (0.2, 0), (0.8, 1)], "x double, y int")
+    with_nulls = base.unionByName(spark.createDataFrame(
+        [(None, 1), (None, 0)], "x double, y int"))
+    _, w_base = logreg_train_score(base, ["x"], "y", steps=2)
+    _, w_null = logreg_train_score(with_nulls, ["x"], "y", steps=2)
+    assert w_base == w_null
+
+    # (f) artifact param mismatch raises
+    import tempfile, os
+    from cantera_table_spark.functions.text import wordpiece_vocab_file
+    docs = spark.createDataFrame([(1, "aa bb aa")],
+                                 "doc_id long, text string")
+    p = os.path.join(tempfile.mkdtemp(), "vocab")
+    wordpiece_vocab_file(docs, p, min_count=1)
+    wordpiece_vocab_file(docs, p, min_count=1)      # same params: reuse
+    with pytest.raises(ValueError, match="different path"):
+        wordpiece_vocab_file(docs, p, min_count=2)
+
+
 def test_degenerate_config_guards(spark):
     """r10 third-sweep findings: degenerate configurations raise clean
     ValueErrors instead of opaque driver crashes (TypeError on int({}),
