@@ -226,16 +226,21 @@ def decode_png(data: bytes) -> dict:
             cur = line
         elif ftype == 2:                     # Up
             cur = (line + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):             # Sub / Average / Paeth need
-            cur = line                       # the left neighbour: per-
-            ints = cur.astype(np.int32)      # pixel scan within the row
+        elif ftype == 1:                     # Sub: recon[i] = raw[i] +
+            # recon[i-ch] is a per-channel mod-256 prefix sum — a
+            # uint8-accumulator cumsum wraps exactly; the scalar scan
+            # this replaces dominated decode cost on Sub-filtered rows
+            # (the most common encoder choice) at real image sizes
+            cur = np.cumsum(line.reshape(-1, channels), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif ftype in (3, 4):                # Average / Paeth need the
+            cur = line                       # left neighbour AND the
+            ints = cur.astype(np.int32)      # row above: per-pixel scan
             pv = prev.astype(np.int32)
             for i in range(stride):
                 a = int(ints[i - channels]) if i >= channels else 0
                 b = int(pv[i])
-                if ftype == 1:
-                    ints[i] = (ints[i] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     ints[i] = (ints[i] + (a + b) // 2) & 0xFF
                 else:
                     c = int(pv[i - channels]) if i >= channels else 0
@@ -911,6 +916,19 @@ def decode_gif(data: bytes) -> dict:
         pos += 9
         if ipacked & 0x40:
             raise ValueError("interlaced GIF unsupported")
+        if not w or not h:
+            # a zero-sized frame would decode to zero pixels and emit
+            # NaN means downstream instead of quarantining
+            raise ValueError("zero-sized GIF frame")
+        if (x, y) != (0, 0) or (w, h) != (width, height):
+            # real animated GIFs carry changed-region PATCH frames;
+            # returning raw patch bytes under logical-screen dimensions
+            # would fabricate features silently — honest boundary, like
+            # the interlace case (compositing onto the canvas is the
+            # upgrade path)
+            raise ValueError(
+                f"uncomposited GIF patch frame unsupported "
+                f"({w}x{h}@{x},{y} on {width}x{height} screen)")
         pal = global_pal
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -939,22 +957,30 @@ def decode_gif(data: bytes) -> dict:
             "n_frames": len(frames), "frames": frames}
 
 
-def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """Decode animated GIF payloads and emit one row per sampled frame
-    (frame_idx % every_n == 0) with per-channel means — real container
-    frame sampling (vs the byte-window stand-in in frame_sample).
-    Arrow-batched; undecodable payloads quarantine to a single NULL
-    row."""
+_FRAME_STATS_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+]
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("mean_r", T.DoubleType(), True),
-        T.StructField("mean_g", T.DoubleType(), True),
-        T.StructField("mean_b", T.DoubleType(), True),
-    ])
+
+def _frame_stats_map(media: DataFrame, decoder, schema: "T.StructType",
+                     row_fn, every_n: int = 1) -> DataFrame:
+    """Shared Arrow-batched frame-stats scaffolding for the video
+    codecs (gif/avi/ipv — previously three hand-synced copies, r10
+    review finding).  The quarantine try covers ONLY the decoder call
+    (ValueError/struct.error/IndexError -> one all-NULL row): a bug in
+    the sampling/stats loop itself — e.g. a bad ``every_n`` — must
+    fail loudly instead of silently NULLing a whole corpus (the
+    decode_images posture).  ``row_fn(media_id, frame_idx, decoded,
+    mean_rgb)`` shapes the output row."""
+    if int(every_n) < 1:
+        raise ValueError(f"every_n must be >= 1: {every_n}")
+    n_cols = len(schema.fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -962,19 +988,31 @@ def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 try:
-                    d = decode_gif(bytes(data) if data is not None else b"")
-                    for fi in range(0, d["n_frames"], every_n):
-                        px = np.frombuffer(d["frames"][fi],
-                                           np.uint8).reshape(-1, 3)
-                        m = px.mean(axis=0)
-                        rows.append((mid, fi, d["width"], d["height"],
-                                     float(m[0]), float(m[1]),
-                                     float(m[2])))
+                    d = decoder(bytes(data) if data is not None else b"")
                 except (ValueError, struct.error, IndexError):
-                    rows.append((mid, None, None, None, None, None, None))
+                    rows.append((mid,) + (None,) * (n_cols - 1))
+                    continue
+                for fi in range(0, d["n_frames"], every_n):
+                    px = np.frombuffer(d["frames"][fi],
+                                       np.uint8).reshape(-1, 3)
+                    m = px.mean(axis=0)
+                    rows.append(row_fn(mid, fi, d, m))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return media.mapInPandas(batches, schema)
+
+
+def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Decode animated GIF payloads and emit one row per sampled frame
+    (frame_idx % every_n == 0) with per-channel means — real container
+    frame sampling (vs the byte-window stand-in in frame_sample).
+    Arrow-batched; undecodable payloads quarantine to a single NULL
+    row."""
+    return _frame_stats_map(
+        media, decode_gif, T.StructType(_FRAME_STATS_FIELDS),
+        lambda mid, fi, d, m: (mid, fi, d["width"], d["height"],
+                               float(m[0]), float(m[1]), float(m[2])),
+        every_n=every_n)
 
 
 AVI_SIG = b"RIFF"
@@ -1064,37 +1102,11 @@ def avi_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
     video-container frame sampling, the gif_frame_stats sibling for
     the compressed-frame path.  Arrow-batched; undecodable payloads
     quarantine to a single NULL row."""
-
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("mean_r", T.DoubleType(), True),
-        T.StructField("mean_g", T.DoubleType(), True),
-        T.StructField("mean_b", T.DoubleType(), True),
-    ])
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        for pdf in it:
-            rows = []
-            for mid, data in zip(pdf["media_id"], pdf["data"]):
-                try:
-                    d = decode_avi_mjpeg(
-                        bytes(data) if data is not None else b"")
-                    for fi in range(0, d["n_frames"], every_n):
-                        px = np.frombuffer(d["frames"][fi],
-                                           np.uint8).reshape(-1, 3)
-                        m = px.mean(axis=0)
-                        rows.append((mid, fi, d["width"], d["height"],
-                                     float(m[0]), float(m[1]),
-                                     float(m[2])))
-                except (ValueError, struct.error):
-                    rows.append((mid, None, None, None, None, None, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema])
-
-    return media.mapInPandas(batches, schema)
+    return _frame_stats_map(
+        media, decode_avi_mjpeg, T.StructType(_FRAME_STATS_FIELDS),
+        lambda mid, fi, d, m: (mid, fi, d["width"], d["height"],
+                               float(m[0]), float(m[1]), float(m[2])),
+        every_n=every_n)
 
 
 IPV_MAGIC = b"IPV1"
@@ -1214,40 +1226,15 @@ def ipv_frame_stats(media: DataFrame) -> DataFrame:
     frame with the keyframe flag and per-channel means — the
     avi_frame_stats sibling for the delta-frame path.  Arrow-batched;
     undecodable payloads quarantine to a single NULL row."""
-
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), True),
-        T.StructField("is_key", T.BooleanType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("mean_r", T.DoubleType(), True),
-        T.StructField("mean_g", T.DoubleType(), True),
-        T.StructField("mean_b", T.DoubleType(), True),
-    ])
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        for pdf in it:
-            rows = []
-            for mid, data in zip(pdf["media_id"], pdf["data"]):
-                try:
-                    d = decode_ipv(
-                        bytes(data) if data is not None else b"")
-                    for fi in range(d["n_frames"]):
-                        px = np.frombuffer(d["frames"][fi],
-                                           np.uint8).reshape(-1, 3)
-                        m = px.mean(axis=0)
-                        rows.append((mid, fi, d["frame_types"][fi] == "I",
-                                     d["width"], d["height"],
-                                     float(m[0]), float(m[1]),
-                                     float(m[2])))
-                except (ValueError, struct.error):
-                    rows.append((mid, None, None, None, None,
-                                 None, None, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema])
-
-    return media.mapInPandas(batches, schema)
+    schema = T.StructType(
+        _FRAME_STATS_FIELDS[:2] +
+        [T.StructField("is_key", T.BooleanType(), True)] +
+        _FRAME_STATS_FIELDS[2:])
+    return _frame_stats_map(
+        media, decode_ipv, schema,
+        lambda mid, fi, d, m: (mid, fi, d["frame_types"][fi] == "I",
+                               d["width"], d["height"],
+                               float(m[0]), float(m[1]), float(m[2])))
 
 
 def encode_wav(samples_i16, sample_rate: int = 8000) -> bytes:

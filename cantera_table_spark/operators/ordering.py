@@ -47,6 +47,13 @@ def global_row_number(df: DataFrame, *order: Column,
     (localCheckpoint) before the count/row branches split, trading one
     executor-storage copy for independence from ReuseExchange (see
     module docstring)."""
+    reserved = {"__gpid", "__cnt", "__start", col_name}
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        # a caller __gpid would be silently overwritten and dropped; a
+        # caller __start/__cnt makes the starts join ambiguous
+        raise ValueError(
+            f"input columns collide with ordering internals: {clash}")
     parts = (df.repartitionByRange(*order)
              .withColumn("__gpid", F.spark_partition_id()))
     if stable:

@@ -52,11 +52,19 @@ def salted_semi_join(lhs: DataFrame, rhs_docs: DataFrame,
     """Semi join with an exploded-salt build side: each rhs key is
     replicated n_salts times so a hot probe key spreads over n_salts
     reducers instead of one.  Use when the rhs is too big to broadcast
-    AND the probe side is skewed; otherwise the plain semi join wins."""
+    AND the probe side is skewed; otherwise the plain semi join wins.
+
+    The probe salt hashes ROW CONTENT (all lhs columns), never a row
+    position: a monotonically_increasing_id salt re-evaluates with
+    different values when a shuffle-fetch failure re-runs map tasks,
+    routing the same row to a different reducer than its surviving old
+    output — duplicated and dropped rows with no error (SPARK-23243;
+    the salted_count_sum contract above).  Identical duplicate rows
+    share a salt and gain no spread — same documented degenerate case."""
     rhs_salted = rhs_docs.select(key).distinct().withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     lhs_salted = lhs.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lhs.columns]),
                          F.lit(n_salts)))
     return (lhs_salted.join(rhs_salted, [key, "__salt"], "left_semi")
             .drop("__salt"))
@@ -97,5 +105,12 @@ def quarantine_heavy_keys(df: DataFrame, key: str,
     operators' ``max_rows_per_key`` parameter, default off."""
     heavy = (df.groupBy(key).agg(F.count("*").alias("n_rows"))
              .filter(F.col("n_rows") > max_rows_per_key))
-    kept = df.join(heavy.select(key), key, "left_anti")
+    # eqNullSafe: groupBy counts the NULL-key group, and a degenerate
+    # NULL key is the most likely hot key of all — a name-based join's
+    # NULL = NULL comparison is never true, so the anti-join would
+    # KEEP every NULL-key row while the report claims it quarantined
+    # them (r10 review finding)
+    hk = heavy.select(F.col(key).alias("__hk"))
+    kept = (df.join(hk, F.col(key).eqNullSafe(F.col("__hk")),
+                    "left_anti"))
     return kept, heavy

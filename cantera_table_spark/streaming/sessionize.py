@@ -188,7 +188,25 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     new events in event-time order; sessions whose gap elapsed are
     emitted.  The event-time timeout flushes sessions for users that go
     quiet (late data past the watermark is dropped by Spark upstream).
+
+    Requires ``spark.sql.session.timeZone=UTC`` (verified at entry,
+    like ensure_state_store_provider's conflict guard): the Arrow
+    boundary hands the pandas fold tz-NAIVE timestamps localized to
+    the session zone, so under any non-UTC zone the int64 epoch math
+    below (and ``setTimeoutTimestamp``, which expects true epoch ms)
+    would be offset by the zone — timeouts hours late, or an
+    earlier-than-watermark timestamp that kills the query; around a
+    DST fall-back the local-naive sort order itself breaks.  The
+    repo's own session builder pins UTC (session.py); foreign sessions
+    must too.
     """
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"sessionize_stream requires spark.sql.session.timeZone="
+            f"UTC (got {tz!r}): the stateful pandas fold receives "
+            "session-zone-localized naive timestamps and its epoch "
+            "arithmetic would be silently offset")
     gap_us = gap_seconds * 1_000_000
 
     def fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -1054,6 +1054,136 @@ def test_lm_score_prefers_predictable_text(spark):
     assert out[0].n_bigrams == 10
 
 
+def test_fifth_sweep_skew_ordering_stream_guards(spark):
+    """r10 fifth-sweep findings, pinned: (a) quarantine_heavy_keys
+    removes a heavy NULL key (the name-based anti-join's NULL = NULL
+    never matched, keeping every row while the report claimed
+    otherwise); (b) salted_semi_join's probe salt is row-content-
+    deterministic, so the semi join equals the plain one; (c)
+    global_row_number rejects inputs whose columns collide with its
+    internals; (d) sessionize_stream refuses a non-UTC session
+    timezone instead of silently offsetting its epoch math."""
+    import pytest
+    from cantera_table_spark.operators.ordering import global_row_number
+    from cantera_table_spark.operators.skew import (
+        quarantine_heavy_keys, salted_semi_join)
+
+    ev = spark.createDataFrame(
+        [(None, i) for i in range(8)] + [(1, 0), (2, 0)],
+        "user_id int, x int")
+    kept, heavy = quarantine_heavy_keys(ev, "user_id", 3)
+    assert {(r.user_id, r.n_rows) for r in heavy.collect()} == {(None, 8)}
+    assert {r.user_id for r in kept.collect()} == {1, 2}
+
+    lhs = spark.createDataFrame([(i % 3, i) for i in range(30)],
+                                "doc_id int, payload int")
+    rhs = spark.createDataFrame([(0,), (2,)], "doc_id int")
+    got = sorted((r.doc_id, r.payload)
+                 for r in salted_semi_join(lhs, rhs, n_salts=4).collect())
+    want = sorted((r.doc_id, r.payload)
+                  for r in lhs.join(rhs, "doc_id", "left_semi").collect())
+    assert got == want
+
+    bad = spark.createDataFrame([(1, 2)], "a long, __gpid int")
+    with pytest.raises(ValueError, match="ordering internals"):
+        global_row_number(bad, F.col("a").asc())
+
+    from cantera_table_spark.streaming.sessionize import sessionize_stream
+    stream = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)],
+        "user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        with pytest.raises(ValueError, match="timeZone"):
+            sessionize_stream(stream)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_png_all_filters_reconstruct_identically():
+    """r10 fifth-sweep: the vectorized Sub (filter 1) path must
+    reconstruct exactly like the reference scalar semantics — a PNG of
+    the same pixels encoded with filter 0 and one re-encoded per-row
+    with filters 1/2/3/4 must decode identically."""
+    import struct
+    import zlib
+    import numpy as np
+    from cantera_table_spark.functions.multimodal import decode_png
+
+    h, w, ch = 5, 7, 3
+    rng = np.random.default_rng(7)
+    recon = rng.integers(0, 256, (h, w * ch), dtype=np.uint8)
+
+    def forward(ftype, row, prev):
+        r = row.astype(np.int32)
+        p = prev.astype(np.int32)
+        out = np.zeros_like(r)
+        for i in range(len(r)):
+            a = int(r[i - ch]) if i >= ch else 0
+            b = int(p[i])
+            c = int(p[i - ch]) if i >= ch else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            out[i] = (int(r[i]) - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    def png(rows):
+        def chunk(typ, body):
+            return (struct.pack(">I", len(body)) + typ + body +
+                    struct.pack(">I", zlib.crc32(typ + body)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(bytes([f]) + d.tobytes() for f, d in rows)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    plain = png([(0, recon[r]) for r in range(h)])
+    filters = [1, 2, 3, 4, 1]                 # one per row, Sub twice
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    enc_rows = []
+    for r in range(h):
+        enc_rows.append((filters[r], forward(filters[r], recon[r], prev)))
+        prev = recon[r]
+    filtered = png(enc_rows)
+    assert decode_png(plain) == decode_png(filtered)
+
+
+def test_gif_patch_frame_and_every_n_guards(spark):
+    """r10 fifth-sweep: (a) an uncomposited GIF patch frame (offset or
+    sub-screen dimensions) raises like the interlace case instead of
+    fabricating logical-screen features from patch bytes; (b)
+    gif_frame_stats validates every_n at entry — a bad value must fail
+    loudly, never quarantine-NULL a whole corpus."""
+    import pytest
+    import struct
+    from cantera_table_spark.functions.multimodal import (
+        decode_gif, encode_gif, gif_frame_stats)
+    w, h = 4, 3
+    frame = bytes((i * 7) % 256 for i in range(w * h))   # greyscale
+    data = encode_gif([frame], w, h)
+    assert decode_gif(data)["n_frames"] == 1
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    patched = data.replace(desc,
+                           b"\x2c" + struct.pack("<HHHH", 1, 0, w - 1, h))
+    with pytest.raises(ValueError, match="patch frame"):
+        decode_gif(patched)
+    media = spark.createDataFrame([(1, bytearray(data))],
+                                  "media_id long, data binary")
+    with pytest.raises(ValueError, match="every_n"):
+        gif_frame_stats(media, every_n=0)
+
+
 def test_fourth_sweep_null_and_identity_contracts(spark):
     """r10 fourth-sweep findings, pinned: (a) dedup_lines preserves
     NULL-text docs (NULL out, zero counts) instead of dropping them;
