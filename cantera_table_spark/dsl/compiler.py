@@ -72,9 +72,10 @@ class QueryCompiler:
         if n and "bucket" in idx.columns:
             # directory-partition pruning: the bucket of a literal key
             # is itself a literal, so only one partition is scanned
+            # (bucket_expr: the writer-shared hash, model.py)
+            from cantera_table_spark.model import bucket_expr
             rows = rows.filter(
-                F.col("bucket") == F.pmod(F.xxhash64(F.lit(key)),
-                                          F.lit(n)))
+                F.col("bucket") == bucket_expr(F.lit(key), n))
         score = F.col("score")
         if self.f32:
             # Reference scores are float32 (ca-table.h:100).  Fidelity

@@ -51,7 +51,12 @@ def header_sort_key(index: int) -> str:
 
 
 def double_to_string(v: float) -> str:
-    """X7: shortest round-trip decimal (util.h:130-157)."""
-    if v == int(v) and abs(v) < 1e16:
+    """X7: shortest round-trip decimal (util.h:130-157).  Non-finite
+    values render via repr ('nan'/'inf'/'-inf') — int(v) would raise
+    ValueError/OverflowError before the integer short-circuit could
+    decide (r10 review finding; reachable from engine._threshold_header
+    on a non-finite threshold)."""
+    import math
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e16:
         return str(int(v))
     return repr(v)

@@ -70,6 +70,16 @@ TIMESERIES_SCHEMA = T.StructType([
 RESULT_COLS = ("doc_id", "score")
 
 
+def bucket_expr(keyword_col, n: int):
+    """The ONE keyword->bucket hash shared by the postings writer
+    (sources/ingest.write_postings) and the lookup pruner
+    (dsl/compiler._lookup_plain): any drift between the two sides makes
+    lookups filter on a bucket the keyword was never written to and
+    silently return zero rows, so the expression lives here exactly
+    once (r10 review finding)."""
+    return F.pmod(F.xxhash64(keyword_col), F.lit(int(n)))
+
+
 @dataclass
 class Catalog:
     """The schema-file equivalent (reference schema.cc:60-118).

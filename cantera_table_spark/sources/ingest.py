@@ -38,7 +38,19 @@ def _apply_key_options(df: DataFrame, key_col: str = "key",
     The reference shards with an FNV-ish hash (util.h:86); sharding only
     partitions work across processes, so any stable hash is
     semantics-preserving — we use xxhash64 (documented divergence).
+
+    Misconfigured sharding raises instead of silently mis-ingesting:
+    an index without a count would process EVERY row (each shard of a
+    fleet ingesting the full input), and an index outside the count
+    would filter everything to an empty output (r10 review finding).
     """
+    if shard_index is not None and not shard_count:
+        raise ValueError(
+            f"shard_index={shard_index} given without shard_count")
+    if shard_count and shard_index is not None and \
+            not 0 <= shard_index < shard_count:
+        raise ValueError(
+            f"shard_index={shard_index} outside [0, {shard_count})")
     if key_filter is not None:
         df = df.filter(F.col(key_col).rlike(key_filter))
     if strip_key_prefix:
@@ -70,13 +82,21 @@ def escape_tsv(col):
 
 def _unescape_tsv(col):
     """TSV unescape: ``\\\\``, ``\\n``, ``\\r``, ``\\t``
-    (ca-load.cc:238-253, format.cc:247-268).  A NUL sentinel protects
-    literal backslashes from the later replacements."""
-    c = F.regexp_replace(col, r"\\\\", "\x00")
-    c = F.regexp_replace(c, r"\\n", "\n")
-    c = F.regexp_replace(c, r"\\r", "\r")
-    c = F.regexp_replace(c, r"\\t", "\t")
-    return F.translate(c, "\x00", "\\")
+    (ca-load.cc:238-253, format.cc:247-268).
+
+    Split-on-double-backslash instead of a sentinel byte: the earlier
+    NUL sentinel turned any LITERAL NUL already present in the data
+    into a backslash (the reference's char-by-char unescape passes NUL
+    through unchanged — r10 review finding).  Segments between ``\\\\``
+    pairs contain only single-backslash escapes, which then substitute
+    safely; rejoining with one backslash restores the escaped pairs.
+    NULL input stays NULL (split/transform/array_join propagate)."""
+    def _singles(seg):
+        c = F.regexp_replace(seg, r"\\n", "\n")
+        c = F.regexp_replace(c, r"\\r", "\r")
+        return F.regexp_replace(c, r"\\t", "\t")
+    return F.array_join(
+        F.transform(F.split(col, r"\\\\"), _singles), "\\")
 
 
 def read_tsv_timeseries(spark: SparkSession, path: str,
@@ -118,6 +138,12 @@ def read_tsv_postings(spark: SparkSession, path: str, documents: DataFrame,
     (the reference resolved them to byte addresses, ca-load.cc:282-295).
     Unknown documents are dropped (reference errors; at 100 TB a
     quarantine sink is the right posture — divergence documented)."""
+    if threshold is not None and not score_col:
+        # the synthesized constant 0.0 score would be compared against
+        # the threshold — silently emptying (or no-op'ing) the load
+        raise ValueError(
+            "threshold requires score_col=True (scoreless postings "
+            "synthesize a constant 0.0 score)")
     schema = "key string, docname string" + \
              (", score double" if score_col else "")
     raw = spark.read.option("sep", "\t").option("quote", "").schema(schema).csv(path)
@@ -142,7 +168,21 @@ def read_tsv_summaries(spark: SparkSession, path: str | list[str],
     per input would hand different documents the same doc_id).  Both
     columns are unescaped — the reference unescapes the whole stream
     (ca-load.cc:234-253).
+
+    Sharding is rejected here: doc_id numbering restarts at 0 per call,
+    so two sharded summary loads would hand different documents the
+    same doc_id and every downstream doc_id join would attach the
+    wrong document (r10 review finding).  The reference's sharded
+    summary tables are keyed by KEY with per-table byte offsets, a
+    layout this doc_id model deliberately replaced; load all inputs in
+    ONE call (list ``path``) instead.
     """
+    if key_options.get("shard_count") or \
+            key_options.get("shard_index") is not None:
+        raise ValueError(
+            "sharded summary ingest is unsupported: per-shard doc_id "
+            "numbering collides across shards — pass all inputs as a "
+            "list path to one call instead")
     raw = (spark.read.option("sep", "\t").option("quote", "")
            .schema("key string, doc string").csv(path))
     df = _apply_key_options(
@@ -175,16 +215,30 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
 
     - ``sum``: duplicate (key, offset) values summed.
     - ``union``: duplicates must agree on the value, else MergeError
-      (reference KJ_REQUIRE, ca-load.cc:477-481).
+      (reference KJ_REQUIRE, ca-load.cc:477-481; the reference checks
+      the SCORE only — bands ride along from the first entry).
     - ``pick-one``: first table wins (table order = priority; the
       reference prefers percentile-bearing entries, ca-load.cc:482-489 —
       here: lowest table index).
+
+    Band-bearing inputs (pct5..pct95 columns) are accepted by
+    ``pick-one`` only: sum/union previously DROPPED the band columns
+    silently (r10 review finding), and the reference's own sum mode
+    KJ_REQUIREs band-free duplicates (ca-load.cc:491-494).  Carrying
+    bands through sum/union faithfully (first entry's bands win, error
+    on band-bearing duplicates) is the documented upgrade path; until
+    then a loud error beats silent column loss.
     """
     tagged = [t.withColumn("__src", F.lit(i)) for i, t in enumerate(tables)]
     allt = tagged[0]
     for t in tagged[1:]:
         allt = allt.unionByName(t)
     keys = [F.col(c) for c in key_cols]
+    if mode in ("sum", "union") and "pct5" in allt.columns:
+        raise ValueError(
+            f"merge mode {mode!r} does not support percentile-band "
+            "columns (they would be dropped silently); use pick-one "
+            "or strip the band columns first")
     if mode == "sum":
         return (allt.groupBy(*keys)
                 .agg(F.sum(value_col).alias(value_col)))
@@ -195,6 +249,11 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
                     F.count("*").alias("__n"),
                     F.count(value_col).alias("__nn"),
                     F.first(value_col).alias(value_col)))
+        # one materialization serves both the eager conflict check and
+        # the returned frame — without it the full union+aggregation
+        # ran twice, once for .first() and once when the caller
+        # consumed the result (r10 review finding)
+        agg = agg.localCheckpoint(eager=False)
         # min/max skip NULLs, so a NULL-vs-value mix needs its own
         # check (count(col) < count(*) with any non-null present)
         conflict = (F.col("__min") != F.col("__max")) | \
@@ -239,8 +298,9 @@ def write_postings(postings: DataFrame, path: str,
     memory/bytes and only pay off when many distinct keywords share a
     bucket, i.e. at large key cardinality."""
     n = n_buckets or 32
+    from cantera_table_spark.model import bucket_expr
     w = (postings
-         .withColumn("bucket", F.pmod(F.xxhash64("keyword"), F.lit(n)))
+         .withColumn("bucket", bucket_expr(F.col("keyword"), n))
          .repartition(n, "bucket")
          .sortWithinPartitions("keyword", "doc_id")
          .write.mode("overwrite"))

@@ -1054,6 +1054,56 @@ def test_lm_score_prefers_predictable_text(spark):
     assert out[0].n_bigrams == 10
 
 
+def test_sixth_sweep_ingest_guards(spark, tmpdir):
+    """r10 sixth-sweep findings, pinned: (a) literal NUL bytes pass
+    through the TSV unescape unchanged (the sentinel byte turned them
+    into backslashes); (b) double_to_string renders non-finite values
+    instead of raising; (c) misconfigured sharding, scoreless
+    thresholds, sharded summary loads, and band-bearing sum/union
+    merges all raise clean ValueErrors instead of silently
+    mis-ingesting."""
+    import os
+    import pytest
+    from cantera_table_spark.functions.dates import double_to_string
+    from cantera_table_spark.sources.ingest import (
+        _unescape_tsv, escape_tsv, merge_tables, read_tsv_postings,
+        read_tsv_summaries)
+
+    vals = ["a\x00b", "x\\ty\x00", "\\\\n", "plain", "\\\\\\t"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.u for r in
+           df.select(_unescape_tsv(F.col("s")).alias("u")).collect()]
+    assert got == ["a\x00b", "x\ty\x00", "\\n", "plain", "\\\t"]
+    # escape -> unescape round-trips NUL-bearing data
+    rt = [r.u for r in df.select(
+        _unescape_tsv(escape_tsv(F.col("s"))).alias("u")).collect()]
+    assert rt == vals
+
+    assert double_to_string(float("nan")) == "nan"
+    assert double_to_string(float("inf")) == "inf"
+    assert double_to_string(4.0) == "4"
+
+    docs = spark.createDataFrame([(0, "d0")], "doc_id long, key string")
+    p = os.path.join(tmpdir, "in.tsv")
+    with open(p, "w") as f:
+        f.write("kw\td0\n")
+    with pytest.raises(ValueError, match="score_col"):
+        read_tsv_postings(spark, p, docs, threshold=0.5)
+    with pytest.raises(ValueError, match="without shard_count"):
+        read_tsv_postings(spark, p, docs, shard_index=1)
+    with pytest.raises(ValueError, match="outside"):
+        read_tsv_postings(spark, p, docs, shard_count=2, shard_index=5)
+    with pytest.raises(ValueError, match="sharded summary"):
+        read_tsv_summaries(spark, p, shard_count=2, shard_index=0)
+
+    banded = spark.createDataFrame(
+        [("k", 1.0, 2.0, None, None, None, None)],
+        "key string, ts double, value double, pct5 double, "
+        "pct25 double, pct75 double, pct95 double")
+    with pytest.raises(ValueError, match="percentile-band"):
+        merge_tables([banded, banded], "sum", key_cols=("key", "ts"))
+
+
 def test_fifth_sweep_skew_ordering_stream_guards(spark):
     """r10 fifth-sweep findings, pinned: (a) quarantine_heavy_keys
     removes a heavy NULL key (the name-based anti-join's NULL = NULL
