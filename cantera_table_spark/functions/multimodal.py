@@ -978,8 +978,13 @@ def _frame_stats_map(media: DataFrame, decoder, schema: "T.StructType",
     fail loudly instead of silently NULLing a whole corpus (the
     decode_images posture).  ``row_fn(media_id, frame_idx, decoded,
     mean_rgb)`` shapes the output row."""
-    if int(every_n) < 1:
-        raise ValueError(f"every_n must be >= 1: {every_n}")
+    # normalize BEFORE the loop: a float like 2.5 passes an
+    # int()-only guard (int()=2) and then range(0, n, 2.5) raises
+    # TypeError in executors, defeating the fail-at-entry intent
+    # (r10 advisory)
+    if int(every_n) != every_n or int(every_n) < 1:
+        raise ValueError(f"every_n must be an integer >= 1: {every_n!r}")
+    every_n = int(every_n)
     n_cols = len(schema.fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

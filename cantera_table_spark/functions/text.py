@@ -532,6 +532,20 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
                 f"(min_count, max_piece_len)={got}, requested "
                 f"{(int(min_count), int(max_piece_len))} — use a "
                 "different path to derive a new vocabulary")
+    else:
+        # legacy artifact (written before the _params sidecar existed):
+        # the mismatch guard above cannot fire, which is exactly the
+        # silent-wrong-vocabulary failure it targets (r10 advisory).
+        # Backfilling the REQUESTED params would launder an unverified
+        # assumption into a permanent record, so warn instead.
+        import warnings
+        warnings.warn(
+            f"vocab artifact at {path!r} has no _params sidecar "
+            "(written by an older version): cannot verify it was "
+            f"built with (min_count, max_piece_len)="
+            f"{(int(min_count), int(max_piece_len))} — re-derive at a "
+            "fresh path to restore the parameter-mismatch guard",
+            stacklevel=2)
     return path
 
 

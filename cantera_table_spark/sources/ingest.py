@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# the reference's prediction-band columns (ca-table.h:102-105) — band
+# handling must key on ANY of these, not just pct5: a table carrying
+# pct25/pct75/pct95 without pct5 is still band-bearing (r10 advisory)
+BAND_COLS = ("pct5", "pct25", "pct75", "pct95")
+
 
 class MergeError(ValueError):
     pass
@@ -113,7 +118,7 @@ def read_tsv_timeseries(spark: SparkSession, path: str,
     empty cells -> NULL.
     """
     schema = "key string, date string, value double"
-    band_cols = ["pct5", "pct25", "pct75", "pct95"]
+    band_cols = list(BAND_COLS)
     if with_bands:
         schema += "".join(f", {c} double" for c in band_cols)
     raw = spark.read.option("sep", "\t").option("quote", "").schema(schema).csv(path)
@@ -234,11 +239,12 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
     for t in tagged[1:]:
         allt = allt.unionByName(t)
     keys = [F.col(c) for c in key_cols]
-    if mode in ("sum", "union") and "pct5" in allt.columns:
+    band_present = [c for c in BAND_COLS if c in allt.columns]
+    if mode in ("sum", "union") and band_present:
         raise ValueError(
             f"merge mode {mode!r} does not support percentile-band "
-            "columns (they would be dropped silently); use pick-one "
-            "or strip the band columns first")
+            f"columns ({', '.join(band_present)} would be dropped "
+            "silently); use pick-one or strip the band columns first")
     if mode == "sum":
         return (allt.groupBy(*keys)
                 .agg(F.sum(value_col).alias(value_col)))
@@ -268,8 +274,11 @@ def merge_tables(tables: list[DataFrame], mode: str = "union",
         # The reference prefers percentile-band-bearing entries over
         # plain ones, then first-wins (ca-load.cc:482-489, 513-517).
         order = [F.col("__src").asc()]
-        if "pct5" in allt.columns:
-            order.insert(0, F.col("pct5").isNull().asc())
+        if band_present:
+            # a row is band-bearing if ANY band column is non-null
+            has_band = F.coalesce(
+                *[F.col(c) for c in band_present]).isNotNull()
+            order.insert(0, has_band.desc())
         w = Window.partitionBy(*keys).orderBy(*order)
         return (allt.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

@@ -49,6 +49,32 @@ ROCKSDB_STATE_STORE_PROVIDER = (
 _STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
+def _is_utc_zone(spark, tz: str) -> bool:
+    """True iff ``tz`` resolves to a FIXED zero UTC offset.
+
+    Resolved through ``java.time.ZoneId`` — the same resolver Spark
+    applies to ``spark.sql.session.timeZone`` — instead of a string
+    whitelist, which rejected legitimate UTC spellings like
+    ``Etc/GMT``, ``GMT0``, ``UTC+00:00``, ``+00:00`` (r10 advisory).
+    Fixedness matters, not just the current offset: a DST zone that
+    happens to sit at +00:00 today (``Europe/London`` in winter)
+    still corrupts the fold's epoch arithmetic across a transition.
+    Falls back to a literal whitelist if the JVM gateway is
+    unavailable (e.g. a Connect session).
+    """
+    if not tz:
+        return False
+    try:
+        jvm = spark._jvm
+        rules = (jvm.java.time.ZoneId
+                 .of(tz, jvm.java.time.ZoneId.SHORT_IDS).getRules())
+        return bool(rules.isFixedOffset()) and (
+            rules.getOffset(jvm.java.time.Instant.EPOCH)
+            .getTotalSeconds() == 0)
+    except Exception:
+        return tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+
+
 def ensure_state_store_provider(spark, provider_class: str =
                                 ROCKSDB_STATE_STORE_PROVIDER) -> None:
     """Set and VERIFY the streaming state-store provider on the
@@ -201,7 +227,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     must too.
     """
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+    if not _is_utc_zone(events.sparkSession, tz):
         raise ValueError(
             f"sessionize_stream requires spark.sql.session.timeZone="
             f"UTC (got {tz!r}): the stateful pandas fold receives "
