@@ -46,6 +46,13 @@ labels AS (
 idx AS (SELECT * FROM postings UNION ALL SELECT * FROM labels)
 """
 
+# Hybrid-retrieval candidate-list contract (ir02/ir03): the keyword
+# ranking is cut to this many docs through TakeOrderedAndProject
+# BEFORE the single-partition rank window — at 100 TB a hot keyword
+# must never push a corpus-sized list through one task (r10 verdict).
+# The vector side's bound is the ANN k (=100).
+KW_CANDIDATES = 1000
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -3424,8 +3431,13 @@ def ir01_bm25(spark, sf_dir):
 
 @gate("ir02_rrf_hybrid", ORACLE_POSTINGS + """
 , kw AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-  FROM postings WHERE keyword = 'spark'
+  -- rank <= 1000 mirrors the engine's KW_CANDIDATES top-k bound:
+  -- top_k's (score DESC, doc_id ASC) total order makes the cut
+  -- identical to filtering the unbounded ranking at 1000
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM postings WHERE keyword = 'spark') kwall
+  WHERE rank <= 1000
 ),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -3464,12 +3476,20 @@ def ir02_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of a keyword ranking
     (postings for 'spark', tf-ordered) with a vector ranking (cosine
     top-100 for embedding 0).  doc_id and vec_id share the id space in
-    the fixture corpus, as they would in a real hybrid index."""
+    the fixture corpus, as they would in a real hybrid index.
+
+    BOTH candidate lists are bounded BEFORE their single-partition
+    rank: the kw side through ``top_k`` (TakeOrderedAndProject — the
+    engine's own T1 page pattern), the vector side by k=100.  Without
+    the kw bound a hot keyword makes the row_number window
+    corpus-sized through one task (r10 verdict finding)."""
     from cantera_table_spark.functions.retrieval import rrf_fuse
     from cantera_table_spark.functions.similarity import brute_force_topk
     from cantera_table_spark.model import derive_postings
+    from cantera_table_spark.operators import set_algebra as sa
     p = derive_postings(spark, sf_dir)
-    kw = (p.filter(F.col("keyword") == "spark")
+    kw = (sa.top_k(p.filter(F.col("keyword") == "spark")
+                   .select("doc_id", "score"), KW_CANDIDATES)
           .withColumn("rank", F.row_number().over(
               Window.orderBy(F.col("score").desc(),
                              F.col("doc_id").asc())))
@@ -4654,8 +4674,11 @@ bm AS (
   WHERE p.keyword = 'spark'
 ),
 kw AS (
-  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
-  FROM bm
+  -- rank <= 1000 mirrors the engine's KW_CANDIDATES top-k bound
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM bm) kwall
+  WHERE rank <= 1000
 ),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -4694,15 +4717,22 @@ def ir03_bm25_hybrid(spark, sf_dir):
     """The production hybrid-search composition: BM25-weighted keyword
     ranking (not raw tf — ir02's simpler variant) fused with the
     vector cosine ranking by reciprocal rank.  Every stage — BM25
-    arithmetic, both rankings, the RRF sum — replays in the oracle."""
+    arithmetic, both rankings, the RRF sum — replays in the oracle.
+
+    Like ir02, the kw candidate list is bounded to KW_CANDIDATES via
+    ``top_k`` (TakeOrderedAndProject) before the single-partition
+    rank window ever sees it."""
     from cantera_table_spark.functions.retrieval import (bm25_scores,
                                                          rrf_fuse)
     from cantera_table_spark.functions.similarity import brute_force_topk
     from cantera_table_spark.model import derive_postings
+    from cantera_table_spark.operators import set_algebra as sa
     bm = bm25_scores(derive_postings(spark, sf_dir))
-    kw = (bm.filter(F.col("keyword") == "spark")
+    kw = (sa.top_k(bm.filter(F.col("keyword") == "spark")
+                   .select("doc_id", F.col("bm25").alias("score")),
+                   KW_CANDIDATES)
           .withColumn("rank", F.row_number().over(
-              Window.orderBy(F.col("bm25").desc(),
+              Window.orderBy(F.col("score").desc(),
                              F.col("doc_id").asc())))
           .select("doc_id", "rank"))
     emb = load_table(spark, sf_dir, "embeddings")

@@ -544,6 +544,43 @@ def test_rrf_fuse_is_one_aggregation(spark):
     assert not facts.has_python_eval
 
 
+def test_hybrid_kw_list_is_bounded(spark):
+    """ir02/ir03 (r10 verdict finding): the keyword candidate list is
+    cut to KW_CANDIDATES=1000 by TakeOrderedAndProject BEFORE its
+    single-partition rank window — at 100 TB a hot keyword must never
+    push a corpus-sized list through one task.  Pins (a) the top-k
+    page exists at exactly the contract size, (b) the rank window
+    consumes it DIRECTLY (TakeOrderedAndProject already emits one
+    partition, so no exchange sits between), (c) the vector side
+    stays per-query WindowGroupLimit-bounded."""
+    import re
+
+    from cantera_table_spark import gate
+
+    qs = gate.queries()
+    for name in ("ir02_rrf_hybrid", "ir03_bm25_hybrid"):
+        try:
+            text = plan_facts(qs[name](spark,
+                                       "/root/testdata/sf0.001")).text
+        finally:
+            gate.release_gate_caches()
+        pages = [i for i, ln in enumerate(text.splitlines())
+                 if f"TakeOrderedAndProject(limit={gate.KW_CANDIDATES}"
+                 in ln]
+        assert len(pages) == 1, (name, text)
+        lines = text.splitlines()
+
+        def indent(ln):
+            return len(re.match(r"^[ :+-]*", ln).group(0))
+
+        # nearest shallower line above the page = its direct consumer
+        consumer = next(lines[j] for j in range(pages[0] - 1, -1, -1)
+                        if lines[j].strip()
+                        and indent(lines[j]) < indent(lines[pages[0]]))
+        assert "Window [row_number()" in consumer, (name, consumer)
+        assert "WindowGroupLimit" in text, name    # vec side bound
+
+
 def test_asof_join_is_single_shuffle_window(spark):
     """General as-of join = ONE shuffle of the union by key + one
     Window; never a join of the two event sets (the asof_prior /

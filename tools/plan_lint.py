@@ -61,12 +61,16 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ir01_bm25": {"BroadcastNestedLoopJoin": _STATS_ROW_CROSS},
     "ir02_rrf_hybrid": {
         "BroadcastNestedLoopJoin": _STATS_ROW_CROSS,
-        "SinglePartition": "final fused ranking over the union of two "
-        "bounded top-k candidate lists (documented contract)",
+        "SinglePartition": "candidate-list ranks + the fused ranking, "
+        "every one fed by a bounded page: kw cut to KW_CANDIDATES=1000 "
+        "via top_k/TakeOrderedAndProject BEFORE its rank window "
+        "(pinned in test_plan_shapes.test_hybrid_kw_list_is_bounded), "
+        "vec bounded by ANN k=100, fuse by their union (<=1100 rows)",
     },
     "ir03_bm25_hybrid": {
         "BroadcastNestedLoopJoin": _STATS_ROW_CROSS,
-        "SinglePartition": "same bounded candidate-list ranking as ir02",
+        "SinglePartition": "same bounded candidate-list ranking as ir02 "
+        "(kw top-1000 page, vec k=100, fused union <=1100)",
     },
     "ds04_shuffle_shards": {
         "SinglePartition": "two-phase global rank: the single-partition "
