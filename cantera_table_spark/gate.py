@@ -72,50 +72,51 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-10 rotation (from
+# then a cross-family sentinel band).  Round-11 rotation (from
 # tools/rotate_window.py at round start): positions 1-38 are the
-# r7-stale set (stalest first), then the r8-stale gates, then a
-# 12-slot long-green cross-family sentinel band — after the round-10
-# run no gate's last driver row is older than round 8.
+# r8-stale set (stalest first), then the 12-slot long-green
+# cross-family sentinel band — after the round-11 run no gate's last
+# driver row is older than round 9.  ir02/ir03 sit in the window, so
+# this round's kw-candidate bounding gets a fresh driver row.
 _DRIVER_ORDER = [
-    "dd03_ngram_jaccard",
-    "dd08_jaccard_stopshingle",
-    "dd04_simhash",
-    "tx01_text_stats",
-    "tx02_token_counts",
-    "tx03_lang_id",
-    "tx04_fingerprint",
-    "sim01_brute_topk",
-    "sim02_ivf_topk",
-    "sim06_ivf_partitioned",
-    "mm05_frame_sample",
-    "dd05_embedding_neardup",
-    "mm01_decode_media",
-    "a06_posting_counts",
-    "ts05_prediction_bands",
-    "ts06_band_outliers",
-    "q16_uri_decode",
-    "x01_date_days",
-    "q17_external_expansion",
-    "ts07_union_merge",
-    "q18_override_patch",
-    "q19_keys_for",
-    "f32_01_score_fidelity",
-    "cat01_multi_table",
-    "tx07_corpus_stats",
-    "in02_tsv_timeseries",
-    "st01_stream_ingest",
-    "st02_stream_windowed_rollup",
-    "sim05_hyperplane_sig",
-    "mm02_decode_bmp",
-    "mm03_decode_wav",
-    "dp01_dump_index",
-    "sk01_salted_rollup",
-    "mm04_thumbnail",
-    "tx08_repetition",
-    "tx09_pii_scrub",
-    "dd09_decontaminate",
-    "st03_stream_dedup",
+    "mm07_decode_gif",
+    "ds02_weighted_sample",
+    "dd10_line_dedup",
+    "tx10_lm_score",
+    "ds03_pack_sequences",
+    "sim07_quantized_topk",
+    "ds04_shuffle_shards",
+    "dd11_repeated_spans",
+    "tx11_length_quantiles",
+    "tx12_bpe_pairs",
+    "dd12_dedup_apply",
+    "ds05_packed_text",
+    "tx13_chunking",
+    "ir02_rrf_hybrid",
+    "ml01_logreg_quality",
+    "ev03_funnel",
+    "ev04_retention",
+    "sim08_quantized_ivf",
+    "ts09_asof_join",
+    "ev05_interval_join",
+    "dd14_incremental_dedup",
+    "ds06_mixture_sample",
+    "sim09_pq_topk",
+    "st05_stream_stream_join",
+    "tx15_ppl_buckets",
+    "tx16_kmv_distinct",
+    "ev07_rollup_day",
+    "dd15_semantic_dedup",
+    "sim10_ivfpq_topk",
+    "tx17_wordpiece",
+    "tpch_q6_forecast",
+    "ds07_sample_quantiles",
+    "st06_stream_quality_dedup",
+    "in03_json_ingest",
+    "in04_orc_ingest",
+    "ir03_bm25_hybrid",
+    "ds08_hash_split",
+    "dd16_cut_spans",
     "q01_and",
     "corr01_feature_mining",
     "tpch_q3_revenue",
