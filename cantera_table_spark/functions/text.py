@@ -533,7 +533,10 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
                 f"{(int(min_count), int(max_piece_len))} — use a "
                 "different path to derive a new vocabulary")
     else:
-        # legacy artifact (written before the _params sidecar existed):
+        # legacy artifact (written before the _params sidecar existed)
+        # OR a torn write (killed between the vocab and sidecar jobs —
+        # the sidecar cannot be written first because the vocab
+        # overwrite wipes ``path`` including ``_params``): either way
         # the mismatch guard above cannot fire, which is exactly the
         # silent-wrong-vocabulary failure it targets (r10 advisory).
         # Backfilling the REQUESTED params would launder an unverified

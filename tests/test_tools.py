@@ -151,3 +151,54 @@ def test_native_state_store_conflict_raises(spark):
                 spark.conf.unset(_STATE_STORE_KEY)
             except Exception:
                 pass
+
+
+def test_plan_lint_fold_recompute_detector(spark):
+    """r10 verdict item 4: the sim01 defect class — a filter on the
+    computed pair cosine re-inlines the whole O(d) fold into the join
+    condition (Catalyst substitutes the alias's defining expression
+    into every predicate; no new exchange, no new operator kind, so
+    only bench medians noticed the 1.7x) — must now trip plan_lint
+    structurally.  The shipped per-side _rankable form stays within
+    the measured budget; the reverted form exceeds it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cantera_table_spark.functions.similarity import (brute_force_topk,
+                                                          cosine)
+    pl = _load("plan_lint")
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("float")
+                  for i in range(4)]).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    good = brute_force_topk(emb, queries, k=5)
+    n_good = pl.fold_count(pl.explain_str(good, "simple"))
+    assert 0 < n_good <= pl.FOLD_BUDGET["sim01_brute_topk"], n_good
+    # per-SIDE folds (_rankable norms) are exempt by design: the good
+    # plan still prints them, only the PAIR fold is budgeted
+    assert not [h for h in pl.lint_one("sim01_brute_topk", good)
+                if h.startswith("FoldRecompute")]
+
+    # the reverted (defect) form: no per-side prefilters, validity
+    # decided by filtering the COMPUTED cosine column
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(cosine(F.col("qv"),
+                                                F.col("cv")), 6))
+              .filter(F.col("cos").isNotNull() & ~F.isnan("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    bad = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 5)
+           .select("query_id", "neighbor_id", "cos", "rank"))
+    n_bad = pl.fold_count(pl.explain_str(bad, "simple"))
+    assert n_bad > pl.FOLD_BUDGET["sim01_brute_topk"], (n_bad, n_good)
+    assert [h for h in pl.lint_one("sim01_brute_topk", bad)
+            if h.startswith("FoldRecompute")]

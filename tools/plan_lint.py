@@ -100,6 +100,52 @@ PATTERNS = {
     "SinglePartition": re.compile(r"Exchange SinglePartition"),
 }
 
+# --- per-PAIR fold recompute budget (the r10 sim01 defect class) ---
+#
+# A filter on an expensive COMPUTED column (the per-pair cosine, an
+# O(d) `aggregate(zip_with(...))` fold over BOTH join sides)
+# re-inlines the whole fold into the predicates: Catalyst substitutes
+# the alias's defining expression into every predicate that references
+# it, the plan gains no new exchange or operator kind, and only bench
+# medians noticed the 1.7x (sim01, BASELINE.md r10).  Counting the
+# `aggregate(zip_with(` occurrences catches the substitution
+# structurally: the reverted sim01 form prints the pair fold 3x (once
+# per predicate + projection) instead of once in the projection.
+# Per-SIDE folds (the _rankable norm prefilters — one fold per input
+# ROW, the fix's whole point) use aggregate(transform(...)) and are
+# deliberately NOT counted.
+#
+# Budgets are the measured counts at the audited HEAD — load-bearing
+# documentation like WHITELIST: a gate exceeding its budget means a
+# pair fold got duplicated into a predicate (or a legitimate new fold
+# was added, in which case re-measure and raise the budget
+# CONSCIOUSLY, noting why).  Multi-fold entries are real distinct
+# computations: sim03/sim05 compute one signed projection per
+# hyperplane; ivf variants fold once per stage (assign, probe, rank).
+_FOLD = re.compile(r"aggregate\(zip_with\(")
+_FOLD_BUDGET_DEFAULT = 2
+FOLD_BUDGET = {
+    "dd15_semantic_dedup": 7,
+    "ir02_rrf_hybrid": 1,
+    "ir03_bm25_hybrid": 1,
+    "sim01_brute_topk": 1,
+    "sim02_ivf_topk": 3,
+    "sim03_lsh_neardup": 34,
+    "sim04_ivf_assign": 1,
+    "sim05_hyperplane_sig": 16,
+    "sim06_ivf_partitioned": 3,
+    "sim07_quantized_topk": 1,
+    "sim08_quantized_ivf": 3,
+    "sim09_pq_topk": 2,
+    "sim10_ivfpq_topk": 4,
+    "sim11_pq_trained": 4,
+}
+
+
+def fold_count(text: str) -> int:
+    """Number of per-pair lambda-fold computations printed in a plan."""
+    return len(_FOLD.findall(text))
+
 
 def _tree_indent(line: str) -> int:
     """Depth of a plan line = width of its `:  +- ` tree art prefix."""
@@ -139,6 +185,10 @@ def lint_one(name: str, df) -> list[str]:
                 and _unbounded_single_partitions(text) == 0):
             continue
         hits.append(label)
+    n_folds = fold_count(text)
+    budget = FOLD_BUDGET.get(name, _FOLD_BUDGET_DEFAULT)
+    if n_folds > budget:
+        hits.append(f"FoldRecompute({n_folds}>{budget})")
     return hits
 
 
