@@ -72,7 +72,13 @@ def _is_utc_zone(spark, tz: str) -> bool:
             rules.getOffset(jvm.java.time.Instant.EPOCH)
             .getTotalSeconds() == 0)
     except Exception:
-        return tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+        # JVM gateway unavailable (e.g. Connect) or unparseable zone:
+        # literal whitelist of fixed-zero spellings — including the
+        # ones the offset resolver was added to accept, so the
+        # advisory fix doesn't silently regress on the fallback path
+        return tz in ("UTC", "Etc/UTC", "Etc/GMT", "Etc/GMT0", "GMT",
+                      "GMT0", "UTC+00:00", "GMT+00:00", "+00:00",
+                      "+0000", "Z")
 
 
 def ensure_state_store_provider(spark, provider_class: str =

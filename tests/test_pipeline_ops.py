@@ -2270,6 +2270,12 @@ def test_r10_advisory_fixes(spark):
     for tz in ("", "Europe/London", "America/Los_Angeles", "+01:00",
                "not-a-zone"):
         assert not _is_utc_zone(spark, tz), tz
+    # the no-JVM fallback (e.g. Connect) accepts the same legitimate
+    # fixed-zero spellings instead of regressing to the old whitelist
+    for tz in ("UTC", "Etc/GMT", "GMT0", "UTC+00:00", "+00:00"):
+        assert _is_utc_zone(None, tz), tz
+    for tz in ("", "Europe/London", "+01:00", "not-a-zone"):
+        assert not _is_utc_zone(None, tz), tz
 
     # (d) legacy artifact (no _params sidecar) warns on reuse
     docs = spark.createDataFrame([(1, "aa bb aa")],

@@ -553,31 +553,25 @@ def test_hybrid_kw_list_is_bounded(spark):
     consumes it DIRECTLY (TakeOrderedAndProject already emits one
     partition, so no exchange sits between), (c) the vector side
     stays per-query WindowGroupLimit-bounded."""
-    import re
-
     from cantera_table_spark import gate
+    from tests.conftest import SF_SMOKE
+    from tests.test_tools import _load
 
+    pl = _load("plan_lint")    # shared plan-tree-art parser
     qs = gate.queries()
     for name in ("ir02_rrf_hybrid", "ir03_bm25_hybrid"):
         try:
-            text = plan_facts(qs[name](spark,
-                                       "/root/testdata/sf0.001")).text
+            text = plan_facts(qs[name](spark, SF_SMOKE)).text
         finally:
             gate.release_gate_caches()
-        pages = [i for i, ln in enumerate(text.splitlines())
+        lines = text.splitlines()
+        pages = [i for i, ln in enumerate(lines)
                  if f"TakeOrderedAndProject(limit={gate.KW_CANDIDATES}"
                  in ln]
         assert len(pages) == 1, (name, text)
-        lines = text.splitlines()
-
-        def indent(ln):
-            return len(re.match(r"^[ :+-]*", ln).group(0))
-
-        # nearest shallower line above the page = its direct consumer
-        consumer = next(lines[j] for j in range(pages[0] - 1, -1, -1)
-                        if lines[j].strip()
-                        and indent(lines[j]) < indent(lines[pages[0]]))
-        assert "Window [row_number()" in consumer, (name, consumer)
+        consumer = pl.direct_consumer(lines, pages[0])
+        assert consumer is not None and \
+            "Window [row_number()" in consumer, (name, consumer)
         assert "WindowGroupLimit" in text, name    # vec side bound
 
 

@@ -152,6 +152,18 @@ def _tree_indent(line: str) -> int:
     return len(re.match(r"^[ :+-]*", line).group(0))
 
 
+def direct_consumer(lines: list[str], i: int) -> str | None:
+    """The plan node that consumes line ``i``'s output: the nearest
+    line above with smaller tree indent (None for the plan root).
+    Shared with the plan-shape tests so the tree-art parsing lives in
+    exactly one place."""
+    ind = _tree_indent(lines[i])
+    for j in range(i - 1, -1, -1):
+        if lines[j].strip() and _tree_indent(lines[j]) < ind:
+            return lines[j]
+    return None
+
+
 def _unbounded_single_partitions(text: str) -> int:
     """Count `Exchange SinglePartition` nodes whose direct consumer
     (nearest line above with smaller tree indent) is NOT a bounded
@@ -161,12 +173,7 @@ def _unbounded_single_partitions(text: str) -> int:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        ind = _tree_indent(ln)
-        consumer = None
-        for j in range(i - 1, -1, -1):
-            if lines[j].strip() and _tree_indent(lines[j]) < ind:
-                consumer = lines[j]
-                break
+        consumer = direct_consumer(lines, i)
         if consumer is None or not _SP_BOUNDED_CONSUMER.search(consumer):
             bad += 1
     return bad
