@@ -159,6 +159,19 @@ def _atom(q: Node) -> str:
 
 
 def _num(v: float) -> str:
+    """Numeric literal that re-parses to the same value: repr() emits
+    scientific notation below 1e-4 ('1e-07'), which the tokenizer
+    would split into NUMBER 1.0 and IDENT 'e-07' — silently a
+    different tree, breaking the format/parse round trip this module
+    raises TypeError elsewhere to protect (r11 review finding).
+    numpy's unique positional rendering is the shortest decimal
+    expansion that round-trips."""
     if v == int(v):
         return str(int(v))
-    return repr(v)
+    s = repr(v)
+    if "e" in s or "E" in s:
+        import numpy as np
+        s = np.format_float_positional(v, unique=True)
+        if s.endswith("."):
+            s += "0"        # tokenizer NUMERIC wants digits after '.'
+    return s

@@ -72,10 +72,18 @@ class QueryCompiler:
         if n and "bucket" in idx.columns:
             # directory-partition pruning: the bucket of a literal key
             # is itself a literal, so only one partition is scanned
-            # (bucket_expr: the writer-shared hash, model.py)
+            # (bucket_expr: the writer-shared hash, model.py).  The
+            # NULL arm keeps catalogs that MIX bucketed and unbucketed
+            # index tables correct: unionByName(allowMissingColumns)
+            # fills the unbucketed side's bucket with NULL, and a bare
+            # equality would silently drop every one of its postings
+            # (r11 review finding) — Catalyst pushes the disjunction
+            # per branch, so the bucketed side still prunes to one
+            # partition and the unbucketed side scans as it must.
             from cantera_table_spark.model import bucket_expr
             rows = rows.filter(
-                F.col("bucket") == bucket_expr(F.lit(key), n))
+                F.col("bucket").isNull() |
+                (F.col("bucket") == bucket_expr(F.lit(key), n)))
         score = F.col("score")
         if self.f32:
             # Reference scores are float32 (ca-table.h:100).  Fidelity

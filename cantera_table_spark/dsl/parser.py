@@ -27,9 +27,7 @@ single-quoted strings are StringLiterals.
 
 from __future__ import annotations
 
-import calendar
 import re
-import time
 from dataclasses import dataclass
 
 from cantera_table_spark.dsl.ast import (
@@ -70,10 +68,20 @@ class ParseError(ValueError):
     pass
 
 
-def _date_to_days(text: str) -> float:
-    """YYYY-MM-DD -> days since epoch (timegm/86400, query-parser.yy:204)."""
-    tm = time.strptime(text, "%Y-%m-%d")
-    return calendar.timegm(tm) / 86400.0
+def _date_to_days(text: str, pos: int = 0) -> float:
+    """YYYY-MM-DD -> days since epoch (timegm/86400, query-parser.yy:204),
+    delegated to the canonical X1 helper (functions/dates.py).
+
+    The DATE token regex (query-lexer.ll:102, mirrored below) admits
+    shapes strptime rejects (months 13-19, days 32-39, zero fields);
+    the reference never checks its strptime's return and silently
+    yields a number derived from a zeroed struct tm — here an invalid
+    date is a typed ParseError instead (documented loud divergence)."""
+    from cantera_table_spark.functions.dates import date_str_to_days
+    try:
+        return date_str_to_days(text)
+    except ValueError as e:
+        raise ParseError(f"invalid date literal {text!r} at {pos}: {e}")
 
 
 def tokenize(text: str) -> list[Tok]:
@@ -84,7 +92,11 @@ def tokenize(text: str) -> list[Tok]:
         if ch in "'\"":
             # Quoted literal with doubled-quote escaping (query-lexer.ll
             # stringliteral()); double quotes produce Identifiers, single
-            # quotes StringLiterals.
+            # quotes StringLiterals.  An UNTERMINATED literal swallows
+            # the rest of the input into the token WITHOUT error — that
+            # is the reference's exact behavior (stringliteral()'s loop
+            # runs to EOF and still returns the token,
+            # query-lexer.ll:144-160), so reference parity keeps it.
             quote = ch
             j = i + 1
             out = []
@@ -111,7 +123,7 @@ def tokenize(text: str) -> list[Tok]:
             if kind in ("WS", "COMMENT", "BLOCK_COMMENT"):
                 pass
             elif kind == "DATE":
-                toks.append(Tok("NUMBER", _date_to_days(val), i))
+                toks.append(Tok("NUMBER", _date_to_days(val, i), i))
             elif kind == "HEX":
                 toks.append(Tok("NUMBER", float(int(val, 16)), i))
             elif kind == "NUMERIC":

@@ -104,6 +104,11 @@ class Engine:
             if stmt.parameter == "output_format":
                 self.output_format = stmt.value
             elif stmt.parameter == "time_format":
+                # store-only, like the reference: CA_time_format is
+                # defined (output.cc:31), written (statement.cc:43-45,
+                # ca-shell.cc:106) and never READ anywhere in the
+                # reference tree — SET TIME FORMAT is vestigial there,
+                # so consuming it here would invent behavior
                 self.time_format = stmt.value
             elif stmt.parameter == "count_mode":
                 self.count_mode = stmt.value
@@ -143,6 +148,14 @@ class Engine:
         if mode not in ("exact", "approx", "none"):
             raise ValueError(f"count_mode must be exact|approx|none, "
                              f"got {mode!r}")
+        if stmt.keys_only:
+            # KEYS FOR output carries no result-count, so exact mode's
+            # cache+count (a full extra materialization per query) and
+            # approx's sample job buy nothing (r11 review finding);
+            # the one behavioral use of the count — offset beyond the
+            # result returning a bare [] — falls out of the empty page
+            # identically on the countless path below.
+            mode = "none"
         comp = self._compiler()
         result = comp.process_query(stmt.query, use_max=True)
 
@@ -173,20 +186,20 @@ class Engine:
                     result.sample(False, frac, seed=0).count() / frac))
             page_df = sa.top_k(result, stmt.limit, stmt.offset)
             docs = self.catalog.summary()
-            page = (page_df.join(docs, "doc_id", "left")
-                    .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            page = page_df.join(docs, "doc_id", "left")
             ov = self.catalog.override()
             if ov is not None:
                 ov = ov.withColumnRenamed("doc", "__ov_doc")
-                page = (page.join(ov, "key", "left")
-                        .orderBy(F.col("score").desc(),
-                                 F.col("doc_id").asc()))
+                page = page.join(ov, "key", "left")
             extra = comp.extra
             if extra is not None:
-                page = (page.join(extra, "doc_id", "left")
-                        .orderBy(F.col("score").desc(),
-                                 F.col("doc_id").asc()))
-            rows = page.collect()
+                page = page.join(extra, "doc_id", "left")
+            # ONE sort, after the last join: joins don't preserve
+            # order, so sorting earlier is dead weight (r11 review —
+            # the previous per-join orderBy chain declared three
+            # identical Sort nodes of which only the last mattered)
+            rows = (page.orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc()).collect())
         finally:
             if mode == "exact":
                 result.unpersist()

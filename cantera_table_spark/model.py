@@ -100,7 +100,13 @@ class Catalog:
     keyword_meta: list[tuple[str, bool, str]] = field(default_factory=list)
     # When the index tables were written by sources.ingest.write_postings
     # with a bucket partition column, the bucket count enables partition
-    # pruning on leaf lookups (compiler._lookup_plain).
+    # pruning on leaf lookups (compiler._lookup_plain).  MUST equal the
+    # writer's n_buckets: a mismatch prunes to a bucket the keyword was
+    # never written to and every lookup silently returns zero rows
+    # (bucket_expr shares the hash but cannot verify the count).
+    # Index tables WITHOUT a bucket column may be mixed in freely —
+    # their NULL-filled bucket rows bypass pruning (compiler's
+    # null-safe filter) and are scanned fully.
     postings_buckets: int | None = None
 
     def index(self) -> DataFrame:
@@ -224,9 +230,28 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
     except ImportError:
         items = []
         current = None
+
+        def strip_comment(s: str) -> str:
+            # YAML comment rules, minimally: '#' starts a comment only
+            # OUTSIDE quotes and only at line start or after
+            # whitespace — a naive split('#') truncated quoted
+            # patterns containing '#', a valid DSL identifier char
+            # (r11 review finding), so "- '/tag#.*/'" kept only
+            # "- '/tag" under the fallback while PyYAML kept it whole
+            quote = None
+            for i, ch in enumerate(s):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "#" and (i == 0 or s[i - 1] in " \t"):
+                    return s[:i]
+            return s
+
         with open(path) as f:
             for raw in f:
-                line = raw.split("#", 1)[0].rstrip()
+                line = strip_comment(raw).rstrip()
                 if not line.strip():
                     continue
                 if not line.startswith((" ", "\t", "-")) and \
@@ -278,7 +303,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conflicting caller choice instead of silently changing the
     # semantics of the caller's unrelated queries.
     prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
-    if prev_tz not in (None, "UTC", "Etc/UTC", "Z"):
+    from cantera_table_spark.session import is_utc_zone
+    if prev_tz is not None and not is_utc_zone(spark, prev_tz):
         import warnings
         warnings.warn(
             f"load_table pins spark.sql.session.timeZone=UTC for oracle "

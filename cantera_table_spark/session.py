@@ -49,3 +49,30 @@ def get_spark(app_name: str = "cantera-table-spark",
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def is_utc_zone(spark, tz: str | None) -> bool:
+    """True iff ``tz`` resolves to a FIXED zero UTC offset — resolved
+    through ``java.time.ZoneId`` (the same resolver Spark applies to
+    ``spark.sql.session.timeZone``) rather than a string whitelist,
+    which rejected legitimate spellings like ``Etc/GMT``, ``GMT0``,
+    ``UTC+00:00`` (r10 advisory).  Fixedness matters, not just the
+    current offset: a DST zone parked at +00:00 today (Europe/London
+    in winter) still shifts epoch arithmetic across a transition.
+    Falls back to a literal fixed-zero whitelist when the JVM gateway
+    is unavailable (e.g. a Connect session).  Shared by the streaming
+    sessionizer's entry guard and model.load_table's override warning.
+    """
+    if not tz:
+        return False
+    try:
+        jvm = spark._jvm
+        rules = (jvm.java.time.ZoneId
+                 .of(tz, jvm.java.time.ZoneId.SHORT_IDS).getRules())
+        return bool(rules.isFixedOffset()) and (
+            rules.getOffset(jvm.java.time.Instant.EPOCH)
+            .getTotalSeconds() == 0)
+    except Exception:
+        return tz in ("UTC", "Etc/UTC", "Etc/GMT", "Etc/GMT0", "GMT",
+                      "GMT0", "UTC+00:00", "GMT+00:00", "+00:00",
+                      "+0000", "Z")

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# fixed-zero-offset zone check, shared with model.load_table's
+# override warning — lives in session.py (r11 review: two private
+# copies of the resolver would drift like the whitelists they replace)
+from cantera_table_spark.session import is_utc_zone as _is_utc_zone
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),
@@ -47,38 +52,6 @@ ROCKSDB_STATE_STORE_PROVIDER = (
     "RocksDBStateStoreProvider")
 
 _STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
-
-
-def _is_utc_zone(spark, tz: str) -> bool:
-    """True iff ``tz`` resolves to a FIXED zero UTC offset.
-
-    Resolved through ``java.time.ZoneId`` — the same resolver Spark
-    applies to ``spark.sql.session.timeZone`` — instead of a string
-    whitelist, which rejected legitimate UTC spellings like
-    ``Etc/GMT``, ``GMT0``, ``UTC+00:00``, ``+00:00`` (r10 advisory).
-    Fixedness matters, not just the current offset: a DST zone that
-    happens to sit at +00:00 today (``Europe/London`` in winter)
-    still corrupts the fold's epoch arithmetic across a transition.
-    Falls back to a literal whitelist if the JVM gateway is
-    unavailable (e.g. a Connect session).
-    """
-    if not tz:
-        return False
-    try:
-        jvm = spark._jvm
-        rules = (jvm.java.time.ZoneId
-                 .of(tz, jvm.java.time.ZoneId.SHORT_IDS).getRules())
-        return bool(rules.isFixedOffset()) and (
-            rules.getOffset(jvm.java.time.Instant.EPOCH)
-            .getTotalSeconds() == 0)
-    except Exception:
-        # JVM gateway unavailable (e.g. Connect) or unparseable zone:
-        # literal whitelist of fixed-zero spellings — including the
-        # ones the offset resolver was added to accept, so the
-        # advisory fix doesn't silently regress on the fallback path
-        return tz in ("UTC", "Etc/UTC", "Etc/GMT", "Etc/GMT0", "GMT",
-                      "GMT0", "UTC+00:00", "GMT+00:00", "+00:00",
-                      "+0000", "Z")
 
 
 def ensure_state_store_provider(spark, provider_class: str =

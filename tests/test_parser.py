@@ -312,3 +312,32 @@ def test_theta_join_printer_rejects_non_gt_lt_subquery_rhs():
         echo = format_query(Binary(op, Leaf("a"), rhs=Leaf("b")))
         assert echo == f"(a {sym} b)"
         assert format_query(parse_query(echo)) == echo
+
+
+def test_r11_core_review_parser_pins():
+    """r11 core-path review findings, pinned: (a) tiny-float literals
+    echo in positional notation so the PARSE round trip holds (repr's
+    '1e-07' re-tokenized as NUMBER 1.0 + IDENT 'e-07'); (b) a
+    date-shaped token strptime rejects raises typed ParseError with a
+    position, not a raw ValueError (the reference ignores its
+    strptime failure and silently yields garbage from a zeroed tm —
+    documented loud divergence); (c) an UNTERMINATED quoted literal
+    swallows the rest of the input WITHOUT error — exact reference
+    parity (query-lexer.ll:144-160 returns the token at EOF)."""
+    import pytest
+
+    from cantera_table_spark.dsl.parser import tokenize
+
+    q = parse_query("a=0.0000001")
+    echoed = format_query(q)
+    assert "e" not in echoed.lower()
+    assert parse_query(echoed) == q
+
+    for bad in ("x=2024-19-39", "5-13-01", "y=2024-02-39"):
+        with pytest.raises(ParseError, match="invalid date"):
+            parse_query(bad)
+    # valid dates still convert (timegm/86400)
+    assert parse_query("x=2024-03-01") == parse_query("x=19783")
+
+    toks = tokenize("'unclosed )")
+    assert toks[0].kind == "STRING" and toks[0].value == "unclosed )"

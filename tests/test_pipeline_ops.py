@@ -2285,3 +2285,57 @@ def test_r10_advisory_fixes(spark):
     shutil.rmtree(os.path.join(p, "_params"))
     with pytest.warns(UserWarning, match="_params sidecar"):
         wordpiece_vocab_file(docs, p, min_count=1)
+
+
+def test_r11_keywords_fallback_and_tz_warning(spark, tmpdir):
+    """r11 core-path review findings, pinned: (a) the no-PyYAML
+    keywords.yaml fallback strips '#' comments only outside quotes
+    ('#' is a valid DSL identifier char, so quoted patterns carry it);
+    (b) load_table's session-timezone override warning stays quiet for
+    ANY fixed-zero zone spelling (GMT, +00:00), not just the literal
+    'UTC' family — it resolves through session.is_utc_zone now."""
+    import os
+    import sys
+    import warnings
+
+    import pytest
+
+    from cantera_table_spark.model import load_keywords_config, load_table
+
+    p = os.path.join(str(tmpdir), "keywords.yaml")
+    with open(p, "w") as f:
+        f.write("# header comment\n"
+                "timestamped:\n"
+                "  - '/tag#.*/'   # trailing comment\n"
+                "  - plain#id\n"
+                "ephemeral:\n"
+                "  - temp:\n")
+    with_yaml = load_keywords_config(p)
+    # simulate a PyYAML-less install: the fallback parser must agree
+    saved = {m: sys.modules.pop(m) for m in list(sys.modules)
+             if m == "yaml" or m.startswith("yaml.")}
+    sys.modules["yaml"] = None     # import yaml -> ImportError
+    try:
+        without_yaml = load_keywords_config(p)
+    finally:
+        del sys.modules["yaml"]
+        sys.modules.update(saved)
+    assert ("tag#.*", True, "timestamped") in with_yaml
+    # kind order differs between the parsers (PyYAML iterates kinds,
+    # the fallback preserves file order) — semantically irrelevant,
+    # Catalog._match_kind is any-match over the list
+    assert set(without_yaml) == set(with_yaml)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("GMT", "+00:00", "Etc/GMT"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")    # any warning fails
+                load_table(spark, "/root/testdata/sf0.001", "region")
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        with pytest.warns(UserWarning, match="overriding"):
+            load_table(spark, "/root/testdata/sf0.001", "region")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -403,3 +403,43 @@ def test_random_sample_survives_huge_doc_ids(spark):
     model = sorted(ids, key=lambda d: ((d * 2654435761 + 1234) % 2**32,
                                        d))[:4]
     assert got == set(model)
+
+
+def test_r11_core_review_engine_pins(spark, catalog, monkeypatch):
+    """r11 core-path review findings, pinned: (a) KEYS FOR never runs
+    a count job even under count_mode=exact (its output carries no
+    result-count; the offset-beyond-total bare [] falls out of the
+    empty page); (b) a catalog mixing BUCKETED and unbucketed index
+    tables returns postings from both on a plain lookup (the bucket
+    prune filter is null-safe — a bare equality silently dropped every
+    NULL-bucket row of the unbucketed table)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from cantera_table_spark.model import bucket_expr
+
+    eng = Engine(catalog, unique_postings=True)   # default: exact
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("KEYS FOR must not run a count job")))
+    assert eng.execute_script(
+        "QUERY KEYS FOR (alpha) LIMIT 2;")[0] == ["d2", "d0"]
+    assert eng.execute_script(
+        "QUERY KEYS FOR (alpha) LIMIT 2 OFFSET 99;")[0] == []
+    monkeypatch.undo()
+
+    bucketed = spark.createDataFrame(
+        [("alpha", 10, 9.0), ("beta", 11, 1.0)],
+        "keyword string, doc_id long, score double").withColumn(
+        "bucket", bucket_expr(F.col("keyword"), 16))
+    plain = spark.createDataFrame(
+        [("alpha", 20, 7.0)],
+        "keyword string, doc_id long, score double")
+    cat = Catalog(summaries=catalog.summaries,
+                  indexes=[bucketed, plain], postings_buckets=16)
+    from cantera_table_spark.dsl.parser import parse_query
+    res = Engine(cat, unique_postings=True,
+                 count_mode="none").query_df(parse_query("alpha"))
+    assert {(r.doc_id, r.score) for r in res.collect()} == \
+        {(10, 9.0), (20, 7.0)}

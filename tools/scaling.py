@@ -207,6 +207,42 @@ def main():
             _bm25_postings[id(d)] = p
         bm25_scores(p).write.format("noop").mode("overwrite").save()
 
+    def hybrid_retrieval(d):
+        # ir03's composition over a scaled corpus: BM25 keyword
+        # candidates cut to the r11 KW_CANDIDATES=1000 contract via
+        # top_k (TakeOrderedAndProject) BEFORE the single-partition
+        # rank, fused with a vector top-k.  'spark' appears in ~every
+        # synthetic doc, so the kw match set grows with the factor —
+        # exactly the hot-keyword case the bound exists for: the
+        # timed growth must live in the bm25/top-k SCAN stages while
+        # the rank+fuse stages stay 1000+100-row constant.  The
+        # vector side reads the UNSCALED embeddings (constant work by
+        # construction; its own scaling rows are the sim cases).
+        from pyspark.sql import Window
+        from cantera_table_spark.functions.retrieval import (bm25_scores,
+                                                             rrf_fuse)
+        from cantera_table_spark.functions.similarity import \
+            brute_force_topk
+        from cantera_table_spark.operators import set_algebra as sa
+        p = _bm25_postings.get(id(d))
+        if p is None:
+            bm25(d)                       # materialize via the memo
+            p = _bm25_postings[id(d)]
+        kw = (sa.top_k(bm25_scores(p)
+                       .filter(F.col("keyword") == "spark")
+                       .select("doc_id",
+                               F.col("bm25").alias("score")), 1000)
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc())))
+              .select("doc_id", "rank"))
+        emb = load_table(spark, SF_DIR, "embeddings")
+        vec = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0),
+                                k=100)
+               .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+        rrf_fuse({"kw": kw, "vec": vec}).write.format("noop") \
+            .mode("overwrite").save()
+
     def funnel_case(e):
         from cantera_table_spark.functions.timeseries import funnel
         funnel(e, ["view", "click", "purchase"]).write \
@@ -536,6 +572,7 @@ def main():
         ("shuffle_shards", "documents", shuffle),
         ("quantize_embeddings", "embeddings", quantize),
         ("bm25", "documents", bm25),
+        ("hybrid_retrieval", "documents", hybrid_retrieval),
         ("funnel", "events", funnel_case),
         ("dedup_clusters", "documents", dedup_clusters),
         ("retention", "events", retention),
