@@ -20,6 +20,15 @@ def date_str_to_days(text: str) -> float:
     return calendar.timegm(time.strptime(text, "%Y-%m-%d")) / 86400.0
 
 
+def day_to_date_minute(day: float) -> str:
+    """CORRELATE range-bound rendering for timestamped keywords
+    (correlate.cc:53-62 DayToDate): gmtime of day*86400, strftime
+    ``'%Y-%m-%d %H:%M'``.  Distinct from X2's '%B %e, %Y' header
+    format (days_to_date_string below)."""
+    dt = datetime.fromtimestamp(day * 86400, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%d %H:%M")
+
+
 def days_to_date_string(days: float) -> str:
     """X2: TimeToDateString (query.cc:158-169): days -> '%B %e, %Y' with
     the double-space collapse."""

@@ -31,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cantera_table_spark.dsl import ast as _ast
+
 LOGIT_CUTOFF = math.log(0.55 / 0.45)   # correlate.cc:141-142
 # The output filter compares the ROUNDED 3-decimal log-odds (the output
 # contract's precision) against the rounded cutoff, a deliberate
@@ -97,12 +99,21 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
 
     n_a = a.count()
     n_b = b.count()
-    # An EMPTY class is not a short-circuit: the +1-smoothed prior and
-    # counts are all well-defined with n=0, and features concentrated
-    # in the non-empty class still clear the logit cutoff (count_b=0
-    # rows are real output — e.g. CORRELATE against a class whose
-    # query matched nothing).  Both-empty falls through to an empty
-    # result via the support filters.
+    if n_a == 0 or n_b == 0:
+        # Reference short-circuit (correlate.cc:501: ``if
+        # (offsets_A.empty() || offsets_B.empty()) return;`` — B
+        # checked AFTER the disjoint subtraction, as here): an empty
+        # class emits NOTHING.  The +1-smoothed math would be
+        # well-defined with n=0 and features concentrated in the
+        # non-empty class would clear the cutoff (count_b=0 rows),
+        # but the reference deliberately declines to rank against an
+        # empty contrast class, and parity wins (r11 review finding —
+        # the earlier comment here argued the math without citing the
+        # reference's early return; ref_model mirrors this return).
+        return set_a.sparkSession.createDataFrame(
+            [], "log_odds double, match_count_a long, "
+                "match_count_b long, keyword string, "
+                "min_score double, max_score double")
     prior_logit = math.log((n_a + 1.0) / (n_b + 1.0))
     limit_a = max(n_a // 20, 1)
     limit_b = max(n_b // 20, 1)
@@ -297,6 +308,27 @@ def filter_by_timestamp_now(keys: DataFrame, set_a: DataFrame,
     return matched.unionByName(unmatched)
 
 
+def primary_keyword(q) -> str:
+    """PrimaryKeywordForQuery (correlate.cc:464-471), faithfully: a
+    Leaf returns its identifier; ANY other node commits to its lhs
+    subtree UNCONDITIONALLY when one exists — even when that subtree
+    bottoms out in a non-Leaf terminal (``KEY=x``) and yields '' —
+    then rhs, then ''.  The previous any-subtree fallback kept
+    searching rhs after an empty lhs, so ``CORRELATE (KEY=x AND
+    ts:date), (b)`` wrongly inherited rhs's timestamped kind and
+    silently switched on event-prediction filtering (r11 review
+    finding)."""
+    if isinstance(q, _ast.Leaf):
+        return q.identifier
+    lhs = getattr(q, "lhs", None)
+    if lhs is not None:
+        return primary_keyword(lhs)
+    rhs = getattr(q, "rhs", None)
+    if rhs is not None:
+        return primary_keyword(rhs)
+    return ""
+
+
 def correlate(engine, query_a, query_b) -> DataFrame:
     """Statement entry: resolve the two queries through the engine's
     compiler, apply timestamped-feature filtering when query A's primary
@@ -304,22 +336,10 @@ def correlate(engine, query_a, query_b) -> DataFrame:
     pipeline over the whole index."""
     import time as _time
 
-    from cantera_table_spark.dsl import ast as _ast
 
     comp = engine._compiler()
     set_a = comp.process_query(query_a, use_max=False)
     set_b = comp.process_query(query_b, use_max=False)
-
-    def primary_keyword(q):
-        if isinstance(q, _ast.Leaf):
-            return q.identifier
-        for attr in ("lhs", "rhs"):
-            sub = getattr(q, attr, None)
-            if sub is not None:
-                r = primary_keyword(sub)
-                if r:
-                    return r
-        return ""
 
     def kind_match_col(meta, kind):
         """Column expression for keyword-kind matching (JVM-side — a

@@ -18,6 +18,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _reject_salt_column(df: DataFrame) -> None:
+    """A caller ``__salt`` column would be silently overwritten by
+    withColumn, change which rows group/route together, and then be
+    DROPPED from the result — the same silent-corruption class
+    ordering.global_row_number guards against with its reserved-name
+    ValueError (r11 review finding; also the salt hashed here would
+    include the caller's stale salt, harmless but misleading)."""
+    if "__salt" in df.columns:
+        raise ValueError(
+            "input already carries a __salt column (from an earlier "
+            "salting stage?) — drop or rename it first; it would be "
+            "silently overwritten and removed")
+
+
 def salted_count_sum(df: DataFrame, keys: list[str], value_col: str,
                      n_salts: int = 32,
                      salt_cols: list[str] | None = None) -> DataFrame:
@@ -33,6 +47,7 @@ def salted_count_sum(df: DataFrame, keys: list[str], value_col: str,
     whose entire rows are identical gains no spread — no deterministic
     salt can split indistinguishable rows; pre-aggregate upstream or
     add a distinguishing column."""
+    _reject_salt_column(df)
     if salt_cols is None:
         salt_cols = [c for c in df.columns if c not in keys]
         if not salt_cols:
@@ -61,6 +76,7 @@ def salted_semi_join(lhs: DataFrame, rhs_docs: DataFrame,
     output — duplicated and dropped rows with no error (SPARK-23243;
     the salted_count_sum contract above).  Identical duplicate rows
     share a salt and gain no spread — same documented degenerate case."""
+    _reject_salt_column(lhs)
     rhs_salted = rhs_docs.select(key).distinct().withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     lhs_salted = lhs.withColumn(

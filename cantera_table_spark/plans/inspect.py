@@ -40,12 +40,26 @@ class PlanFacts:
     def distinct_shuffle_keys(self) -> set[str]:
         """Logically-distinct shuffle partitionings: expression ids are
         stripped so a cached subtree printed N times (InMemoryRelation
-        bodies appear inline in explain output) counts once."""
+        bodies appear inline in explain output) counts once.
+
+        The partitioning body is extracted with PAREN BALANCING, not a
+        ``[^)]*`` regex: a nested call in the partitioning expression
+        (``hashpartitioning(pmod(xxhash64(k#3), 8), 200)``) truncates
+        the regex capture at the first ``)``, merging logically
+        distinct exchanges into one key and silently under-counting a
+        real extra shuffle (r11 review finding)."""
         keys = set()
         for m in re.finditer(
-                r"Exchange (?:hash|range)partitioning\(([^)]*)\)",
-                self.text):
-            keys.add(re.sub(r"#\d+L?", "", m.group(1)))
+                r"Exchange (?:hash|range)partitioning\(", self.text):
+            depth, i = 1, m.end()
+            while i < len(self.text) and depth:
+                c = self.text[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            keys.add(re.sub(r"#\d+L?", "", self.text[m.end():i - 1]))
         return keys
 
 

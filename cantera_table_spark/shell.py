@@ -62,17 +62,40 @@ def format_select_rows(df, output_format: str) -> list[str]:
     return out
 
 
-def format_correlate_rows(df) -> list[str]:
-    """correlate.cc:146-180 output shape with the range annotation."""
+def format_correlate_rows(df, catalog=None,
+                          do_timestamps: bool = False) -> list[str]:
+    """correlate.cc:146-180 output shape with the range annotation.
+
+    Range bounds render per ProcessRange (correlate.cc:152-165):
+    plain keywords -> lossless float string (FloatToString, util.h:130
+    — the X7 helper); TIMESTAMPED keywords -> ``'N days ago'`` under
+    event prediction (``do_timestamps`` = query A's primary keyword is
+    timestamped, matching the reference's do_timestamps plumb-through)
+    else DayToDate ``'%Y-%m-%d %H:%M'`` (correlate.cc:53-62).  A
+    catalog-less call keeps the plain numeric rendering (no keyword
+    kinds to consult).  Previously every bound printed as a raw ``%g``
+    number regardless of kind (r11 review finding)."""
+    from cantera_table_spark.functions.dates import (day_to_date_minute,
+                                                     double_to_string)
     out = []
     for r in df.collect():
+        is_ts = (catalog.is_timestamped(r.keyword)
+                 if catalog is not None else False)
+
+        def fmt(v):
+            if not is_ts:
+                return double_to_string(v)
+            if do_timestamps:
+                return double_to_string(v) + " days ago"
+            return day_to_date_minute(v)
+
         key = r.keyword
         if r.min_score is not None and r.max_score is not None:
-            key += f"[{r.min_score:g},{r.max_score:g}]"
+            key += f"[{fmt(r.min_score)},{fmt(r.max_score)}]"
         elif r.min_score is not None:
-            key += f"≥{r.min_score:g}"
+            key += f"≥{fmt(r.min_score)}"
         elif r.max_score is not None:
-            key += f"≤{r.max_score:g}"
+            key += f"≤{fmt(r.max_score)}"
         out.append(f"{r.log_odds:.3f}\t{r.match_count_a}\t"
                    f"{r.match_count_b}\t{key}")
     return out
@@ -87,12 +110,20 @@ def run_script(engine: Engine, text: str, out=sys.stdout) -> None:
                 for k in result:
                     print(k, file=out)
             else:
-                print(json.dumps(result, ensure_ascii=False), file=out)
+                # compact separators: the reference prints the envelope
+                # with no spaces (query.cc:933 '{"result-count":%zu,...')
+                print(json.dumps(result, ensure_ascii=False,
+                                 separators=(",", ":")), file=out)
         elif isinstance(stmt, ast.SelectStmt):
             for line in format_select_rows(result, engine.output_format):
                 print(line, file=out)
         elif isinstance(stmt, ast.CorrelateStmt):
-            for line in format_correlate_rows(result):
+            from cantera_table_spark.operators.correlate import \
+                primary_keyword
+            a_ts = engine.catalog.is_timestamped(
+                primary_keyword(stmt.query_a))
+            for line in format_correlate_rows(result, engine.catalog,
+                                              do_timestamps=a_ts):
                 print(line, file=out)
             engine.release_caches()   # rows are materialized above
         elif isinstance(stmt, ast.ParseStmt):

@@ -148,6 +148,11 @@ def correlate(postings, set_a, set_b, raw=False):
     min_gain = math.log(1.05)
     a = set(set_a)
     b = set(set_b) - a
+    if not a or not b:
+        # correlate.cc:501 short-circuits to NO output when either
+        # class is empty (B judged after the disjoint subtraction);
+        # the engine mirrors it in correlate_sets (r11 review finding)
+        return []
     prior = math.log((len(a) + 1.0) / (len(b) + 1.0))
     lim_a = max(len(a) // 20, 1)
     lim_b = max(len(b) // 20, 1)

@@ -319,3 +319,40 @@ def test_filter_by_timestamp_now_matches_model(spark, keys, set_a, now):
                                                    float(now)).collect()),
                  key=lambda r: (r[0], r[1], r[2]))
     assert got == want
+
+
+def test_r11_empty_class_short_circuit_and_primary_keyword(spark):
+    """r11 operators-review findings, pinned: (a) an empty class —
+    either A, or B emptied by the disjoint subtraction — emits NO
+    output, matching the reference's early return (correlate.cc:501);
+    ref_model mirrors it so the property test keeps covering empty
+    classes; (b) primary_keyword commits to the lhs subtree
+    UNCONDITIONALLY (correlate.cc:464-471): a query whose leftmost
+    terminal is a non-Leaf (KEY=x) yields '' instead of inheriting
+    rhs's keyword and silently flipping event-prediction mode."""
+    from cantera_table_spark.dsl import ast as A
+    from cantera_table_spark.operators.correlate import primary_keyword
+    from tests import ref_model
+
+    a = spark.createDataFrame([(i, 0.0) for i in range(10)], S_SCHEMA)
+    b_empty = spark.createDataFrame([], S_SCHEMA)
+    b_subset = spark.createDataFrame([(0, 0.0), (1, 0.0)], S_SCHEMA)
+    postings = spark.createDataFrame(
+        [("f", i, 0.0) for i in range(8)], P_SCHEMA)
+    assert correlate_sets(postings, a, b_empty).count() == 0
+    # B ⊆ A -> disjoint subtraction empties B -> no output either
+    assert correlate_sets(postings, a, b_subset).count() == 0
+    assert correlate_sets(postings, b_empty, a).count() == 0
+    assert ref_model.correlate(
+        [("f", i, 0.0) for i in range(8)], list(range(10)), []) == []
+    assert ref_model.correlate(
+        [("f", i, 0.0) for i in range(8)], list(range(10)), [0, 1]) == []
+
+    assert primary_keyword(A.Leaf("kw")) == "kw"
+    assert primary_keyword(A.KeyLookup("x")) == ""
+    # leftmost terminal is the KeyLookup -> '' (NOT 'ts:date')
+    assert primary_keyword(
+        A.Binary("and", A.KeyLookup("x"), A.Leaf("ts:date"))) == ""
+    assert primary_keyword(
+        A.Binary("and", A.Leaf("ts:date"), A.KeyLookup("x"))) == "ts:date"
+    assert primary_keyword(A.Unary("max", A.Leaf("m"))) == "m"

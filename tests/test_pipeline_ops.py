@@ -2339,3 +2339,21 @@ def test_r11_keywords_fallback_and_tz_warning(spark, tmpdir):
             load_table(spark, "/root/testdata/sf0.001", "region")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_r11_salt_collision_guard(spark):
+    """r11 operators-review finding: a caller __salt column would be
+    silently overwritten, change row routing/grouping, and then be
+    dropped — both salted operators now raise like
+    ordering.global_row_number's reserved-name guard."""
+    import pytest
+
+    from cantera_table_spark.operators.skew import (salted_count_sum,
+                                                    salted_semi_join)
+    df = spark.createDataFrame([(1, 2.0, 0)],
+                               "doc_id int, v double, __salt int")
+    rhs = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_semi_join(df, rhs)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_count_sum(df, ["doc_id"], "v")

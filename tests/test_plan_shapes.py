@@ -699,3 +699,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS ta")
         spark.sql("DROP TABLE IF EXISTS tb")
+
+
+def test_distinct_shuffle_keys_balances_nested_parens():
+    """r11 plans-review finding: a nested call inside the partitioning
+    expression must not truncate the captured key at the first ')' —
+    two exchanges differing only past that paren are DISTINCT."""
+    from cantera_table_spark.plans.inspect import PlanFacts
+
+    text = ("Exchange hashpartitioning(pmod(xxhash64(k#3), 8), 200)\n"
+            "Exchange hashpartitioning(pmod(xxhash64(k#3), 16), 200)\n"
+            "Exchange hashpartitioning(doc_id#5L, 32)\n")
+    pf = PlanFacts(text=text, n_shuffles=3, n_broadcasts=0,
+                   has_take_ordered=False, pushed_filters=[],
+                   read_schemas=[], has_python_eval=False)
+    assert pf.distinct_shuffle_keys() == {
+        "pmod(xxhash64(k), 8), 200",
+        "pmod(xxhash64(k), 16), 200",
+        "doc_id, 32"}

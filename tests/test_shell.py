@@ -72,3 +72,37 @@ def test_correlate_tsv_shape(spark, catalog):
         assert len(parts) == 4
         float(parts[0])            # log_odds
         int(parts[1]); int(parts[2])
+
+
+def test_r11_shell_review_pins(spark, catalog):
+    """r11 operators/shell review findings, pinned: (a) QUERY
+    envelopes print COMPACT json (query.cc:933 emits no spaces);
+    (b) CORRELATE range bounds on TIMESTAMPED keywords render as
+    dates via DayToDate '%Y-%m-%d %H:%M' (correlate.cc:53-62,152-165)
+    or as 'N days ago' under event prediction, and plain keywords use
+    the lossless FloatToString (X7) instead of %g."""
+    from cantera_table_spark.model import Catalog as Cat
+    from cantera_table_spark.shell import format_correlate_rows
+
+    eng = Engine(catalog, unique_postings=True)
+    out = lines_of(eng, "QUERY (alpha) LIMIT 1;")
+    assert '": ' not in out[0] and '", ' not in out[0]
+    assert out[0].startswith('{"result-count":3,"result":[{')
+
+    rows_df = spark.createDataFrame(
+        [(0.693, 5, 1, "ts:event", 19845.25, None),
+         (0.693, 5, 1, "ts:event", None, 12.5),
+         (-0.405, 1, 4, "plain", 0.25, 4.0)],
+        "log_odds double, match_count_a long, match_count_b long, "
+        "keyword string, min_score double, max_score double")
+    cat = Cat(summaries=[], indexes=[],
+              keyword_meta=[("ts:", False, "timestamped")])
+    got = set(format_correlate_rows(rows_df, cat, do_timestamps=False))
+    # 19845.25 days = 2024-05-02 06:00 UTC
+    assert "0.693\t5\t1\tts:event≥2024-05-02 06:00" in got
+    assert "-0.405\t1\t4\tplain[0.25,4]" in got
+    got_ts = set(format_correlate_rows(rows_df, cat, do_timestamps=True))
+    assert "0.693\t5\t1\tts:event≤12.5 days ago" in got_ts
+    # catalog-less callers keep the plain numeric rendering
+    got_plain = set(format_correlate_rows(rows_df))
+    assert "0.693\t5\t1\tts:event≥19845.25" in got_plain
