@@ -87,6 +87,14 @@ BENCH_QUERIES = [
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if s}
+# fail LOUDLY on a mistyped phase name: a silently-empty ONLY filter
+# still emits a valid-looking total under the same metric name, and
+# the isolated re-measure protocol would record it (r11 review)
+_unknown_only = ONLY - set(BENCH_QUERIES)
+if _unknown_only:
+    raise SystemExit(
+        f"SPARK_GRAFT_BENCH_ONLY names not in BENCH_QUERIES: "
+        f"{sorted(_unknown_only)}")
 
 
 def median(xs: list[float]) -> float:
@@ -158,8 +166,6 @@ def main() -> None:
         indexes=[spark.read.parquet(f"{work}/postings")],
         postings_buckets=n_buckets,
     )
-    engine = Engine(catalog, unique_postings=True)
-
     def run_gate(name: str):
         # gate callables build their own derived catalog; for engine DSL
         # queries we redirect through the parquet-backed engine when
@@ -176,7 +182,10 @@ def main() -> None:
         # cross-phase caching — the catalog is parquet-backed — so
         # clear between phases (and between repeat runs); cleanup time
         # is excluded from the phase's own measurement on purpose.
-        engine.release_caches()
+        # clearCache drops EVERY cached block, including the per-phase
+        # engines' CORRELATE intermediates and gate-registry frames;
+        # release_gate_caches also empties the registry bookkeeping.
+        gate.release_gate_caches()
         spark.catalog.clearCache()
         # ContextCleaner's periodic GC defaults to 30 min — longer than
         # this whole run — so weakly-referenced broadcast / shuffle
@@ -188,8 +197,13 @@ def main() -> None:
         # excluded from phase timings on purpose.
         spark.sparkContext._jvm.System.gc()
 
-    # Route gate DSL queries through the parquet-backed catalog.
-    gate._engine = lambda s, d: engine  # noqa: SLF001
+    # Route gate DSL queries through the parquet-backed catalog.  A
+    # FRESH Engine per call preserves gate._engine's contract (only the
+    # catalog is memoized there): a single shared instance would leak
+    # SET output_format/count_mode state across phases if a
+    # session-state gate ever joins BENCH_QUERIES (r11 review).
+    gate._engine = \
+        lambda s, d: Engine(catalog, unique_postings=True)  # noqa: SLF001
 
     for name in BENCH_QUERIES:
         if ONLY and name not in ONLY:

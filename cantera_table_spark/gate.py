@@ -130,11 +130,10 @@ _DRIVER_ORDER = [
     "st04_stream_sessionize",
     "dd07_lsh_jaccard",
 ]
-# Gates outside the window this round (all driver-green in r8-r9)
+# Gates outside the window this round (all driver-green in r8-r10)
 # follow in decoration order and stay covered by tools/check_gate.py's
 # full local sweep.  Freshness target: see the header comment above
-# the list (round-10 rotation — after the r10 run no gate's last
-# driver row is older than round 8).
+# the list.
 
 
 # Frames Spark-cached inside gate bodies (connected-component labels,
@@ -157,8 +156,11 @@ class _BoundedCacheList(list):
     LENGTH-GROWING mutation enforces the cap (append/extend/insert/
     ``+=``/``*=``/slice assignment), not just append — a third-party
     caller bulk-registering via ``extend`` must not bypass the bound.
-    Trim never evicts a frame the current mutation just registered
-    (eviction is oldest-first among the REST), and REPLACED entries
+    Trim prefers evicting frames the current mutation did NOT just
+    register (oldest-first among the rest) — but the CAP always wins:
+    a single over-cap bulk registration evicts from the new frames
+    too, oldest-first.  Duplicate registrations of one frame are
+    unpersisted only when the LAST copy leaves.  REPLACED entries
     (item/slice assignment) are unpersisted as they leave the
     registry — a displaced frame nothing tracks anymore would
     otherwise stay cached forever, the exact leak the cap exists to
@@ -167,15 +169,26 @@ class _BoundedCacheList(list):
     maxlen = 8
 
     def _trim(self, protect=()):
+        # The CAP always wins: a bulk over-cap registration (extend of
+        # maxlen+k frames) evicts oldest-first from the protected set
+        # too — the just-registered guarantee is scoped to mutations
+        # that leave unprotected entries to evict (pinned by the
+        # every-growth-path tests).
         protect_ids = {id(p) for p in protect}
         while len(self) > self.maxlen:
             idx = next((i for i, e in enumerate(self)
                         if id(e) not in protect_ids), 0)
             old = super().pop(idx)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            # unpersist only when no OTHER registry entry still tracks
+            # this frame — the same still-present rule __setitem__
+            # applies; evicting one of a frame's duplicate
+            # registrations must not uncache the copy a consumer gate
+            # is about to materialize (r11 review finding)
+            if not any(e is old for e in self):
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
 
     @staticmethod
     def _unpersist_all(entries):
@@ -269,7 +282,11 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     cat = _CATALOG_CACHE.get(key)
     if cat is None:
         cat = testdata_catalog(spark, sf_dir)
-        cat.indexes = [cat.indexes[0].cache()]
+        # cache EVERY index table: slicing to [0] silently drops any
+        # additional table's postings from all DSL gates (r11 review —
+        # latent while testdata_catalog returns one index, but
+        # cat01_multi_table-shaped catalogs are a supported surface)
+        cat.indexes = [i.cache() for i in cat.indexes]
         _CATALOG_CACHE[key] = cat
     return Engine(cat, unique_postings=True)
 
@@ -725,28 +742,15 @@ def ev01_user_running(spark, sf_dir):
 # CORRELATE — supervised feature mining (correlate.cc; SURVEY.md §2.4 A8-A10)
 # ---------------------------------------------------------------------------
 
-@gate("corr01_feature_mining", ORACLE_POSTINGS + """
-, A AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
-B AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'es'
-      AND doc_id NOT IN (SELECT doc_id FROM A)),
-params AS (
-  SELECT ln(((SELECT count(*) FROM A) + 1.0) /
-            ((SELECT count(*) FROM B) + 1.0)) AS prior,
-         greatest((SELECT count(*) FROM A) // 20, 1) AS lim_a,
-         greatest((SELECT count(*) FROM B) // 20, 1) AS lim_b
-),
-kw_ok AS (
-  SELECT keyword FROM idx GROUP BY 1
-  HAVING count(*) >= (SELECT least(lim_a, lim_b) FROM params)
-),
-k AS (
-  SELECT i.keyword, i.doc_id, i.score,
-         CASE WHEN a.doc_id IS NOT NULL THEN 1
-              WHEN b.doc_id IS NOT NULL THEN -1 END AS cls
-  FROM idx i JOIN kw_ok USING (keyword)
-  LEFT JOIN A a ON a.doc_id = i.doc_id
-  LEFT JOIN B b ON b.doc_id = i.doc_id
-),
+
+# Shared CORRELATE mining-pipeline tail (kind detection -> cumulative
+# split search -> range re-count -> support + rounded-cutoff filter):
+# corr01 and corr02 differ only in how the class sets and the `k`
+# feature table are built; the ~100-line tail INCLUDING the
+# LOGIT_CUTOFF_R3 0.201 boundary lockstep must stay byte-identical on
+# both, so it lives here exactly once (r11 review — two hand-synced
+# copies drift silently until a sweep fails).
+ORACLE_CORRELATE_TAIL = """
 kind AS (
   SELECT keyword, max(abs(score)) > 0 AS continuous,
          count(cls) AS n_classes
@@ -829,7 +833,31 @@ WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
   -- the cutoff compares exact 3-decimal values, not the raw logit
   AND abs(round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior,
                 3)) >= 0.201
-""")
+"""
+
+
+@gate("corr01_feature_mining", ORACLE_POSTINGS + """
+, A AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+B AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'es'
+      AND doc_id NOT IN (SELECT doc_id FROM A)),
+params AS (
+  SELECT ln(((SELECT count(*) FROM A) + 1.0) /
+            ((SELECT count(*) FROM B) + 1.0)) AS prior,
+         greatest((SELECT count(*) FROM A) // 20, 1) AS lim_a,
+         greatest((SELECT count(*) FROM B) // 20, 1) AS lim_b
+),
+kw_ok AS (
+  SELECT keyword FROM idx GROUP BY 1
+  HAVING count(*) >= (SELECT least(lim_a, lim_b) FROM params)
+),
+k AS (
+  SELECT i.keyword, i.doc_id, i.score,
+         CASE WHEN a.doc_id IS NOT NULL THEN 1
+              WHEN b.doc_id IS NOT NULL THEN -1 END AS cls
+  FROM idx i JOIN kw_ok USING (keyword)
+  LEFT JOIN A a ON a.doc_id = i.doc_id
+  LEFT JOIN B b ON b.doc_id = i.doc_id
+),""" + ORACLE_CORRELATE_TAIL)
 def corr01_feature_mining(spark, sf_dir):
     """A8-A10: CORRELATE QUERY (lang:en), (lang:es) — contingency counts,
     log-odds vs prior, min-support 5%, and single-split discretization of
@@ -1129,32 +1157,13 @@ def sim01_brute_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@gate("sim02_ivf_topk", """
-WITH c AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-  FROM embeddings ORDER BY vec_id LIMIT 8
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-assign_scored AS (
-  SELECT e.vec_id, c.centroid_id, e.v,
-    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
-      i -> v[i] * cv[i])), (a, b) -> a + b)
-    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
-         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
-     * sqrt(list_reduce(list_prepend(0.0, list_transform(
-         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
-    AS acos
-  FROM e, c
-),
-assign AS (
-  SELECT vec_id, centroid_id AS cluster, v FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY acos DESC, centroid_id) AS rk
-    FROM assign_scored) t
-  WHERE rk = 1
-),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < 10),
+
+# Shared IVF probe replay (probe-side centroid scoring -> nprobe
+# bucket pick -> in-bucket cosine rank -> NULL/NaN-safe top-k):
+# sim02 and sim08 differ only in how the indexed vectors are produced
+# (raw vs int8-quantized); the probe tail is byte-shared so a
+# tie-break or NaN-guard fix cannot drift between them (r11 review).
+ORACLE_IVF_PROBE_TAIL = """
 probe_scored AS (
   SELECT q.query_id, q.qv, c.centroid_id,
     list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
@@ -1191,7 +1200,35 @@ SELECT query_id, neighbor_id, cos, rank FROM (
                                ORDER BY cos DESC, neighbor_id) AS rank
   FROM cand WHERE cos IS NOT NULL AND NOT isnan(cos)) t
 WHERE rank <= 5
-""")
+"""
+
+
+@gate("sim02_ivf_topk", """
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id, e.v,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+      i -> v[i] * cv[i])), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(
+         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
+    AS acos
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cluster, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC, centroid_id) AS rk
+    FROM assign_scored) t
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),""" + ORACLE_IVF_PROBE_TAIL)
 def sim02_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (scale path): bucket by nearest seed
     centroid, probe 2 buckets.  Every stage is deterministic (seeded
@@ -1700,90 +1737,7 @@ k AS (
   FROM filtered f JOIN kw_ok USING (keyword)
   LEFT JOIN A a ON a.doc_id = f.doc_id
   LEFT JOIN B b ON b.doc_id = f.doc_id
-),
-kind AS (
-  SELECT keyword, max(abs(score)) > 0 AS continuous,
-         count(cls) AS n_classes
-  FROM k GROUP BY 1
-),
-classes AS (
-  SELECT k.* FROM k JOIN kind USING (keyword)
-  WHERE kind.continuous
-    AND kind.n_classes >= (SELECT least(lim_a, lim_b) FROM params)
-    AND k.cls IS NOT NULL
-),
-cum0 AS (
-  SELECT keyword, score,
-    count(*) FILTER (WHERE cls >= 0) OVER w AS cum_a,
-    count(*) FILTER (WHERE cls <= 0) OVER w AS cum_b,
-    count(*) OVER w AS cum_ab,
-    count(*) FILTER (WHERE cls >= 0) OVER wt AS tot_a,
-    count(*) FILTER (WHERE cls <= 0) OVER wt AS tot_b,
-    count(*) OVER wt AS tot_ab
-  FROM classes
-  WINDOW w AS (PARTITION BY keyword ORDER BY score
-               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wt AS (PARTITION BY keyword)
-),
-cum AS (SELECT DISTINCT * FROM cum0),
-cand AS (
-  SELECT *,
-    CASE WHEN cum_a >= lim_a OR cum_b >= lim_b
-         THEN abs(ln((cum_a + 1.0) / (cum_ab - cum_a + 1.0)) - prior)
-         ELSE 0.0 END AS l_gain,
-    CASE WHEN (tot_a - cum_a) >= lim_a OR (tot_b - cum_b) >= lim_b
-         THEN abs(ln((tot_a - cum_a + 1.0) /
-                     ((tot_ab - cum_ab) - (tot_a - cum_a) + 1.0)) - prior)
-         ELSE 0.0 END AS r_gain
-  FROM cum, params
-),
-cand2 AS (
-  SELECT *, greatest(l_gain, r_gain) AS gain,
-    lead(score) OVER (PARTITION BY keyword ORDER BY score) AS next_score,
-    row_number() OVER (PARTITION BY keyword ORDER BY score) AS pos,
-    count(*) OVER (PARTITION BY keyword) AS npos
-  FROM cand
-),
-best AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY keyword
-                                 ORDER BY gain DESC, score ASC) AS rk
-    FROM cand2) t
-  WHERE rk = 1
-),
-split AS (
-  SELECT keyword,
-         (pos > 1 AND pos < npos AND gain >= ln(1.05)) AS use_split,
-         score AS mid, next_score
-  FROM best
-),
-tasks AS (
-  SELECT keyword, NULL::DOUBLE AS lo, NULL::DOUBLE AS hi FROM kind
-    WHERE NOT continuous
-  UNION ALL SELECT keyword, NULL, NULL FROM split WHERE NOT use_split
-  UNION ALL SELECT keyword, NULL, mid FROM split WHERE use_split
-  UNION ALL SELECT keyword, next_score, NULL FROM split WHERE use_split
-),
-counted AS (
-  SELECT t.keyword, t.lo, t.hi,
-    count(DISTINCT CASE WHEN cls = 1 THEN k.doc_id END) AS match_count_a,
-    count(DISTINCT CASE WHEN cls = -1 THEN k.doc_id END) AS match_count_b
-  FROM k JOIN tasks t ON t.keyword = k.keyword
-  WHERE (t.lo IS NULL OR k.score >= t.lo)
-    AND (t.hi IS NULL OR k.score <= t.hi)
-  GROUP BY 1, 2, 3
-)
-SELECT round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior, 3)
-         AS log_odds,
-       match_count_a, match_count_b, keyword,
-       lo AS min_score, hi AS max_score
-FROM counted, params
-WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
-  -- rounded-boundary lockstep with correlate.py::LOGIT_CUTOFF_R3:
-  -- the cutoff compares exact 3-decimal values, not the raw logit
-  AND abs(round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior,
-                3)) >= 0.201
-""")
+),""" + ORACLE_CORRELATE_TAIL)
 def corr02_event_prediction(spark, sf_dir):
     """A11 + A8-A10: event-prediction CORRELATE over timestamped
     keywords — which earlier event types predict a later purchase vs a
@@ -3674,44 +3628,7 @@ assign AS (
     FROM assign_scored) t
   WHERE rk = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
-probe_scored AS (
-  SELECT q.query_id, q.qv, c.centroid_id,
-    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-      i -> qv[i] * cv[i])), (a, b) -> a + b)
-    / (sqrt(list_reduce(list_prepend(0.0, list_transform(
-         range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
-     * sqrt(list_reduce(list_prepend(0.0, list_transform(
-         range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, b) -> a + b)))
-    AS ccos
-  FROM q, c
-),
-probes AS (
-  SELECT query_id, qv, centroid_id AS cluster FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY ccos DESC, centroid_id) AS rk
-    FROM probe_scored) t
-  WHERE rk <= 2
-),
-cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-    round(
-      list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-        i -> qv[i] * v[i])), (a, b) -> a + b)
-      / (sqrt(list_reduce(list_prepend(0.0, list_transform(
-           range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
-       * sqrt(list_reduce(list_prepend(0.0, list_transform(
-           range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b))),
-      6) AS cos
-  FROM probes p JOIN assign a ON a.cluster = p.cluster
-  WHERE a.vec_id <> p.query_id
-)
-SELECT query_id, neighbor_id, cos, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id) AS rank
-  FROM cand WHERE cos IS NOT NULL AND NOT isnan(cos)) t
-WHERE rank <= 5
-""")
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),""" + ORACLE_IVF_PROBE_TAIL)
 def sim08_quantized_ivf(spark, sf_dir):
     """The full scale-path ANN index composed end-to-end: int8 scalar
     quantization (4x-smaller stored vectors) + IVF cluster bucketing +

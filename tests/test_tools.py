@@ -202,3 +202,54 @@ def test_plan_lint_fold_recompute_detector(spark):
     assert n_bad > pl.FOLD_BUDGET["sim01_brute_topk"], (n_bad, n_good)
     assert [h for h in pl.lint_one("sim01_brute_topk", bad)
             if h.startswith("FoldRecompute")]
+
+
+def test_oracle_shared_fragments_in_lockstep():
+    """r11 gate-registry review: the CORRELATE mining tail and the IVF
+    probe replay now live in shared constants (byte-identity enforced
+    here); the PQ ADC chain intentionally remains three contextual
+    copies (their common suffix is only ~230 bytes — no clean
+    boundary), so this test pins the INVARIANTS a drift would break:
+    every copy carries the same deterministic `ORDER BY d, code`
+    codebook tie-break and the same shared ADC-rank suffix."""
+    from cantera_table_spark import gate
+
+    o = gate.oracle_sql()
+    assert gate.ORACLE_CORRELATE_TAIL in o["corr01_feature_mining"]
+    assert gate.ORACLE_CORRELATE_TAIL in o["corr02_event_prediction"]
+    assert gate.ORACLE_IVF_PROBE_TAIL in o["sim02_ivf_topk"]
+    assert gate.ORACLE_IVF_PROBE_TAIL in o["sim08_quantized_ivf"]
+
+    pq = [o[k] for k in ("sim09_pq_topk", "sim10_ivfpq_topk",
+                         "sim11_pq_trained")]
+    assert all("ORDER BY d, code" in s for s in pq)
+
+    def common_suffix(a, b):
+        i = 0
+        while i < min(len(a), len(b)) and a[-1 - i] == b[-1 - i]:
+            i += 1
+        return i
+
+    n = min(common_suffix(pq[0], pq[1]), common_suffix(pq[0], pq[2]))
+    # the shared ADC-rank suffix (GROUP BY + final approx_d2 select)
+    assert n >= 200 and "approx_d2" in pq[0][-n:], (n, pq[0][-50:])
+
+
+def test_gate_cache_trim_keeps_duplicate_registrations_cached(spark):
+    """r11 review: evicting ONE of a frame's duplicate registrations
+    must not unpersist the copy still tracked by the registry."""
+    from cantera_table_spark import gate as g
+    g.release_gate_caches()
+    cap = g._BoundedCacheList.maxlen
+    dup = spark.range(123).cache()
+    dup.count()
+    g._GATE_CACHES.append(dup)
+    g._GATE_CACHES.append(dup)          # duplicate registration
+    for i in range(cap - 1):            # overflow -> trims oldest (dup)
+        f = spark.range(i + 2).cache()
+        f.count()
+        g._GATE_CACHES.append(f)
+    assert g._GATE_CACHES.count(dup) == 1     # one copy evicted
+    assert dup.storageLevel.useMemory         # ...but still cached
+    g.release_gate_caches()
+    assert not dup.storageLevel.useMemory     # final copy unpersists
