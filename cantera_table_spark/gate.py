@@ -833,6 +833,11 @@ WHERE (match_count_a >= lim_a OR match_count_b >= lim_b)
   -- the cutoff compares exact 3-decimal values, not the raw logit
   AND abs(round(ln((match_count_a + 1.0) / (match_count_b + 1.0)) - prior,
                 3)) >= 0.201
+  -- empty-class short-circuit in lockstep with correlate.cc:501 /
+  -- correlate_sets: either class empty (B judged after the disjoint
+  -- subtraction) -> NO output
+  AND (SELECT count(*) FROM A) > 0
+  AND (SELECT count(*) FROM B) > 0
 """
 
 

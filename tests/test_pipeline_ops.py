@@ -809,10 +809,12 @@ def test_engine_gates_survive_null_doc_fields(spark, tmp_path):
         want = sorted((tuple(norm(dict(zip(ocols, r))[c]) for c in cols)
                        for r in cur.fetchall()), key=skey)
         assert got == want, name
-    # corr01 here exercises the empty-es-class path: features exist
+    # corr01 here exercises the empty-es-class path: since r11 the
+    # engine AND oracle short-circuit to NO output like the reference
+    # (correlate.cc:501) — previously 6 count_b=0 rows emitted, the
+    # undocumented divergence the r11 operators sweep closed
     got = qs["corr01_feature_mining"](spark, sf_dir).collect()
-    assert len(got) == 6
-    assert all(r.match_count_b == 0 for r in got)
+    assert got == []
     con.close()
 
 
