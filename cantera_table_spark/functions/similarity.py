@@ -166,7 +166,14 @@ def ivf_assign_hier(emb: DataFrame, centroids: DataFrame,
                   F.col("centroid_id").alias("__cid"),
                   F.col("cv").alias("__ccv"))), F.lit(True))
               .select("vec_id", "v", F.struct(
-                  (-cosine(F.col("v"), F.col("__ccv"))).alias("negcos"),
+                  # NULL negcos must LOSE (coalesce to +inf), exactly
+                  # like ivf_assign's guard at the top of this file: a
+                  # degenerate (zero/NaN) coarse centroid would
+                  # otherwise sort first in every vector's probe list
+                  # and re-introduce the r9 one-bucket collapse on the
+                  # hier path (r11 review finding)
+                  F.coalesce(-cosine(F.col("v"), F.col("__ccv")),
+                             F.lit(float("inf"))).alias("negcos"),
                   F.col("__cid").alias("cid")).alias("__s")))
     probed = (scored.groupBy("vec_id")
               .agg(F.any_value(F.col("v")).alias("v"),
@@ -178,7 +185,9 @@ def ivf_assign_hier(emb: DataFrame, centroids: DataFrame,
             .groupBy("vec_id")
             .agg(F.any_value(F.col("v")).alias("v"),
                  F.min(F.struct(
-                     (-cosine(F.col("v"), F.col("__fcv"))).alias("negcos"),
+                     # same NULL-loses guard as the flat assignment
+                     F.coalesce(-cosine(F.col("v"), F.col("__fcv")),
+                                F.lit(float("inf"))).alias("negcos"),
                      F.col("centroid_id").alias("cid"))).alias("__m"))
             .select("vec_id", "v", F.col("__m.cid").alias("cluster")))
 
@@ -283,7 +292,13 @@ def hyperplane_signature(emb: DataFrame, n_bits: int = 16,
     NULL-pad them into signature 0, colliding every short vector into
     one bucket)."""
     emb = emb.filter(F.col(vec_col).isNotNull())
-    first = emb.select(F.size(vec_col).alias("n")).first()
+    # lowest-id row decides the reference dimension — an unordered
+    # .first() is plan/partition-order dependent, so WHICH dimension
+    # class of a ragged corpus survives could change across AQE plans
+    # or fetch-failure reruns (r11 review; brute_force_topk_pandas
+    # already orders the same pick)
+    first = (emb.orderBy(id_col)
+             .select(F.size(vec_col).alias("n")).first())
     if first is None:
         # schema derives from the input (r9 finding (c))
         from pyspark.sql import types as T
@@ -359,6 +374,13 @@ def ivf_train(emb: DataFrame, k: int = 8, iters: int = 3,
     """
     centroids = seed_centroids(emb, n=k, id_col=id_col, vec_col=vec_col)
     spark = emb.sparkSession
+    from pyspark.sql import types as T
+    # centroid ids inherit the input id type end-to-end — int(c) with a
+    # hardcoded 'centroid_id long' schema crashed string-id corpora
+    # that every other ivf_* path handles (r11 review)
+    schema = T.StructType([
+        T.StructField("centroid_id", emb.schema[id_col].dataType),
+        T.StructField("cv", T.ArrayType(T.DoubleType()))])
     for _ in range(iters):
         assigned = ivf_assign(emb, centroids, id_col=id_col,
                               vec_col=vec_col)
@@ -367,13 +389,22 @@ def ivf_train(emb: DataFrame, k: int = 8, iters: int = 3,
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m")))
         rows = dims.collect()
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict = {}
         for r in rows:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        data = [(int(c), [vals[i] for i in range(len(vals))])
-                for c, vals in sorted(by_cluster.items())]
-        centroids = spark.createDataFrame(
-            data, "centroid_id long, cv array<double>")
+        # a cluster that captured zero vectors this round KEEPS its
+        # previous centroid instead of silently vanishing (k shrank
+        # permanently before — pq_train's empty-code rule, r11
+        # review); the k x dim collect is driver-small by contract
+        prev = {r["centroid_id"]: list(r["cv"])
+                for r in centroids.collect()}
+        data = []
+        for c in sorted(prev):
+            vals = by_cluster.get(c)
+            cv = ([float(vals[i]) for i in range(len(vals))]
+                  if vals else prev[c])
+            data.append((c, cv))
+        centroids = spark.createDataFrame(data, schema)
     return centroids
 
 
@@ -435,7 +466,12 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     if not q_rows:
         return emb.sparkSession.createDataFrame(
             [], schema.add("rank", T.IntegerType()))
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    # ids keep their NATURAL dtype (object for strings, float stays
+    # float): a dtype=np.int64 coercion crashed string-id corpora and
+    # silently truncated float ids, while the JVM path and this
+    # function's own derived output schema carry arbitrary id types
+    # (r11 review).  lexsort/equality below work on object arrays.
+    q_ids = np.array([r.qid for r in q_rows])
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = np.nan       # zero-norm queries -> no matches
@@ -445,7 +481,7 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     def score(batches):
         ids, mat, norms, kk = bc.value
         for pdf in batches:
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = np.nan
@@ -635,7 +671,17 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
                 F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
                         sublen).alias("sv")))
     scored = (subs.join(F.broadcast(codebook), "sub_idx")
-              .withColumn("__d", _l2sq(F.col("sv"), F.col("cv"))))
+              .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
+              # a NULL/NaN subspace distance (NULL vector element, or
+              # a dim-mismatched vector whose slice NULL-pads) must
+              # not produce a code: NULL sorts FIRST in struct min, so
+              # unfiltered it WINS with an arbitrary code 0 and the
+              # vector surfaces as a fake search result — the exact
+              # failure the isNotNull filter above is documented to
+              # prevent (r11 review).  Dropping the rows instead
+              # leaves the vector with < m codes, which the ADC
+              # all-partials guard then excludes from ranking.
+              .filter(F.col("__d").isNotNull() & ~F.isnan("__d")))
     return (scored.groupBy("vec_id", "sub_idx")
             .agg(F.min(F.struct("__d", "code")).alias("__m"))
             .select("vec_id", "sub_idx", F.col("__m.code").alias("code")))
@@ -669,10 +715,13 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
               .filter(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
               .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
-                   F.count("*").alias("__np"))
-              # a vector scores only with all m partials present (the
-              # codes table always has m rows per vector; the guard
-              # documents the invariant rather than trusting it)
+                   # count the PARTIALS, not the rows: a NULL pd (query
+                   # subvector with a NULL element) still emits a row,
+                   # so count(*) passed while sum(pd) silently skipped
+                   # the subspace and ranked on m-1 partials (r11
+                   # review) — the guard's stated invariant is "all m
+                   # partials PRESENT"
+                   F.count("pd").alias("__np"))
               .filter(F.col("__np") == m).drop("__np"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc())
@@ -851,7 +900,9 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
               .join(F.broadcast(lut), ["query_id", "sub_idx", "code"])
               .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
               .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
-                   F.count("*").alias("__np"))
+                   # non-null PARTIALS, not rows — same guard as
+                   # pq_topk (r11 review)
+                   F.count("pd").alias("__np"))
               .filter(F.col("__np") == m).drop("__np"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc())
@@ -877,6 +928,10 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     unchanged; the seeded form stays the oracle-deterministic gate
     path (same split as seed_centroids/ivf_train)."""
     cb = pq_codebook(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    # NULL vectors train nothing, same as the encode path (previously
+    # one NULL embedding crashed _pq_sublen's dim assert with a
+    # misleading 'dim=-1' mid-job, r11 review)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     sublen = _pq_sublen(m)
     subs = (emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
@@ -887,6 +942,11 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     for _ in range(iters):
         assigned = (subs.join(F.broadcast(cb), "sub_idx")
                     .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
+                    # NULL/NaN distances train nothing — unfiltered, a
+                    # NULL __d WINS the struct min with code 0 and the
+                    # subvector's real elements pollute code 0's
+                    # refined mean (r11 review; pq_encode's guard)
+                    .filter(F.col("__d").isNotNull() & ~F.isnan("__d"))
                     .groupBy("vec_id", "sub_idx")
                     .agg(F.min(F.struct("__d", "code", "sv")).alias("__m"))
                     .select("sub_idx", F.col("__m.code").alias("code"),

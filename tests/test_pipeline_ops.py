@@ -2359,3 +2359,94 @@ def test_r11_salt_collision_guard(spark):
         salted_semi_join(df, rhs)
     with pytest.raises(ValueError, match="__salt"):
         salted_count_sum(df, ["doc_id"], "v")
+
+
+def test_r11_similarity_review_fixes(spark):
+    """r11 similarity-sweep findings, pinned:
+    (a) a degenerate (zero) lowest-id centroid must LOSE, not capture,
+        on the hier assignment path — and hier with nprobe >= coarse_k
+        degenerates to the exact flat assignment even then;
+    (b) a NULL-element vector codes only its valid subspaces (NULL
+        distance used to WIN the min with fake code 0) and the
+        all-m-partials guard keeps it out of every ranking; a
+        NULL-element query is excluded the same way instead of
+        ranking on m-1 subspaces;
+    (c) pq_train survives a NULL embedding and keeps NULL-element
+        subvectors out of the refined means;
+    (d) the pandas brute-force kernel handles STRING ids identically
+        to the JVM path;
+    (e) ivf_train keeps k centroids when a cluster captures nothing
+        and carries non-integer ids;
+    (f) hyperplane_signature picks the reference dimension from the
+        LOWEST id deterministically."""
+    from pyspark.sql import functions as F
+
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas, hyperplane_signature,
+        ivf_assign, ivf_assign_hier, ivf_train, pq_codebook, pq_encode,
+        pq_topk, pq_train, seed_centroids)
+
+    # (a) vec 0 = zero vector -> degenerate seed + coarse centroid
+    rows = [(0, [0.0] * 4)] + [
+        (i, [float(i % 5 + 1), float(i % 3), 1.0, 0.5])
+        for i in range(1, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(emb, n=9)
+    hier = ivf_assign_hier(emb, cents, coarse_k=3, nprobe=3)
+    flat = ivf_assign(emb, cents)
+    h = {r.vec_id: r.cluster for r in hier.collect()}
+    f = {r.vec_id: r.cluster for r in flat.collect()}
+    assert h == f                       # nprobe >= coarse_k law holds
+    assert len(set(h.values())) > 1     # no one-bucket collapse
+
+    # (b) NULL-element vector -> zero codes; NULL-element query -> out
+    bad = spark.createDataFrame(
+        [(100, [1.0, None, 0.5, 0.2])],
+        "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb, m=4, ksub=4)
+    codes_bad = pq_encode(bad, cb, m=4)
+    # only the NULL-element subspace drops (m=4, dim=4 -> sublen=1);
+    # the vector keeps <m codes and the all-m-partials rank guard
+    # excludes it from ever surfacing as a neighbor
+    assert codes_bad.count() == 3
+    all_codes = pq_encode(emb, cb, m=4).unionByName(codes_bad)
+    q1 = emb.filter(F.col("vec_id") == 1)
+    ranked = pq_topk(all_codes, cb, q1, k=50, m=4)
+    assert ranked.filter(F.col("neighbor_id") == 100).count() == 0
+    codes = pq_encode(emb, cb, m=4)
+    out = pq_topk(codes, cb, bad, k=3, m=4)
+    assert out.count() == 0
+
+    # (c) pq_train: NULL vector ignored, no crash, full codebook kept
+    with_null = emb.unionByName(spark.createDataFrame(
+        [(200, None)], "vec_id long, embedding array<double>"))
+    tcb = pq_train(with_null, m=4, ksub=4, iters=1)
+    assert tcb.count() == 4 * 4
+
+    # (d) string ids: pandas kernel == JVM path
+    semb = emb.select(F.concat(F.lit("v"),
+                               F.format_string("%03d", "vec_id"))
+                      .alias("vec_id"), "embedding")
+    sq = semb.filter(F.col("vec_id") == "v001")
+    jvm = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+           for r in brute_force_topk(semb, sq, k=5).collect()}
+    pnd = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+           for r in brute_force_topk_pandas(semb, sq, k=5).collect()}
+    assert jvm == pnd and len(jvm) == 5
+
+    # (e) ivf_train: string ids + empty-cluster retention (two clone
+    # seeds -> one captures nothing but must survive the round)
+    dup = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])] +
+        [(f"c{i}", [0.0, float(i + 1)]) for i in range(6)],
+        "vec_id string, embedding array<double>")
+    tc = ivf_train(dup, k=4, iters=2)
+    assert tc.count() == 4
+
+    # (f) ragged corpus: lowest id (dim 4) decides; dim-2 rows drop
+    ragged = emb.unionByName(spark.createDataFrame(
+        [(500, [1.0, 2.0]), (501, [0.5, 0.1])],
+        "vec_id long, embedding array<double>"))
+    sigs = hyperplane_signature(ragged, n_bits=8)
+    ids = {r.vec_id for r in sigs.collect()}
+    assert 500 not in ids and 0 in ids and 1 in ids
