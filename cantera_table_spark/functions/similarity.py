@@ -610,6 +610,18 @@ def _l2sq(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _finite_array(col: Column) -> Column:
+    """Per-ROW subvector validity: every element non-NULL, NaN-free,
+    finite.  Applied to each SIDE before the distance join — the
+    _rankable pattern: filtering the COMPUTED distance instead
+    re-inlines the O(d) fold into the predicates (the r10 sim01
+    lesson; plan_lint's FoldRecompute budget caught exactly that form
+    of the r11 NULL-code fix in-round and forced this one)."""
+    return F.forall(col, lambda x: x.isNotNull() &
+                    ~F.isnan(x.cast("double")) &
+                    (F.abs(x.cast("double")) < F.lit(float("inf"))))
+
+
 def _pq_sublen(m: int) -> Column:
     """Subvector length dim/m over the ``__v`` vector column, with a
     runtime divisibility guard: PQ requires d % m == 0 (FAISS's rule) —
@@ -670,18 +682,21 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
         .select("vec_id", "sub_idx",
                 F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
                         sublen).alias("sv")))
-    scored = (subs.join(F.broadcast(codebook), "sub_idx")
-              .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
-              # a NULL/NaN subspace distance (NULL vector element, or
-              # a dim-mismatched vector whose slice NULL-pads) must
-              # not produce a code: NULL sorts FIRST in struct min, so
-              # unfiltered it WINS with an arbitrary code 0 and the
-              # vector surfaces as a fake search result — the exact
-              # failure the isNotNull filter above is documented to
-              # prevent (r11 review).  Dropping the rows instead
-              # leaves the vector with < m codes, which the ADC
-              # all-partials guard then excludes from ranking.
-              .filter(F.col("__d").isNotNull() & ~F.isnan("__d")))
+    # a NULL/NaN subspace distance (NULL vector element, or a
+    # dim-mismatched pair whose zip_with NULL-pads) must not produce a
+    # code: NULL sorts FIRST in struct min, so it would WIN with an
+    # arbitrary code 0 and the vector surfaces as a fake search result
+    # (r11 review).  Validity filters go on the SIDES (per-row element
+    # scan + a cheap size-equality residual), never on the computed
+    # __d — that re-inlines the O(d) fold per predicate (FoldRecompute
+    # budget).  Degenerate subspaces simply emit no row, leaving the
+    # vector with < m codes, which the ADC all-partials guard then
+    # excludes from ranking.
+    scored = (subs.filter(_finite_array(F.col("sv")))
+              .join(F.broadcast(
+                  codebook.filter(_finite_array(F.col("cv")))), "sub_idx")
+              .filter(F.size("sv") == F.size("cv"))
+              .withColumn("__d", _l2sq(F.col("sv"), F.col("cv"))))
     return (scored.groupBy("vec_id", "sub_idx")
             .agg(F.min(F.struct("__d", "code")).alias("__m"))
             .select("vec_id", "sub_idx", F.col("__m.code").alias("code")))
@@ -938,15 +953,19 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
         .select("vec_id", "sub_idx",
                 F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("sv")))
+                        sublen).alias("sv"))
+        # NULL/NaN-element subvectors train nothing — unfiltered, the
+        # NULL distance WINS the struct min with code 0 and the
+        # subvector's real elements pollute code 0's refined mean
+        # (r11 review).  Per-SIDE validity, like pq_encode; the seeded
+        # codebook is screened once (refined means of finite inputs
+        # stay finite).
+        .filter(_finite_array(F.col("sv"))))
+    cb = cb.filter(_finite_array(F.col("cv")))
     for _ in range(iters):
         assigned = (subs.join(F.broadcast(cb), "sub_idx")
+                    .filter(F.size("sv") == F.size("cv"))
                     .withColumn("__d", _l2sq(F.col("sv"), F.col("cv")))
-                    # NULL/NaN distances train nothing — unfiltered, a
-                    # NULL __d WINS the struct min with code 0 and the
-                    # subvector's real elements pollute code 0's
-                    # refined mean (r11 review; pq_encode's guard)
-                    .filter(F.col("__d").isNotNull() & ~F.isnan("__d"))
                     .groupBy("vec_id", "sub_idx")
                     .agg(F.min(F.struct("__d", "code", "sv")).alias("__m"))
                     .select("sub_idx", F.col("__m.code").alias("code"),
