@@ -56,7 +56,11 @@ def pack_sequences(df: DataFrame, capacity: int, n_shards: int = 4,
     """
     cap = int(capacity)
     # NULL text counts as zero tokens (occupies no bin capacity) —
-    # size(NULL) is NULL, which would reach the Arrow fold as None
+    # size(NULL) is NULL, which would reach the Arrow fold as None.
+    # NULL ids are REJECTED loudly in the kernel: one null in a shard
+    # makes Arrow hand the fold a float64 doc_id column, silently
+    # rounding ids >= 2^53 and corrupting the bin sort order (the
+    # kmv_distinct Arrow-coercion class, r11 review).
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_shards).alias("shard"),
@@ -64,6 +68,11 @@ def pack_sequences(df: DataFrame, capacity: int, n_shards: int = 4,
         .cast("long").alias("n_tokens"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["doc_id"].isna().any():
+            raise ValueError(
+                "pack_sequences: NULL doc_id in shard (ids must be "
+                "non-null — Arrow would coerce the id column to "
+                "float64 and round ids >= 2^53)")
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fill, cur = [], 0, 0
         for n in pdf["n_tokens"]:
@@ -125,8 +134,11 @@ def shuffle_shards(df: DataFrame, n_shards: int,
     from cantera_table_spark.functions.sampling import sample_hash
     from cantera_table_spark.operators.ordering import global_row_number
     h = sample_hash(F.col(id_col), salt=SHUFFLE_SALT).alias("__h")
+    # NULL ids rank first on their NULL hash and poison the epoch-0
+    # determinism contract — drop them like the sampling operators
+    # (r11 review)
     ranked = global_row_number(
-        df.select(F.col(id_col), h),
+        df.filter(F.col(id_col).isNotNull()).select(F.col(id_col), h),
         F.col("__h").asc(), F.col(id_col).asc(),
         col_name="shuffle_rank", stable=stable)
     return (ranked
@@ -145,6 +157,16 @@ def assemble_packed_text(docs: DataFrame, packed: DataFrame,
     The text column only moves in the final assembly shuffle, keyed by
     (shard, bin) — bounded by capacity per group.  Returns
     (shard, bin, n_docs, n_tokens, text).
+
+    Contract notes (r11 review, both deliberate):
+    - ``docs`` must cover every packed id — the inner join silently
+      omits assignments whose document is absent (a packing computed
+      from a superset corpus); validate coverage upstream if that can
+      happen in your pipeline.
+    - NULL-text members COUNT toward n_docs (they are real packed
+      members with 0 tokens) but render nothing — Spark's array_join
+      and the SQL oracle's string_agg both skip NULL elements, so the
+      two engines agree byte-for-byte.
     """
     # pack_sequences always emits its id as 'doc_id' (PACK_SCHEMA) no
     # matter what id_col the caller packed with — align it to the

@@ -84,7 +84,13 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
         raise ValueError("quota dict is empty: no stratum is budgeted")
     qmax = max(quotas.values()) if quotas else quota
     h = sample_hash(F.col(id_col)).alias("__h")
-    pre = df.select(F.col(strata_col), F.col(id_col), h)
+    # NULL ids have NULL hashes, which sort FIRST under the asc window
+    # order — they deterministically WON sample slots, displacing real
+    # documents, with arbitrary ties among themselves (r11 review,
+    # empirically confirmed).  A row without identity cannot have a
+    # reproducible sample key; drop it like funnel/asof drop NULL keys.
+    pre = (df.filter(F.col(id_col).isNotNull())
+           .select(F.col(strata_col), F.col(id_col), h))
     spark = df.sparkSession
     qdf = None
     if quotas is not None:
@@ -174,9 +180,13 @@ def mixture_sample(df: DataFrame, weights: dict, total_tokens: int,
         n_tok = F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
     else:
         n_tok = F.coalesce(F.col(token_col), F.lit(0))
-    base = (df.select(F.col(strata_col), F.col(id_col).alias("doc_id"),
-                      n_tok.cast("long").alias("n_tokens"),
-                      sample_hash(F.col(id_col)).alias("__h"))
+    # NULL ids: no identity -> no reproducible hash position; their
+    # NULL hash sorted first and consumed quota ahead of every real
+    # document (r11 review; same rule as stratified_sample)
+    base = (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(strata_col), F.col(id_col).alias("doc_id"),
+                    n_tok.cast("long").alias("n_tokens"),
+                    sample_hash(F.col(id_col)).alias("__h"))
             .join(F.broadcast(qdf), strata_col))
     out_cols = [strata_col, "doc_id", "n_tokens"]
     if not coarse:
@@ -226,6 +236,11 @@ def hash_split(df: DataFrame, fractions: dict,
     if not fractions or total <= 0:
         raise ValueError(
             f"fractions must be non-empty with a positive sum: {fractions}")
+    # a NULL id yields u = NULL: every `u < x` is NULL-false, so the
+    # row silently lands in the LAST split — for the canonical
+    # train/val/test layout that is the eval split, an eval-
+    # contamination vector (r11 review).  No identity, no split.
+    df = df.filter(F.col(id_col).isNotNull())
     u = sample_u(F.col(id_col))
     expr = None
     acc = 0.0

@@ -56,10 +56,13 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
     gtype = "string" if roundtrip else gdt.simpleString()
     gexpr = (F.col(group_col).cast("string") if roundtrip
              else F.col(group_col))
+    # base hash REUSED from dedup.md5_int (r11 review: this was the
+    # third inline copy of the portable md5-prefix contract; a prefix-
+    # width change must hit every engine-and-oracle pair at once)
+    from cantera_table_spark.functions.dedup import md5_int
     hashed = df.select(
         gexpr.alias("g"),
-        ((F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
-                 16, 10).cast("double") + 1) /
+        ((md5_int(F.col(value_col).cast("string")).cast("double") + 1) /
          F.lit(float(1 << 32))).alias("u"))
 
     def partial(batches):

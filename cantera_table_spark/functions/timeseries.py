@@ -299,11 +299,18 @@ def asof_join(left: DataFrame, right: DataFrame,
     # same contract as interval_join: a left payload column named like
     # a prefixed output would silently duplicate a column name in the
     # result (AMBIGUOUS_REFERENCE downstream)
+    internal = {"__k", "__ts", "__side", "__m"} | {f"__r_{c}" for c in rv}
     clash = [c for c in lp
-             if c in [f"{prefix}{ts_col}"] + [f"{prefix}{v}" for v in rv]]
+             if c in [f"{prefix}{ts_col}"] + [f"{prefix}{v}" for v in rv]
+             or c in internal]
     if clash:
+        # internal names too (r11 review): a left payload '__side'
+        # would otherwise duplicate the selected literal and fail
+        # AMBIGUOUS_REFERENCE (or bind wrongly) deep in the plan —
+        # the global_row_number reserved-name convention
         raise ValueError(
-            f"left columns collide with prefixed outputs: {clash}")
+            f"left columns collide with prefixed outputs or asof "
+            f"internals: {clash}")
     rtypes = {c: right.schema[c].dataType for c in rv}
     ltypes = {c: left.schema[c].dataType for c in lp}
     lsel = (left.filter(F.col(key_col).isNotNull())
@@ -392,6 +399,12 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                and c != key_col]
     if overlap:
         raise ValueError(f"column collision between sides: {overlap}")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        # present on ONE side it slips the overlap check, gets
+        # silently overwritten by withColumn and then dropped from the
+        # output — caller data loss with no error (r11 review)
+        raise ValueError("input columns collide with interval_join "
+                         "internals: ['__bin']")
     p = points.filter(F.col(ts_col).isNotNull()).withColumn(
         "__bin", F.floor(F.unix_micros(F.col(ts_col)) / w_us))
     iv = (intervals

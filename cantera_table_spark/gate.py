@@ -2762,7 +2762,7 @@ WITH r AS (
            PARTITION BY lang
            ORDER BY md5('samp:' || doc_id::VARCHAR), doc_id
          ) AS sample_rank
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 25
 """)
@@ -3074,7 +3074,7 @@ WITH r AS (
          row_number() OVER (
            ORDER BY md5('shuf:' || doc_id::VARCHAR), doc_id
          ) AS shuffle_rank
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT doc_id, shuffle_rank, (shuffle_rank - 1) % 4 AS shard FROM r
 """)
@@ -3863,7 +3863,7 @@ WITH d AS (
              regexp_split_to_array(lower(text), '[^a-z]+'),
              x -> x <> '')), 0)::BIGINT AS n_tokens,
          md5('samp:' || doc_id::VARCHAR) AS h
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 q AS (SELECT * FROM (VALUES ('src0', 1200), ('src1', 400), ('src2', 400))
       t(source, quota)),
@@ -4673,7 +4673,7 @@ FROM (
   SELECT doc_id, source,
          (('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT)
          / 4294967296.0 AS u
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 """)
 def ds08_hash_split(spark, sf_dir):

@@ -38,7 +38,16 @@ def _timeseries_projection(raw: DataFrame, date_format: str) -> DataFrame:
     return (raw.select(_unescape_tsv(F.col("key")).alias("key"),
                        F.try_to_timestamp(F.col("date"),
                                           F.lit(date_format)).alias("ts"),
-                       F.col("value").cast("double").alias("value"))
+                       # try_cast, NOT cast: under Spark 4's default
+                       # ANSI mode a plain cast on one malformed
+                       # numeric field raises CAST_INVALID_INPUT and
+                       # kills the whole streaming query — a poison
+                       # pill that re-crashes on every checkpoint
+                       # restart — where the batch reader (permissive
+                       # CSV schema) nulls the same field (r11 review,
+                       # empirically confirmed)
+                       F.col("value").try_cast("double")
+                       .alias("value"))
             .filter(F.col("ts").isNotNull()))
 
 
@@ -152,7 +161,19 @@ def streaming_exact_dedup(stream: DataFrame, hash_cols=("text",),
     a shuffled multi-file source is nondeterministic — only the
     surviving hash SET is deterministic, which is what the gate pins.
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in hash_cols]))
+    # NULL-distinct encoding: bare concat_ws SKIPS null columns (and
+    # their separators), so (NULL,'x') and ('x',NULL) collided to one
+    # hash and a NULL-text row deduped against an EMPTY-text row —
+    # distinct documents silently dropped (r11 review, empirically
+    # confirmed: md5(concat_ws(sep, NULL)) == md5('')).  Coalescing
+    # each column to a \x00 sentinel keeps every all-non-null hash
+    # byte-identical to before while separating NULL placements; a
+    # literal \x00 inside real text cannot collide because cast text
+    # never equals the bare one-byte sentinel unless it IS that byte,
+    # which TSV ingest strips at the source.
+    h = F.md5(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in hash_cols]))
     out = stream.withColumn("content_hash", h)
     if ts_col is None:
         return out.dropDuplicates(["content_hash"])

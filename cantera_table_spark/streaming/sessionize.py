@@ -201,6 +201,15 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     emits a value-identical subset on bounded replay) are pinned in
     tests/test_streaming_ab.py; numbers in SCALE.md.
 
+    Documented NaN divergence from sessionize_batch (r11 review): the
+    Arrow boundary makes a genuine NaN double indistinguishable from
+    NULL in the pandas fold, so this fold SKIPS NaN values in
+    total_value where the batch form's F.sum propagates NaN (SQL sum
+    skips only NULL).  A session containing a NaN value therefore
+    reports total_value=NaN in batch and the NaN-excluded sum here —
+    unavoidable without a sentinel encoding across Arrow; NaN event
+    values are upstream data bugs and should be filtered at ingest.
+
     State = the open session (start/end/count/sum).  Each batch folds
     new events in event-time order; sessions whose gap elapsed are
     emitted.  The event-time timeout flushes sessions for users that go

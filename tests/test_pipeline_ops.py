@@ -2450,3 +2450,87 @@ def test_r11_similarity_review_fixes(spark):
     sigs = hyperplane_signature(ragged, n_bits=8)
     ids = {r.vec_id for r in sigs.collect()}
     assert 500 not in ids and 0 in ids and 1 in ids
+
+
+def test_r11_streaming_sampling_review_fixes(spark):
+    """r11 streaming/sampling sweep, pinned:
+    (a) the streaming value cast is try_cast — a malformed numeric
+        field nulls like the batch CSV reader instead of killing the
+        query under ANSI (poison-pill class);
+    (b) streaming_exact_dedup's content hash is NULL-distinct:
+        (NULL,'x') vs ('x',NULL) and NULL vs '' no longer collide,
+        while all-non-null hashes are byte-identical to before;
+    (c) NULL-id rows are dropped by stratified_sample / hash_split /
+        mixture_sample / shuffle_shards instead of deterministically
+        WINNING sample slots via their NULLS-FIRST hash (or landing
+        in the eval split);
+    (d) pack_sequences raises loudly on NULL doc_id (Arrow float64
+        coercion rounds ids >= 2^53);
+    (e) asof_join / interval_join reject inputs colliding with their
+        internal column names instead of silently overwriting."""
+    import pytest
+
+    from cantera_table_spark.functions.packing import (pack_sequences,
+                                                       shuffle_shards)
+    from cantera_table_spark.functions.sampling import (hash_split,
+                                                        mixture_sample,
+                                                        stratified_sample)
+    from cantera_table_spark.functions.timeseries import (asof_join,
+                                                          interval_join)
+    from cantera_table_spark.streaming.ingest import (
+        _timeseries_projection, streaming_exact_dedup)
+
+    # (a) malformed value -> NULL row, not CAST_INVALID_INPUT
+    raw = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "abc"),
+         ("k", "2024-01-01 00:00:01", "2.5")],
+        "key string, date string, value string")
+    got = {r.value for r in _timeseries_projection(
+        raw, "yyyy-MM-dd HH:mm:ss").collect()}
+    assert got == {None, 2.5}
+
+    # (b) NULL-distinct content hash (batch frame through the same fn)
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("", "x"), ("a", "b")],
+        "a string, b string")
+    hashes = [r.content_hash for r in
+              streaming_exact_dedup(df, hash_cols=("a", "b")).collect()]
+    assert len(hashes) == len(set(hashes)) == 4
+
+    # (c) NULL ids never sample/split/shuffle
+    docs = spark.createDataFrame(
+        [(None, "en", "t t t"), (1, "en", "a b"), (2, "en", "c d")],
+        "doc_id long, lang string, text string")
+    s = stratified_sample(docs, "lang", quota=2)
+    assert {r.doc_id for r in s.collect()} == {1, 2}
+    sp = hash_split(docs.select("doc_id"), {"train": 0.5, "test": 0.5})
+    assert None not in {r.doc_id for r in sp.collect()}
+    mx = mixture_sample(docs, {"en": 1.0}, total_tokens=100,
+                        strata_col="lang")
+    assert None not in {r.doc_id for r in mx.collect()}
+    sh = shuffle_shards(docs.select("doc_id"), n_shards=2)
+    assert None not in {r.doc_id for r in sh.collect()}
+
+    # (d) loud NULL-id rejection in the packing fold
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pack_sequences(docs, capacity=10).collect()
+
+    # (e) internal-name collision guards
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:00", 5)],
+                                 "user_id long, ts string, __side int") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:00", 1.0)],
+                                  "user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="asof internals"):
+        asof_join(left, right)
+    pts = spark.createDataFrame([(1, "2024-01-01 00:00:00", 7)],
+                                "user_id long, ts string, __bin int") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "user_id long, s string, e string") \
+        .select("user_id", F.col("s").cast("timestamp").alias("start"),
+                F.col("e").cast("timestamp").alias("end"))
+    with pytest.raises(ValueError, match="interval_join internals"):
+        interval_join(pts, iv, key_col="user_id")
