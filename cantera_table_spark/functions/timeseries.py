@@ -13,17 +13,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_BAND_PCTS = (0.05, 0.25, 0.75, 0.95)
+_BAND_NAMES = ("pct5", "pct25", "pct75", "pct95")
+
+
 def prediction_bands(ts: DataFrame, key_col: str = "key",
                      value_col: str = "value") -> DataFrame:
     """Per-series percentile bands (pct5/25/75/95) from history —
     exact linear-interpolation percentiles (matches DuckDB
-    quantile_cont)."""
+    quantile_cont).
+
+    ONE array-argument percentile, not four scalar ones: four
+    independent percentile aggregates each buffer + sort the group's
+    values, quadrupling exactly the per-group memory the band path's
+    heavy-key guard exists to bound (r11 review); the array form
+    computes all four bands from one buffer, identical values."""
     v = F.col(value_col)
+    bands = F.percentile(
+        v, F.array(*[F.lit(p) for p in _BAND_PCTS]))
     return (ts.groupBy(key_col)
-            .agg(F.round(F.percentile(v, F.lit(0.05)), 4).alias("pct5"),
-                 F.round(F.percentile(v, F.lit(0.25)), 4).alias("pct25"),
-                 F.round(F.percentile(v, F.lit(0.75)), 4).alias("pct75"),
-                 F.round(F.percentile(v, F.lit(0.95)), 4).alias("pct95")))
+            .agg(bands.alias("__bands"))
+            .select(key_col,
+                    *[F.round(F.col("__bands")[i], 4).alias(n)
+                      for i, n in enumerate(_BAND_NAMES)]))
 
 
 def with_bands(ts: DataFrame, key_col: str = "key",
@@ -69,14 +81,21 @@ def with_bands(ts: DataFrame, key_col: str = "key",
         ts, heavy = quarantine_heavy_keys(ts, key_col, max_rows_per_key)
         if heavy_out is not None:
             heavy_out.append(heavy)
+    if "__bands" in ts.columns:
+        raise ValueError("input columns collide with with_bands "
+                         "internals: ['__bands']")
     w = Window.partitionBy(key_col)
     v = F.col(value_col)
-    return ts.select(
-        "*",
-        F.round(F.percentile(v, F.lit(0.05)).over(w), 4).alias("pct5"),
-        F.round(F.percentile(v, F.lit(0.25)).over(w), 4).alias("pct25"),
-        F.round(F.percentile(v, F.lit(0.75)).over(w), 4).alias("pct75"),
-        F.round(F.percentile(v, F.lit(0.95)).over(w), 4).alias("pct95"))
+    # ONE array-argument percentile window, not four: each scalar
+    # percentile buffers + sorts the partition's values independently,
+    # quadrupling the per-group memory this function's own heavy-key
+    # guard exists to bound (r11 review); values are identical
+    bands = F.percentile(v, F.array(*[F.lit(p) for p in _BAND_PCTS]))
+    return (ts.withColumn("__bands", bands.over(w))
+            .select("*",
+                    *[F.round(F.col("__bands")[i], 4).alias(n)
+                      for i, n in enumerate(_BAND_NAMES)])
+            .drop("__bands"))
 
 
 def band_outliers(ts: DataFrame, key_col: str = "key",
