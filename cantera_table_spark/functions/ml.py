@@ -64,7 +64,13 @@ def logreg_train_score(df: DataFrame, feature_cols: list[str],
             z = z + F.lit(wj) * F.col(c)
         return z
 
-    trainable = F.col(label_col).isNotNull()
+    # trainable = the label AS CONSUMED (cast to double), not the raw
+    # column: a non-numeric string label casts to NULL and a NaN
+    # double label both passed a raw isNotNull, contributing nothing
+    # to sum(e) while inflating n — shrinking every gradient step by
+    # the bad-label fraction, the exact r10 divisor bug re-opened
+    # through the cast (r11 review); NaN additionally poisons sum(e)
+    trainable = y.isNotNull() & ~F.isnan(y)
     for c in feature_cols:
         trainable = trainable & F.col(c).isNotNull()
     train = df.filter(trainable)

@@ -41,6 +41,14 @@ def bm25_scores(postings: DataFrame, k1: float = 1.2,
     postings were a live tokenize->explode->groupBy chain instead of
     a parquet scan.
     """
+    clash = [c for c in postings.columns
+             if c in ("__df", "__dl", "__N", "__avgdl")]
+    if clash:
+        # the reserved-name convention (ordering.global_row_number):
+        # a caller __df makes the dfreq join ambiguous deep in the
+        # plan, a caller __dl is silently replaced by withColumn
+        raise ValueError(
+            f"input columns collide with bm25 internals: {clash}")
     w_doc = Window.partitionBy("doc_id")
     dfreq = postings.groupBy("keyword").agg(F.count("*").alias("__df"))
     corpus = (postings.groupBy("doc_id")
@@ -74,9 +82,14 @@ def rrf_fuse(ranked: dict[str, DataFrame], k: int = 60,
     """
     tagged = None
     for name, df in ranked.items():
-        part = df.select(F.col(id_col),
-                         (1.0 / (F.lit(float(k)) + F.col("rank")))
-                         .alias("__contrib"))
+        # NULL ids from every list would collapse into one phantom
+        # fused group that sorts FIRST under id-asc ties and shifts
+        # every real fused_rank (r11 review — the sampling NULL-id
+        # poison class); a candidate without identity fuses nothing
+        part = (df.filter(F.col(id_col).isNotNull())
+                .select(F.col(id_col),
+                        (1.0 / (F.lit(float(k)) + F.col("rank")))
+                        .alias("__contrib")))
         tagged = part if tagged is None else tagged.unionByName(part)
     if tagged is None:
         raise ValueError("rrf_fuse needs at least one ranked list")

@@ -3386,7 +3386,14 @@ def ir01_bm25(spark, sf_dir):
     both engines, rounded after the full formula."""
     from cantera_table_spark.functions.retrieval import bm25_scores
     from cantera_table_spark.model import derive_postings
-    return bm25_scores(derive_postings(spark, sf_dir))
+    # cache the derived postings: bm25's plan is a diamond (scoring,
+    # document-frequency, corpus-stats branches), and a live
+    # tokenize->explode->groupBy lineage re-executes per branch (the
+    # scaling harness's own bm25 case materializes for the same
+    # reason — r11 review)
+    p = derive_postings(spark, sf_dir).cache()
+    _GATE_CACHES.append(p)
+    return bm25_scores(p)
 
 
 @gate("ir02_rrf_hybrid", ORACLE_POSTINGS + """
@@ -3537,9 +3544,13 @@ def ml01_logreg_quality(spark, sf_dir):
           .select("doc_id", "alpha_ratio", "stopword_ratio",
                   (F.col("n_tokens") / F.lit(100.0)).alias("len_f"),
                   (F.col("lang") == "en").cast("int").alias("y")))
+    # register the trainable frame's cache so the with_text_stats
+    # lineage runs once, not once per gradient step + scoring (4x the
+    # corpus tokenize at larger SFs — r11 review); _GATE_CACHES
+    # bounds/releases it like every other gate intermediate
     scored, _w = logreg_train_score(
         st, ["alpha_ratio", "stopword_ratio", "len_f"], "y",
-        steps=3, lr=1.0, out_col="p_en")
+        steps=3, lr=1.0, out_col="p_en", caches=_GATE_CACHES)
     return scored.select("doc_id", "y", "p_en")
 
 

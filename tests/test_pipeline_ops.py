@@ -2534,3 +2534,63 @@ def test_r11_streaming_sampling_review_fixes(spark):
                 F.col("e").cast("timestamp").alias("end"))
     with pytest.raises(ValueError, match="interval_join internals"):
         interval_join(pts, iv, key_col="user_id")
+
+
+def test_r11_retrieval_ml_dump_review_fixes(spark):
+    """r11 retrieval/ml/dump sweep, pinned: (a) logreg's trainable
+    filter tests the label AS CONSUMED (cast) — an uncastable or NaN
+    label no longer shrinks every gradient step; (b) rrf_fuse drops
+    NULL ids instead of fusing a phantom rank-shifting group; (c)
+    bm25_scores rejects inputs colliding with its internals; (d)
+    dump_timeseries rejects strftime-style patterns loudly instead of
+    silently garbling; (e) dump_index_with_summaries surfaces orphan
+    postings with NULL doc_key instead of dropping them."""
+    import pytest
+
+    from cantera_table_spark.functions.ml import logreg_train_score
+    from cantera_table_spark.functions.retrieval import (bm25_scores,
+                                                         rrf_fuse)
+    from cantera_table_spark.model import Catalog
+    from cantera_table_spark.sources.dump import (
+        dump_index_with_summaries, dump_timeseries)
+
+    # (a) NaN / uncastable labels leave weights untouched
+    base = spark.createDataFrame(
+        [(0.1, "0"), (0.9, "1"), (0.2, "0"), (0.8, "1")],
+        "x double, y string")
+    noisy = base.unionByName(spark.createDataFrame(
+        [(0.5, "yes"), (0.5, "NaN")], "x double, y string"))
+    _, w_base = logreg_train_score(base, ["x"], "y", steps=2)
+    _, w_noisy = logreg_train_score(noisy, ["x"], "y", steps=2)
+    assert w_base == w_noisy
+
+    # (b) NULL-id candidates fuse nothing
+    a = spark.createDataFrame([(1, 1), (None, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(1, 1), (None, 1)], "doc_id int, rank int")
+    fused = rrf_fuse({"a": a, "b": b}).collect()
+    assert [r.doc_id for r in fused] == [1]
+    assert fused[0].fused_rank == 1
+
+    # (c) internal-name collision guard
+    p = spark.createDataFrame([("kw", 1, 1.0, 0)],
+                              "keyword string, doc_id long, "
+                              "score double, __df int")
+    with pytest.raises(ValueError, match="bm25 internals"):
+        bm25_scores(p)
+
+    # (d) strftime-style pattern rejected with the translation hint
+    ts = spark.createDataFrame([("k", "2024-01-01 00:00:00", 1.0)],
+                               "key string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="strftime"):
+        dump_timeseries(ts, time_format="%Y-%m-%d")
+    assert dump_timeseries(ts).first().time == "2024-01-01 00:00:00"
+
+    # (e) orphan postings surface with NULL doc_key
+    idx = spark.createDataFrame([("kw", 1, 1.0), ("kw", 99, 2.0)],
+                                "keyword string, doc_id long, score double")
+    docs = spark.createDataFrame([(1, "d1", "{}")],
+                                 "doc_id long, key string, doc string")
+    out = {(r.doc_key, r.score) for r in dump_index_with_summaries(
+        Catalog(summaries=[docs], indexes=[idx])).collect()}
+    assert out == {("d1", 1.0), (None, 2.0)}
