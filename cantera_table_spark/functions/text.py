@@ -528,8 +528,19 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
         # read is a small Spark job, and re-running it on EVERY reuse
         # showed up as a measured +0.35 s on the tx17 bench phase
         # (r11 medians).  Keyed by requested params too — a different
-        # request against the same path must re-check and raise.
-        memo_key = (path, int(min_count), int(max_piece_len))
+        # request against the same path must re-check and raise — AND
+        # by the sidecar's file listing + mtimes (a few local stat
+        # calls, no Spark job): if another process re-derives the
+        # artifact at the same path with different params mid-run, the
+        # fingerprint changes and the next call re-verifies instead of
+        # silently reusing the wrong vocabulary through a stale memo
+        # (r11 advisory — the exact failure the mismatch guard
+        # targets).
+        import glob
+        sidecar = tuple(sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(pdir, "*"))))
+        memo_key = (path, int(min_count), int(max_piece_len), sidecar)
         if memo_key not in _VOCAB_PARAMS_OK:
             row = spark.read.parquet(pdir).first()
             got = (row["min_count"], row["max_piece_len"])

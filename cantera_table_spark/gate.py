@@ -72,51 +72,58 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-11 rotation (from
-# tools/rotate_window.py at round start): positions 1-38 are the
-# r8-stale set (stalest first), then the 12-slot long-green
-# cross-family sentinel band — after the round-11 run no gate's last
-# driver row is older than round 9.  ir02/ir03 sit in the window, so
-# this round's kw-candidate bounding gets a fresh driver row.
+# then a cross-family sentinel band).  Round-12 rotation (from
+# tools/rotate_window.py --sentinels 7 at round start): positions
+# 1-43 are ALL 43 r9-last-checked gates (stalest first) — the
+# sentinel band shrinks to 7 this round so the whole stale set fits,
+# meeting the r11 verdict's freshness target: after the round-12 run
+# no gate's last driver row is older than round 10.  The five
+# sentinels dropped this round (x02, p01, set01, st04, dd07) were
+# all driver-green in r11 and rejoin the band in round 13.
 _DRIVER_ORDER = [
-    "mm07_decode_gif",
-    "ds02_weighted_sample",
-    "dd10_line_dedup",
-    "tx10_lm_score",
-    "ds03_pack_sequences",
-    "sim07_quantized_topk",
-    "ds04_shuffle_shards",
-    "dd11_repeated_spans",
-    "tx11_length_quantiles",
-    "tx12_bpe_pairs",
-    "dd12_dedup_apply",
-    "ds05_packed_text",
-    "tx13_chunking",
-    "ir02_rrf_hybrid",
-    "ml01_logreg_quality",
-    "ev03_funnel",
-    "ev04_retention",
-    "sim08_quantized_ivf",
-    "ts09_asof_join",
-    "ev05_interval_join",
-    "dd14_incremental_dedup",
-    "ds06_mixture_sample",
-    "sim09_pq_topk",
-    "st05_stream_stream_join",
-    "tx15_ppl_buckets",
-    "tx16_kmv_distinct",
-    "ev07_rollup_day",
-    "dd15_semantic_dedup",
-    "sim10_ivfpq_topk",
-    "tx17_wordpiece",
-    "tpch_q6_forecast",
-    "ds07_sample_quantiles",
-    "st06_stream_quality_dedup",
-    "in03_json_ingest",
-    "in04_orc_ingest",
-    "ir03_bm25_hybrid",
-    "ds08_hash_split",
-    "dd16_cut_spans",
+    "q02_or",
+    "q03_subtract",
+    "q04_score_filters",
+    "q05_eq_and_range",
+    "q06_theta_join",
+    "q07_order_by",
+    "q08_negate",
+    "q09_min_dedup",
+    "q10_prefix_scan",
+    "q11_summary_key",
+    "q12_thresholds",
+    "q20_threshold_headers",
+    "q13_topk_page",
+    "q14_random_sample",
+    "q15_select_matrix",
+    "ts01_daily_rollup",
+    "ts02_merge_sum",
+    "ts03_pick_one",
+    "ts04_asof_prior",
+    "tpch_q1_pricing",
+    "tpch_q5_region_volume",
+    "ev01_user_running",
+    "dd01_exact_dedup",
+    "dd02_minhash",
+    "ev02_sessionize",
+    "tx05_tfidf",
+    "sim03_lsh_neardup",
+    "ts08_dsl_date_filter",
+    "corr02_event_prediction",
+    "dd06_dedup_clusters",
+    "tx06_quality_filter",
+    "sim04_ivf_assign",
+    "mm06_decode_png",
+    "mm08_decode_jpeg",
+    "mm09_video_frames",
+    "mm10_ipv_video",
+    "ds01_stratified_sample",
+    "ir01_bm25",
+    "sim11_pq_trained",
+    "tpch_q18_large_orders",
+    "ev08_top_events_per_user",
+    "st07_stream_complete_totals",
+    "ts10_asof_forward_tol",
     "q01_and",
     "corr01_feature_mining",
     "tpch_q3_revenue",
@@ -124,11 +131,6 @@ _DRIVER_ORDER = [
     "f32_02_threshold_fidelity",
     "in01_tsv_postings",
     "dp02_dump_timeseries",
-    "x02_export_results",
-    "p01_parse_echo",
-    "set01_session_state",
-    "st04_stream_sessionize",
-    "dd07_lsh_jaccard",
 ]
 # Gates outside the window this round (all driver-green in r8-r10)
 # follow in decoration order and stay covered by tools/check_gate.py's

@@ -29,6 +29,7 @@ stats prune further.  ``documents`` partitions by ``pmod(doc_id, N)``.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -237,16 +238,32 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
             # whitespace — a naive split('#') truncated quoted
             # patterns containing '#', a valid DSL identifier char
             # (r11 review finding), so "- '/tag#.*/'" kept only
-            # "- '/tag" under the fallback while PyYAML kept it whole
+            # "- '/tag" under the fallback while PyYAML kept it whole.
+            # Quote tracking honors YAML escapes (r11 advisory): a \"
+            # inside double quotes is a literal quote, not a close —
+            # and '' inside single quotes is an escaped quote — so
+            # "- \"tag\\\"x #y\"" keeps its '#' exactly like PyYAML.
             quote = None
-            for i, ch in enumerate(s):
-                if quote:
-                    if ch == quote:
+            i, n = 0, len(s)
+            while i < n:
+                ch = s[i]
+                if quote == '"':
+                    if ch == "\\":
+                        i += 2
+                        continue
+                    if ch == '"':
+                        quote = None
+                elif quote == "'":
+                    if ch == "'":
+                        if i + 1 < n and s[i + 1] == "'":
+                            i += 2
+                            continue
                         quote = None
                 elif ch in "'\"":
                     quote = ch
                 elif ch == "#" and (i == 0 or s[i - 1] in " \t"):
                     return s[:i]
+                i += 1
             return s
 
         with open(path) as f:
@@ -259,8 +276,21 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
                     name = line[:-1].strip()
                     current = name if name in kinds else None
                 elif line.lstrip().startswith("- ") and current:
-                    items.append((current,
-                                  line.lstrip()[2:].strip().strip("'\"")))
+                    val = line.lstrip()[2:].strip()
+                    if len(val) >= 2 and val[0] == val[-1] \
+                            and val[0] in "'\"":
+                        # quoted scalar: unescape like PyYAML would —
+                        # \X -> X inside double quotes (covers \" \\;
+                        # the restricted shape never needs \n-class
+                        # escapes), '' -> ' inside single quotes
+                        body = val[1:-1]
+                        if val[0] == '"':
+                            val = re.sub(r"\\(.)", r"\1", body)
+                        else:
+                            val = body.replace("''", "'")
+                    else:
+                        val = val.strip("'\"")
+                    items.append((current, val))
     meta = []
     for kind, expr in items:
         if len(expr) > 2 and expr.startswith("/") and expr.endswith("/"):

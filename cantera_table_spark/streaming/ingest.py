@@ -165,15 +165,25 @@ def streaming_exact_dedup(stream: DataFrame, hash_cols=("text",),
     # their separators), so (NULL,'x') and ('x',NULL) collided to one
     # hash and a NULL-text row deduped against an EMPTY-text row —
     # distinct documents silently dropped (r11 review, empirically
-    # confirmed: md5(concat_ws(sep, NULL)) == md5('')).  Coalescing
-    # each column to a \x00 sentinel keeps every all-non-null hash
-    # byte-identical to before while separating NULL placements; a
-    # literal \x00 inside real text cannot collide because cast text
-    # never equals the bare one-byte sentinel unless it IS that byte,
-    # which TSV ingest strips at the source.
-    h = F.md5(F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                  for c in hash_cols]))
+    # confirmed: md5(concat_ws(sep, NULL)) == md5('')).  Each field is
+    # escaped injectively (\x00 -> \x00e, the \x1f separator ->
+    # \x00s), NULL encodes as the bare one-byte \x00, which no escaped
+    # value can produce (escaping emits \x00 only followed by e/s and
+    # replaces every original \x00).  This is a generic API also fed
+    # arbitrary batch/stream frames, so the earlier bare-sentinel
+    # coalesce was a real collision for callers outside TSV ingest: a
+    # NULL column deduped against a literal one-byte '\x00' value, and
+    # ('a\x1f','b') against ('a','\x1fb') (r11 advisory).  Values free
+    # of \x00/\x1f — all TSV-ingested text — hash byte-identically to
+    # before, so a single non-null text column still hashes as
+    # md5(text), the equality the st03/st06 oracles pin.
+    def _enc(c: str) -> Column:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\x00"), F.lit("\x00e"))
+        s = F.replace(s, F.lit("\x1f"), F.lit("\x00s"))
+        return F.coalesce(s, F.lit("\x00"))
+
+    h = F.md5(F.concat_ws("\x1f", *[_enc(c) for c in hash_cols]))
     out = stream.withColumn("content_hash", h)
     if ts_col is None:
         return out.dropDuplicates(["content_hash"])

@@ -2310,6 +2310,8 @@ def test_r11_keywords_fallback_and_tz_warning(spark, tmpdir):
                 "timestamped:\n"
                 "  - '/tag#.*/'   # trailing comment\n"
                 "  - plain#id\n"
+                "  - \"x\\\"y #z\"   # escaped quote must not close\n"
+                "  - 'a''b #c'   # doubled quote must not close\n"
                 "ephemeral:\n"
                 "  - temp:\n")
     with_yaml = load_keywords_config(p)
@@ -2534,6 +2536,74 @@ def test_r11_streaming_sampling_review_fixes(spark):
                 F.col("e").cast("timestamp").alias("end"))
     with pytest.raises(ValueError, match="interval_join internals"):
         interval_join(pts, iv, key_col="user_id")
+
+
+def test_r12_dedup_hash_injective_encoding(spark):
+    """r12 advisory fix, pinned: streaming_exact_dedup's content hash
+    is fully injective per (tuple of column values), not just
+    NULL-vs-non-NULL distinct.  The r11 bare-\\x00 NULL sentinel
+    collided a NULL column with a literal one-byte '\\x00' value for
+    callers outside the TSV path (which strips NUL), and the raw \\x1f
+    separator let field content bleed across boundaries:
+    ('a\\x1f','b') hashed equal to ('a','\\x1fb').  The escape
+    encoding (\\x00 -> \\x00e, \\x1f -> \\x00s, NULL -> bare \\x00)
+    separates all of these while leaving \\x00/\\x1f-free values — all
+    TSV-ingested text — byte-identical, so a single non-null text
+    column still hashes as md5(text) (the st03/st06 oracle equality).
+    """
+    from cantera_table_spark.streaming.ingest import streaming_exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "x"),        # NULL column ...
+         ("\x00", "x"),      # ... vs literal one-byte NUL value
+         ("a\x1f", "b"),     # separator bleed, left ...
+         ("a", "\x1fb"),     # ... vs right
+         ("a\x00", "b"),     # escape char at a boundary ...
+         ("a", "\x00b"),     # ... both placements
+         ("", "x")],         # empty string stays distinct from NULL
+        "a string, b string")
+    hashes = [r.content_hash for r in
+              streaming_exact_dedup(df, hash_cols=("a", "b")).collect()]
+    assert len(hashes) == len(set(hashes)) == 7
+
+    # clean single-column hash is still plain md5(text)
+    one = spark.createDataFrame([("hello world",)], "text string")
+    got = streaming_exact_dedup(one, hash_cols=("text",)).collect()
+    import hashlib
+    assert got[0].content_hash == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_r12_vocab_memo_fingerprints_artifact(spark):
+    """r12 advisory fix, pinned: the _VOCAB_PARAMS_OK memo includes a
+    fingerprint of the _params sidecar (file listing + mtimes), so an
+    artifact re-derived AT THE SAME PATH by another process with
+    different params forces re-verification — the stale memo no longer
+    launders the wrong vocabulary past the mismatch guard."""
+    import os
+    import tempfile
+    import time
+
+    import pytest
+
+    from cantera_table_spark.functions.text import wordpiece_vocab_file
+
+    docs = spark.createDataFrame([(1, "aa bb aa cc")],
+                                 "doc_id long, text string")
+    p = os.path.join(tempfile.mkdtemp(), "vocab")
+    wordpiece_vocab_file(docs, p, min_count=1)
+    wordpiece_vocab_file(docs, p, min_count=1)   # verifies + memoizes
+
+    # simulate a concurrent process re-deriving the artifact in place
+    # with different params (exactly the write the build branch does)
+    time.sleep(0.05)  # ensure a distinct sidecar mtime
+    (spark.createDataFrame([(2, 16)], "min_count int, max_piece_len int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(p, "_params")))
+
+    # the memoized (path, params) would have silently passed before;
+    # the fingerprint change must force a re-read that raises
+    with pytest.raises(ValueError, match="different path"):
+        wordpiece_vocab_file(docs, p, min_count=1)
 
 
 def test_r11_retrieval_ml_dump_review_fixes(spark):
