@@ -160,27 +160,14 @@ def ivf_assign_hier(emb: DataFrame, centroids: DataFrame,
             .select(F.col("cluster").alias("__coarse"),
                     F.col("vec_id").alias("centroid_id"),
                     F.col("v").alias("__fcv")))
-    scored = (emb.select(F.col(id_col).alias("vec_id"),
-                         F.col(vec_col).alias("v"))
-              .join(F.broadcast(coarse.select(
-                  F.col("centroid_id").alias("__cid"),
-                  F.col("cv").alias("__ccv"))), F.lit(True))
-              .select("vec_id", "v", F.struct(
-                  # NULL negcos must LOSE (coalesce to +inf), exactly
-                  # like ivf_assign's guard at the top of this file: a
-                  # degenerate (zero/NaN) coarse centroid would
-                  # otherwise sort first in every vector's probe list
-                  # and re-introduce the r9 one-bucket collapse on the
-                  # hier path (r11 review finding)
-                  F.coalesce(-cosine(F.col("v"), F.col("__ccv")),
-                             F.lit(float("inf"))).alias("negcos"),
-                  F.col("__cid").alias("cid")).alias("__s")))
-    probed = (scored.groupBy("vec_id")
-              .agg(F.any_value(F.col("v")).alias("v"),
-                   F.slice(F.array_sort(F.collect_list("__s")), 1,
-                           nprobe).alias("__p"))
-              .select("vec_id", "v",
-                      F.explode(F.col("__p.cid")).alias("__coarse")))
+    # the NULL-loses probe guard lives in _probe_clusters: a degenerate
+    # (zero/NaN) coarse centroid sorting first in every vector's probe
+    # list is the r9 one-bucket collapse, re-found on this path in r11
+    probed = _probe_clusters(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("v")),
+        coarse, nprobe, id_name="vec_id", vec_name="v",
+        out_name="__coarse")
     return (probed.join(F.broadcast(fmap), "__coarse")
             .groupBy("vec_id")
             .agg(F.any_value(F.col("v")).alias("v"),
@@ -219,19 +206,8 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qv"))
          .filter(_rankable(F.col("qv"))))
-    probes = (q.join(F.broadcast(centroids), F.lit(True))
-              .select("query_id", "qv", F.struct(
-                  # same NULL-loses guard as ivf_assign: a degenerate
-                  # centroid must not consume a probe slot
-                  F.coalesce(-cosine(F.col("qv"), F.col("cv")),
-                             F.lit(float("inf"))).alias("negcos"),
-                  F.col("centroid_id").alias("cid")).alias("__s")))
-    probed = (probes.groupBy("query_id")
-              .agg(F.any_value(F.col("qv")).alias("qv"),
-                   F.slice(F.array_sort(F.collect_list("__s")), 1,
-                           nprobe).alias("__p"))
-              .select("query_id", "qv",
-                      F.explode(F.col("__p.cid")).alias("cluster")))
+    probed = _probe_clusters(q, centroids, nprobe, id_name="query_id",
+                             vec_name="qv", out_name="cluster")
     cand = (indexed.filter(_rankable(F.col("v")))
             .join(probed, "cluster")
             .filter((F.col("vec_id") != F.col("query_id")) &
@@ -635,6 +611,87 @@ def _pq_sublen(m: int) -> Column:
     return F.when(ok.isNull(), sz / m).cast("int")
 
 
+def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str,
+                id_out: str, vec_out: str) -> DataFrame:
+    """Explode a vector frame into its ``m`` contiguous subvectors:
+    (id_out, sub_idx, vec_out) — the shared front of pq_encode /
+    pq_train / the ADC lookup table (r11 deferred finding: the same
+    explode-slice stanza lived at four call sites)."""
+    sublen = _pq_sublen(m)
+    return (df.select(
+        F.col(id_col).alias(id_out), F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
+        .select(id_out, "sub_idx",
+                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
+                        sublen).alias(vec_out)))
+
+
+def _probe_clusters(vecs: DataFrame, centroids: DataFrame, nprobe: int,
+                    id_name: str, vec_name: str, out_name: str,
+                    carry_vec: bool = True) -> DataFrame:
+    """Probe selection shared by ivf_topk / ivfpq_topk /
+    ivf_assign_hier: rank the broadcast centroids per vector by cosine
+    and explode the ``nprobe`` nearest ids as ``out_name``.
+
+    ``vecs`` must be exactly (id_name, vec_name); ``centroids``
+    (centroid_id, cv) — both are re-aliased internally so caller
+    column names can't collide.  The reduction is groupBy +
+    sorted-slice over the cross join's V*k rows (map-side combinable —
+    the ivf_assign shape), NOT a ranking window.  A NULL cosine
+    (degenerate/zero-norm centroid) must LOSE, not win: struct
+    ordering puts NULL first, so an unguarded NULL negcos would hand
+    every vector the degenerate centroid as its first probe — the r9
+    one-bucket collapse (re-found on the hier path in r11); coalesce
+    to +inf sorts it last."""
+    scored = (vecs.join(F.broadcast(centroids.select(
+                  F.col("centroid_id").alias("__pc_id"),
+                  F.col("cv").alias("__pc_v"))), F.lit(True))
+              .select(id_name, *([vec_name] if carry_vec else []),
+                      F.struct(
+                          F.coalesce(-cosine(F.col(vec_name),
+                                             F.col("__pc_v")),
+                                     F.lit(float("inf"))).alias("negcos"),
+                          F.col("__pc_id").alias("cid")).alias("__s")))
+    aggs = ([F.any_value(F.col(vec_name)).alias(vec_name)]
+            if carry_vec else [])
+    aggs.append(F.slice(F.array_sort(F.collect_list("__s")), 1,
+                        nprobe).alias("__p"))
+    return (scored.groupBy(id_name).agg(*aggs)
+            .select(id_name, *([vec_name] if carry_vec else []),
+                    F.explode(F.col("__p.cid")).alias(out_name)))
+
+
+def _adc_lut(queries: DataFrame, codebook: DataFrame, m: int,
+             id_col: str, vec_col: str) -> DataFrame:
+    """Per-query ADC lookup table (query_id, sub_idx, code, pd):
+    subspace L2 distances to the broadcast codebook — |Q| * m * ksub
+    rows, always broadcast-small.  Shared by pq_topk / ivfpq_topk."""
+    qsubs = _subvectors(queries, m, id_col, vec_col, "query_id", "qv")
+    return (qsubs.join(F.broadcast(codebook), "sub_idx")
+            .select("query_id", "sub_idx", "code",
+                    _l2sq(F.col("qv"), F.col("cv")).alias("pd")))
+
+
+def _adc_rank(joined: DataFrame, k: int, m: int) -> DataFrame:
+    """Sum ADC partials per (query, vector) and rank ascending:
+    (query_id, neighbor_id, approx_d2, rank 1..k).  Requires all m
+    non-null PARTIALS present — count("pd"), not count(*): a NULL pd
+    (query subvector with a NULL element) still emits a row, so
+    count(*) passed while sum(pd) silently skipped the subspace and
+    ranked on m-1 partials (r11 review).  Ties -> lowest neighbor id.
+    Shared by pq_topk / ivfpq_topk."""
+    from pyspark.sql import Window
+    scored = (joined
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
+                   F.count("pd").alias("__np"))
+              .filter(F.col("__np") == m).drop("__np"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -675,13 +732,7 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,
     # the min(struct) with an arbitrary code and surface the vector as
     # a fake search result)
     emb = emb.filter(F.col(vec_col).isNotNull())
-    sublen = _pq_sublen(m)
-    subs = (emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
-        .select("vec_id", "sub_idx",
-                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("sv")))
+    subs = _subvectors(emb, m, id_col, vec_col, "vec_id", "sv")
     # a NULL/NaN subspace distance (NULL vector element, or a
     # dim-mismatched pair whose zip_with NULL-pads) must not produce a
     # code: NULL sorts FIRST in struct min, so it would WIN with an
@@ -714,34 +765,11 @@ def pq_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     at query time.  Returns (query_id, neighbor_id, approx_d2, rank),
     rank 1..k ascending distance (ties -> lowest neighbor id).
     """
-    from pyspark.sql import Window
     queries = queries.filter(F.col(vec_col).isNotNull())
-    sublen = _pq_sublen(m)
-    qsubs = (queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
-        .select("query_id", "sub_idx",
-                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("qv")))
-    lut = (qsubs.join(F.broadcast(codebook), "sub_idx")
-           .select("query_id", "sub_idx", "code",
-                   _l2sq(F.col("qv"), F.col("cv")).alias("pd")))
-    scored = (codes.join(F.broadcast(lut), ["sub_idx", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-              .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
-                   # count the PARTIALS, not the rows: a NULL pd (query
-                   # subvector with a NULL element) still emits a row,
-                   # so count(*) passed while sum(pd) silently skipped
-                   # the subspace and ranked on m-1 partials (r11
-                   # review) — the guard's stated invariant is "all m
-                   # partials PRESENT"
-                   F.count("pd").alias("__np"))
-              .filter(F.col("__np") == m).drop("__np"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    lut = _adc_lut(queries, codebook, m, id_col, vec_col)
+    joined = (codes.join(F.broadcast(lut), ["sub_idx", "code"])
+              .filter(F.col("vec_id") != F.col("query_id")))
+    return _adc_rank(joined, k, m)
 
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
@@ -880,49 +908,22 @@ def ivfpq_topk(indexed: DataFrame, centroids: DataFrame,
     standard mixed setup, documented rather than hidden.  Returns
     (query_id, neighbor_id, approx_d2, rank).
     """
-    from pyspark.sql import Window
     # NULL-vector queries would probe arbitrary centroids and rank
     # NULL distances first (asc sorts NULLs first) — same guard as
     # pq_topk/pq_encode
     queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    probes = (q.join(F.broadcast(centroids), F.lit(True))
-              .select("query_id", F.struct(
-                  # same NULL-loses guard as ivf_assign
-                  F.coalesce(-cosine(F.col("qv"), F.col("cv")),
-                             F.lit(float("inf"))).alias("negcos"),
-                  F.col("centroid_id").alias("cid")).alias("__s")))
-    probed = (probes.groupBy("query_id")
-              .agg(F.slice(F.array_sort(F.collect_list("__s")), 1,
-                           nprobe).alias("__p"))
-              .select("query_id",
-                      F.explode(F.col("__p.cid")).alias("cluster")))
+    probed = _probe_clusters(q, centroids, nprobe, id_name="query_id",
+                             vec_name="qv", out_name="cluster",
+                             carry_vec=False)
     cand = (indexed.select("vec_id", "cluster").join(probed, "cluster")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id"))
-    sublen = _pq_sublen(m)
-    qsubs = (queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
-        .select("query_id", "sub_idx",
-                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("qv")))
-    lut = (qsubs.join(F.broadcast(codebook), "sub_idx")
-           .select("query_id", "sub_idx", "code",
-                   _l2sq(F.col("qv"), F.col("cv")).alias("pd")))
-    scored = (codes.join(cand, "vec_id")
-              .join(F.broadcast(lut), ["query_id", "sub_idx", "code"])
-              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-              .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
-                   # non-null PARTIALS, not rows — same guard as
-                   # pq_topk (r11 review)
-                   F.count("pd").alias("__np"))
-              .filter(F.col("__np") == m).drop("__np"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    lut = _adc_lut(queries, codebook, m, id_col, vec_col)
+    joined = codes.join(cand, "vec_id").join(
+        F.broadcast(lut), ["query_id", "sub_idx", "code"])
+    return _adc_rank(joined, k, m)
 
 
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
@@ -947,20 +948,14 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 3,
     # one NULL embedding crashed _pq_sublen's dim assert with a
     # misleading 'dim=-1' mid-job, r11 review)
     emb = emb.filter(F.col(vec_col).isNotNull())
-    sublen = _pq_sublen(m)
-    subs = (emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
-        .select("vec_id", "sub_idx",
-                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("sv"))
-        # NULL/NaN-element subvectors train nothing — unfiltered, the
-        # NULL distance WINS the struct min with code 0 and the
-        # subvector's real elements pollute code 0's refined mean
-        # (r11 review).  Per-SIDE validity, like pq_encode; the seeded
-        # codebook is screened once (refined means of finite inputs
-        # stay finite).
-        .filter(_finite_array(F.col("sv"))))
+    # NULL/NaN-element subvectors train nothing — unfiltered, the
+    # NULL distance WINS the struct min with code 0 and the
+    # subvector's real elements pollute code 0's refined mean
+    # (r11 review).  Per-SIDE validity, like pq_encode; the seeded
+    # codebook is screened once (refined means of finite inputs
+    # stay finite).
+    subs = (_subvectors(emb, m, id_col, vec_col, "vec_id", "sv")
+            .filter(_finite_array(F.col("sv"))))
     cb = cb.filter(_finite_array(F.col("cv")))
     for _ in range(iters):
         assigned = (subs.join(F.broadcast(cb), "sub_idx")
