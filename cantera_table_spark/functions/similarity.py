@@ -51,46 +51,6 @@ def _rankable(vec: Column) -> Column:
             (nv < F.lit(float("inf"))))
 
 
-def _topk_per_query(scored: DataFrame, k: int, score_col: str,
-                    id_col: str, ascending: bool = False) -> DataFrame:
-    """Bounded per-query top-k rank shared by every ANN ranking tail
-    (brute force, IVF, ADC): append ``rank`` 1..k ordered by
-    (``score_col`` asc/desc, ``id_col`` asc) within each ``query_id``
-    and drop the rest.
-
-    Two-phase, not one window: a plain
-    ``Window.partitionBy("query_id")`` ships EVERY candidate of a
-    query into ONE task, so per-task rows grow with the corpus (the
-    ir02 unbounded-rank class, r12: at 4096x the pq case's per-4x
-    step went superlinear exactly here — 10 query groups on 32
-    cores).  Phase 1 ranks within (query_id, content-hash bucket of
-    the candidate id) — S buckets sized from
-    ``spark.sql.shuffle.partitions`` so each post-shuffle task sorts
-    ~|candidates|/S rows — and keeps each bucket's local top-k; phase
-    2 runs the exact window over the <= S*k survivors per query.
-    Selection and tie-break are invariant under the split because the
-    order (score, id) is total: every global top-k row is top-k in
-    its own bucket.  The bucket comes from xxhash64 of the candidate
-    ID (content-deterministic, the skew-salt rule), never a partition
-    id."""
-    from pyspark.sql import Window
-    try:
-        n_buckets = int(scored.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
-    except Exception:
-        n_buckets = 64
-    order = [F.col(score_col).asc() if ascending
-             else F.col(score_col).desc(), F.col(id_col).asc()]
-    local = Window.partitionBy(
-        "query_id",
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))).orderBy(*order)
-    pruned = (scored.withColumn("__lr", F.row_number().over(local))
-              .filter(F.col("__lr") <= k).drop("__lr"))
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (pruned.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
-
-
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -98,8 +58,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     Returns (query_id, neighbor_id, cos, rank).  Ties break on
     neighbor_id ascending (deterministic).  The query side is
-    broadcast; ranking is the bounded two-phase top-k
-    (:func:`_topk_per_query`), never one window task per query.
+    broadcast; ranking uses a per-query window over the already-reduced
+    candidate set.
 
     NULL cosines (zero-norm or NULL vectors on either side) are NOT
     ranked: a query with fewer than k non-degenerate candidates returns
@@ -109,6 +69,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     trailing ranks while the pandas path dropped them (r9 deferred
     divergence (a)).
     """
+    from pyspark.sql import Window
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qv"))
          .filter(_rankable(F.col("qv"))))
@@ -124,7 +85,10 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      (F.size(F.col("qv")) == F.size(F.col("cv"))))
               .withColumn("cos", F.round(cosine(F.col("qv"),
                                                 F.col("cv")), 6)))
-    return (_topk_per_query(scored, k, "cos", "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
@@ -233,8 +197,8 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
     groupBy + sorted-slice (map-side combinable over the broadcast
     cross join's Q*k rows — the ivf_assign shape), not a ranking
     window; only the final per-query top-k, whose rank column IS the
-    output, pays windows — the bounded two-phase kind
-    (:func:`_topk_per_query`), never one task per query."""
+    output, pays a window."""
+    from pyspark.sql import Window
     # degenerate queries probe nothing (they could only produce
     # NULL/NaN cosines); degenerate indexed vectors are filtered in
     # the candidate scan below — per-side _rankable, not a filter on
@@ -249,7 +213,10 @@ def ivf_topk(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
             .filter((F.col("vec_id") != F.col("query_id")) &
                     (F.size(F.col("qv")) == F.size(F.col("v"))))
             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6)))
-    return (_topk_per_query(cand, k, "cos", "vec_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank"))
 
@@ -444,6 +411,7 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     # id columns keep their input types (empty and non-empty shards
@@ -529,10 +497,10 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame,
     clean = emb.select(id_col, vec_col).filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
     partials = clean.mapInPandas(score, schema)
-    # the partials are batches*k per query — already corpus-independent
-    # per batch, but batch COUNT grows with the corpus, so the merge
-    # rank is bounded too (same two-phase shape as the JVM paths)
-    return (_topk_per_query(partials, k, "cos", "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
@@ -712,13 +680,16 @@ def _adc_rank(joined: DataFrame, k: int, m: int) -> DataFrame:
     count(*) passed while sum(pd) silently skipped the subspace and
     ranked on m-1 partials (r11 review).  Ties -> lowest neighbor id.
     Shared by pq_topk / ivfpq_topk."""
+    from pyspark.sql import Window
     scored = (joined
               .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
               .agg(F.round(F.sum("pd"), 6).alias("approx_d2"),
                    F.count("pd").alias("__np"))
               .filter(F.col("__np") == m).drop("__np"))
-    return _topk_per_query(scored, k, "approx_d2", "neighbor_id",
-                           ascending=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,

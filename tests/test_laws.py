@@ -941,38 +941,3 @@ def test_cut_spans_conserves_uncovered_tokens_law(spark, docs_, n):
             assert kept[i] == r.n_tokens - covered, (i, kept[i], r)
         else:
             assert kept[i] == len(toks)
-
-
-_SCORED = st.lists(
-    st.tuples(st.integers(0, 2),       # query_id
-              st.integers(0, 30),      # neighbor_id
-              st.integers(-3, 3)),     # coarse score -> heavy ties
-    min_size=0, max_size=40,
-).map(lambda v: sorted({(q, n, float(s)) for q, n, s in v
-                        if q != n}))   # unique (q, n) pairs
-
-
-@given(_SCORED, st.integers(1, 5))
-@settings(max_examples=12, deadline=None)
-def test_bounded_topk_per_query_law(spark, scored, k):
-    """_topk_per_query (bucketed local top-k, then the exact window over
-    <= S*k survivors) == plain per-query selection under the total
-    order, for BOTH directions, with heavy score ties (the selection
-    must be split-invariant because every global top-k row is top-k in
-    its own bucket)."""
-    from cantera_table_spark.functions.similarity import _topk_per_query
-    df = spark.createDataFrame(
-        [(int(q), int(n), float(s)) for q, n, s in scored] or [],
-        "query_id long, neighbor_id long, cos double")
-    for ascending in (False, True):
-        got = sorted((r.query_id, r.neighbor_id, r.cos, r.rank)
-                     for r in _topk_per_query(
-                         df, k, "cos", "neighbor_id",
-                         ascending=ascending).collect())
-        expect = []
-        for q in {p[0] for p in scored}:
-            cand = sorted(((s if ascending else -s), n)
-                          for (qq, n, s) in scored if qq == q)
-            expect.extend((q, n, (key if ascending else -key) + 0.0, i + 1)
-                          for i, (key, n) in enumerate(cand[:k]))
-        assert got == sorted(expect), (ascending, got, sorted(expect))

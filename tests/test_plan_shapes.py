@@ -717,3 +717,38 @@ def test_distinct_shuffle_keys_balances_nested_parens():
         "pmod(xxhash64(k), 8), 200",
         "pmod(xxhash64(k), 16), 200",
         "doc_id, 32"}
+
+
+def test_ann_rank_windows_are_group_limited(spark):
+    """Every ANN ranking tail (brute force, IVF, the shared ADC rank)
+    filters on ``row_number() <= k``, which Spark's
+    InferWindowGroupLimit rewrites into a PARTIAL per-mapper top-k
+    below the window exchange plus a Final one above it — so the
+    exchange ships <= input_partitions * k rows per query and the
+    final per-query window task sorts that bounded set, never the full
+    candidate set (r12: a two-phase manual rewrite was prototyped,
+    measured, and REVERTED once the plan showed the optimizer already
+    provides the bound; this pin keeps the filter in the exact shape
+    the rule recognizes).  Same rule stratified_sample leans on
+    (test_stratified_sample_two_phase_prefilters_before_window)."""
+    import re
+
+    from cantera_table_spark.functions.similarity import (
+        brute_force_topk, ivf_assign, pq_codebook, pq_encode, pq_topk,
+        seed_centroids, ivf_topk)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = seed_centroids(emb, n=4)
+    cb = pq_codebook(emb, m=4, ksub=8)
+    plans = {
+        "brute": brute_force_topk(emb, q, k=5),
+        "ivf": ivf_topk(ivf_assign(emb, cents), cents, q, k=5, nprobe=2),
+        "pq": pq_topk(pq_encode(emb, cb, m=4), cb, q, k=5, m=4),
+    }
+    for name, df in plans.items():
+        text = plan_facts(df).text
+        # the rank window's limit must appear in BOTH modes: Partial
+        # (map-side, below the exchange) and Final
+        modes = re.findall(r"WindowGroupLimit.*?(Partial|Final)", text)
+        assert "Partial" in modes and "Final" in modes, (name, text)
