@@ -709,13 +709,8 @@ def pq_codebook(emb: DataFrame, m: int = 4, ksub: int = 8,
     seeds = (emb.orderBy(id_col).limit(ksub)
              .withColumn("code",
                          F.row_number().over(Window.orderBy(id_col)) - 1))
-    sublen = _pq_sublen(m)
-    return (seeds.select(
-        "code", F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_idx"))
-        .select("sub_idx", "code",
-                F.slice(F.col("__v"), F.col("sub_idx") * sublen + 1,
-                        sublen).alias("cv")))
+    return (_subvectors(seeds, m, "code", vec_col, "code", "cv")
+            .select("sub_idx", "code", "cv"))
 
 
 def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 4,

@@ -527,21 +527,19 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
         # memoize successful verifications per process: the sidecar
         # read is a small Spark job, and re-running it on EVERY reuse
         # showed up as a measured +0.35 s on the tx17 bench phase
-        # (r11 medians).  Keyed by requested params too — a different
-        # request against the same path must re-check and raise — AND
-        # by the sidecar's file listing + mtimes (a few local stat
-        # calls, no Spark job): if another process re-derives the
-        # artifact at the same path with different params mid-run, the
-        # fingerprint changes and the next call re-verifies instead of
-        # silently reusing the wrong vocabulary through a stale memo
-        # (r11 advisory — the exact failure the mismatch guard
-        # targets).
-        import glob
-        sidecar = tuple(sorted(
-            (os.path.basename(f), os.path.getmtime(f))
-            for f in glob.glob(os.path.join(pdir, "*"))))
-        memo_key = (path, int(min_count), int(max_piece_len), sidecar)
-        if memo_key not in _VOCAB_PARAMS_OK:
+        # (r11 medians).  Keyed by requested params — a different
+        # request against the same path must re-check and raise — and
+        # guarded by the sidecar's file-listing fingerprint: if
+        # another process re-derives the artifact at the same path
+        # with different params mid-run, the fingerprint changes and
+        # the next call re-verifies instead of silently reusing the
+        # wrong vocabulary through a stale memo (r11 advisory — the
+        # exact failure the mismatch guard targets).  Dict assignment
+        # (not set membership) so a churning fingerprint overwrites
+        # its slot instead of accumulating dead entries.
+        sidecar = _sidecar_fingerprint(spark, pdir)
+        memo_key = (path, int(min_count), int(max_piece_len))
+        if _VOCAB_PARAMS_OK.get(memo_key) != sidecar:
             row = spark.read.parquet(pdir).first()
             got = (row["min_count"], row["max_piece_len"])
             if got != (int(min_count), int(max_piece_len)):
@@ -550,7 +548,7 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
                     f"(min_count, max_piece_len)={got}, requested "
                     f"{(int(min_count), int(max_piece_len))} — use a "
                     "different path to derive a new vocabulary")
-            _VOCAB_PARAMS_OK.add(memo_key)
+            _VOCAB_PARAMS_OK[memo_key] = sidecar
     else:
         # legacy artifact (written before the _params sidecar existed)
         # OR a torn write (killed between the vocab and sidecar jobs —
@@ -577,9 +575,40 @@ def wordpiece_vocab_file(docs: DataFrame, path: str,
 # the piece set (~shuffle-partition-count redundant loads per job)
 _VOCAB_MEMO: dict = {}
 
-# (path, min_count, max_piece_len) triples whose _params sidecar was
-# verified this process — see wordpiece_vocab_file's reuse branch
-_VOCAB_PARAMS_OK: set = set()
+# (path, min_count, max_piece_len) -> the _params sidecar fingerprint
+# that was verified this process — see wordpiece_vocab_file's reuse
+# branch (dict so a re-derived artifact overwrites its slot)
+_VOCAB_PARAMS_OK: dict = {}
+
+
+def _sidecar_fingerprint(spark, pdir: str) -> tuple:
+    """(name, mtime) listing of the ``_params`` sidecar dir through the
+    Hadoop FS API — a driver-local glob reads an EMPTY listing for
+    hdfs:// / s3a:// artifacts, so the stale-memo invalidation would
+    silently never fire on remote stores (the same r9 lesson as
+    wordpiece_vocab_file's ``_completed``).  Local paths resolve
+    through the same API; on any failure the driver-local fallback
+    stats defensively — a file deleted between listing and stat by a
+    concurrent overwrite contributes a None mtime instead of crashing
+    the caller with FileNotFoundError (the fingerprint still changes,
+    which is all the memo needs)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(pdir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return tuple(sorted(
+            (st.getPath().getName(), int(st.getModificationTime()))
+            for st in fs.listStatus(hpath)))
+    except Exception:
+        import glob
+        out = []
+        for f in glob.glob(os.path.join(pdir, "*")):
+            try:
+                mt = os.path.getmtime(f)
+            except OSError:
+                mt = None
+            out.append((os.path.basename(f), mt))
+        return tuple(sorted(out, key=lambda t: t[0]))
 
 
 def _load_vocab_pieces(vocab_path: str) -> list:

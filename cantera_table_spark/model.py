@@ -243,6 +243,11 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
             # inside double quotes is a literal quote, not a close —
             # and '' inside single quotes is an escaped quote — so
             # "- \"tag\\\"x #y\"" keeps its '#' exactly like PyYAML.
+            # A quote OPENS only at a value start (line start or after
+            # whitespace), like YAML: a mid-scalar apostrophe
+            # ("- don't  # note") is a literal char, not an opener
+            # that would swallow the rest of the line's comment
+            # (r12 review finding).
             quote = None
             i, n = 0, len(s)
             while i < n:
@@ -259,7 +264,7 @@ def load_keywords_config(path: str) -> list[tuple[str, bool, str]]:
                             i += 2
                             continue
                         quote = None
-                elif ch in "'\"":
+                elif ch in "'\"" and (i == 0 or s[i - 1] in " \t"):
                     quote = ch
                 elif ch == "#" and (i == 0 or s[i - 1] in " \t"):
                     return s[:i]

@@ -23,7 +23,7 @@ streaming only feeds tables (north-star guidance in BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cantera_table_spark.sources.ingest import _unescape_tsv

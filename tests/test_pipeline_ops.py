@@ -2312,6 +2312,7 @@ def test_r11_keywords_fallback_and_tz_warning(spark, tmpdir):
                 "  - plain#id\n"
                 "  - \"x\\\"y #z\"   # escaped quote must not close\n"
                 "  - 'a''b #c'   # doubled quote must not close\n"
+                "  - don't   # mid-scalar apostrophe is literal (r12)\n"
                 "ephemeral:\n"
                 "  - temp:\n")
     with_yaml = load_keywords_config(p)
@@ -2604,6 +2605,19 @@ def test_r12_vocab_memo_fingerprints_artifact(spark):
     # the fingerprint change must force a re-read that raises
     with pytest.raises(ValueError, match="different path"):
         wordpiece_vocab_file(docs, p, min_count=1)
+
+    # r12 review: the memo is a dict keyed by (path, params) — a
+    # churning sidecar OVERWRITES its slot rather than accumulating a
+    # dead entry per fingerprint forever in a long-lived driver
+    from cantera_table_spark.functions.text import _VOCAB_PARAMS_OK
+    for _ in range(2):
+        time.sleep(0.05)
+        (spark.createDataFrame([(1, 8)],
+                               "min_count int, max_piece_len int")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(p, "_params")))
+        wordpiece_vocab_file(docs, p, min_count=1)   # re-verifies ok
+    assert len([k for k in _VOCAB_PARAMS_OK if k[0] == p]) == 1
 
 
 def test_r11_retrieval_ml_dump_review_fixes(spark):
