@@ -38,6 +38,18 @@ def main(argv=None) -> int:
                     help="write CSV here instead of stdout")
     args = ap.parse_args(argv)
 
+    # loud misconfiguration before a Spark session spins up: each
+    # format's required source flags, checked here so the error is an
+    # argparse usage line instead of a py4j traceback (time-series) or
+    # a mid-run Catalog ValueError (the others)
+    required = {"raw": ["postings"], "index": ["postings", "summaries"],
+                "summaries": ["summaries"], "counts": ["postings"],
+                "time-series": ["timeseries"]}
+    missing = [f"--{o}" for o in required[args.format]
+               if not getattr(args, o.replace("-", "_"))]
+    if missing:
+        ap.error(f"--format {args.format} requires {' '.join(missing)}")
+
     spark = get_spark("cantera-dump")
     spark.sparkContext.setLogLevel("ERROR")
     cat = Catalog(

@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     ap.add_argument("--shard-index", type=int, default=None)
     ap.add_argument("--merge-mode", default="union",
                     choices=["sum", "union", "pick-one"])
+    ap.add_argument("--no-score", action="store_true",
+                    help="index inputs are 2-column KEY<TAB>DOCNAME "
+                         "(score synthesized as 0.0). Default expects "
+                         "the reference's 3-column format with a score "
+                         "(ca-load.cc:327-350 errors on a missing one; "
+                         "the 2-column schema previously used here "
+                         "silently dropped the third column, loading "
+                         "every score as 0.0)")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--bloom-filter", action="store_true",
                     help="write a parquet bloom filter on keyword "
@@ -66,7 +74,9 @@ def main(argv=None) -> int:
         if not args.summaries:
             ap.error("--output-type=index requires --summaries")
         docs = spark.read.parquet(args.summaries)
-        dfs = [read_tsv_postings(spark, p, docs, threshold=args.threshold,
+        dfs = [read_tsv_postings(spark, p, docs,
+                                 score_col=not args.no_score,
+                                 threshold=args.threshold,
                                  **key_options) for p in args.inputs]
         # merge even for a single input: in-file duplicates must resolve
         # so the unique-postings promise the engine relies on holds
