@@ -74,10 +74,18 @@ def logreg_train_score(df: DataFrame, feature_cols: list[str],
     # double label both passed a raw isNotNull, contributing nothing
     # to sum(e) while inflating n — shrinking every gradient step by
     # the bad-label fraction, the exact r10 divisor bug re-opened
-    # through the cast (r11 review); NaN additionally poisons sum(e)
+    # through the cast (r11 review); NaN additionally poisons sum(e).
+    # NaN FEATURES get the same guard (float/double columns only —
+    # isnan rejects non-numeric types): one NaN row otherwise turns
+    # sum(e*x_j) NaN, which turns every weight and every score NaN —
+    # the whole model lost to a single bad row (r12 review, the same
+    # class as the NaN label).  The ml01 oracle filters in lockstep.
     trainable = y.isNotNull() & ~F.isnan(y)
+    ftypes = dict(df.dtypes)
     for c in feature_cols:
         trainable = trainable & F.col(c).isNotNull()
+        if ftypes.get(c) in ("float", "double"):
+            trainable = trainable & ~F.isnan(F.col(c))
     train = df.filter(trainable)
     if caches is not None and steps > 1:
         train = train.cache()

@@ -3489,11 +3489,15 @@ feats AS (
 ),
 -- trainable rows only: NULL label/features contribute nothing to the
 -- sums, so they must not inflate the divisor (lockstep with
--- ml.logreg_train_score's filtered N)
+-- ml.logreg_train_score's filtered N); NaN features are excluded the
+-- same way — one NaN row would turn every gradient sum, weight, and
+-- score NaN on BOTH engines (r12 review, lockstep with the engine's
+-- float/double feature guard)
 tfeats AS (
   SELECT * FROM feats
-  WHERE y IS NOT NULL AND x1 IS NOT NULL
-    AND x2 IS NOT NULL AND x3 IS NOT NULL
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND NOT isnan(x1)
+    AND x2 IS NOT NULL AND NOT isnan(x2)
+    AND x3 IS NOT NULL AND NOT isnan(x3)
 ),
 w1 AS (
   SELECT -(sum((1/(1+exp(-(0.0))) - y))/count(*)) AS b,

@@ -2620,6 +2620,36 @@ def test_r12_vocab_memo_fingerprints_artifact(spark):
     assert len([k for k in _VOCAB_PARAMS_OK if k[0] == p]) == 1
 
 
+def test_r12_logreg_nan_feature_guard(spark):
+    """r12 review, pinned: a NaN FEATURE row is excluded from training
+    exactly like a NaN label — previously it passed isNotNull, turned
+    sum(e*x_j) NaN, and every weight and score came back NaN (the
+    whole model lost to one bad row).  The guard applies to
+    float/double feature columns only; the ml01 oracle filters with
+    NOT isnan(x_j) in lockstep."""
+    from cantera_table_spark.functions.ml import logreg_train_score
+
+    base = spark.createDataFrame(
+        [(0.1, 0.0, "0"), (0.9, 1.0, "1"),
+         (0.2, 0.5, "0"), (0.8, 0.25, "1")],
+        "x double, x2 double, y string")
+    noisy = base.unionByName(spark.createDataFrame(
+        [(float("nan"), 0.5, "1"), (0.5, float("nan"), "0")],
+        "x double, x2 double, y string"))
+    _, w_base = logreg_train_score(base, ["x", "x2"], "y", steps=2)
+    _, w_noisy = logreg_train_score(noisy, ["x", "x2"], "y", steps=2)
+    assert w_base == w_noisy
+    assert all(w == w for w in w_noisy)      # no NaN crept in
+
+    # integer feature columns skip the isnan guard (isnan would be an
+    # analysis error on non-floating types under strict ANSI) but keep
+    # the NULL guard
+    ints = spark.createDataFrame(
+        [(1, "0"), (0, "1"), (None, "1")], "xi int, y string")
+    _, w_int = logreg_train_score(ints, ["xi"], "y", steps=1)
+    assert all(w == w for w in w_int)
+
+
 def test_r11_retrieval_ml_dump_review_fixes(spark):
     """r11 retrieval/ml/dump sweep, pinned: (a) logreg's trainable
     filter tests the label AS CONSUMED (cast) — an uncastable or NaN
