@@ -11,9 +11,6 @@ import calendar
 import time
 from datetime import datetime, timezone
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
 
 def date_str_to_days(text: str) -> float:
     """X1: 'YYYY-MM-DD' -> days since epoch (timegm/86400)."""
@@ -35,17 +32,6 @@ def days_to_date_string(days: float) -> str:
     dt = datetime.fromtimestamp(days * 86400, tz=timezone.utc)
     out = dt.strftime("%B %e, %Y")
     return out.replace("  ", " ", 1) if "  " in out else out
-
-
-def correlate_time_string(seconds: float) -> str:
-    """X2 (correlate variant, correlate.cc:53-62): '%Y-%m-%d %H:%M'."""
-    dt = datetime.fromtimestamp(seconds, tz=timezone.utc)
-    return dt.strftime("%Y-%m-%d %H:%M")
-
-
-def col_days_since_epoch(c: Column) -> Column:
-    """Column form of X1 for timestamp columns."""
-    return (c.cast("long") / F.lit(86400.0))
 
 
 def header_sort_key(index: int) -> str:
