@@ -30,8 +30,6 @@ PKG = Path(__file__).resolve().parent.parent / "cantera_table_spark"
 AUDITED = {
     # numeric score -> float -> double round-trip (f32 leaf quantization)
     "dsl/compiler.py": "numeric->numeric only",
-    # timestamp->long (epoch seconds); docstring pins the input type
-    "functions/dates.py": "timestamp->long only",
     # md5-hex conv() digits -> long; int literals -> long bitmasks;
     # h_idx/rows ints -> int band id; array<...struct> empty-array types
     "functions/dedup.py": "hex-conv digits / int literals / array types",
