@@ -62,6 +62,130 @@ def shingles(df: DataFrame, text_col: str = "text",
                     .alias("shingle")))
 
 
+def shingle_arrays(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document as ONE array row:
+    (doc_id, __shingles).  The per-row twin of :func:`shingles` —
+    ``explode`` of the array equals the long form exactly (pinned by
+    tests/test_rowwise_rewrites.py).  Keeping shingles in-row lets the
+    MinHash signature and LSH band hashes compute as pure map
+    expressions with ZERO shuffles (guide §2.4): the per-document
+    reductions never need rows to leave the document.
+
+    The token array is materialized behind an explode(array(...))
+    Generate barrier so the size() filter cannot re-inline the
+    tokenize (the CollapseProject/pushdown re-evaluation class).
+
+    The shingle transform is guarded by the same ``size() >= n`` test
+    inside a ``when()`` branch even though the row filter already
+    enforces it: a downstream predicate referencing ``__shingles``
+    can be pushed down and merged into the filter, where codegen's
+    subexpression elimination evaluates the transform BEFORE the
+    short-circuiting size conjunct — and on a short document
+    ``sequence(1, size - (n-1))`` counts DOWN through 0, so
+    ``slice(toks, 0, n)`` throws under ANSI (caught in-round by
+    test_near_dup_clusters_clone_invariant; conditional branches are
+    exempt from eager subexpression hoisting, which is the same
+    reason text.with_repetition_stats guards its gram arrays)."""
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array(tokens(F.col(text_col))))
+                      .alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select("doc_id",
+                    F.array_distinct(F.when(
+                        F.size("__toks") >= n,
+                        F.transform(
+                            F.sequence(F.lit(1),
+                                       F.size("__toks") - (n - 1)),
+                            lambda i: F.concat_ws(
+                                " ", F.slice(F.col("__toks"), i, n))))
+                        .otherwise(F.array().cast("array<string>")))
+                    .alias("__shingles")))
+
+
+def exploded_shingles(arrs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) long form from :func:`shingle_arrays` output —
+    bit-identical to :func:`shingles` (law-tested).  Lets one pipeline
+    feed both the map-only LSH path (arrays) and the co-shingle
+    Jaccard join (long form) without re-tokenizing twice."""
+    return arrs.select("doc_id", F.explode("__shingles").alias("shingle"))
+
+
+def _sig_array(shingles_arr: Column, k: int = 16) -> Column:
+    """k-element MinHash signature array from a shingle array — one
+    fold, no shuffle.  Same hash family as :func:`minhash_signatures`:
+    h_i(x) = ((2i+1) * x + 12345*i + 1) mod p over the portable md5
+    base hash; sig_i = min over the array.  The accumulator is a bound
+    lambda variable, so nothing re-inlines (the FoldRecompute class).
+    Callers must guarantee a non-empty array (shingle_arrays filters
+    docs with < n tokens), matching the grouped form's drop of
+    shingle-less docs."""
+    xs = F.transform(shingles_arr, md5_int)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), k)
+    return F.aggregate(
+        xs, init,
+        lambda acc, x: F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda a, i: F.least(
+                a, ((2 * i + 1).cast("long") * x +
+                    F.lit(12345).cast("long") * i + 1) % MINHASH_PRIME)))
+
+
+def minhash_signature_rows(arrs: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, h_idx, sig) from :func:`shingle_arrays` output —
+    bit-identical to minhash_signatures(shingles(df), k) but computed
+    as a pure map + posexplode: the per-doc groupBy shuffle is gone
+    (guide §2.4; the min over a document's shingles never needed rows
+    to cross partitions)."""
+    return arrs.select(
+        "doc_id",
+        F.posexplode(_sig_array(F.col("__shingles"), k))
+        .alias("h_idx", "sig"))
+
+
+def lsh_band_hashes(arrs: DataFrame, k: int = 16,
+                    bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash) from :func:`shingle_arrays` output —
+    bit-identical to the groupBy(doc_id, band) banding inside
+    :func:`lsh_candidate_pairs` (same "h_idx:sig" string elements,
+    same lexicographic sort, same md5), with ZERO shuffles.
+
+    The signature array is materialized behind its own Generate
+    barrier before the per-band transform: the band lambda indexes it
+    ``rows`` times per band, and an un-materialized fold expression
+    would re-run the whole O(|shingles| * k) fold once per band."""
+    if k % bands:
+        raise ValueError(f"k={k} must divide evenly into bands={bands}")
+    rows = k // bands
+    sigged = arrs.select("doc_id", F.explode(F.array(
+        _sig_array(F.col("__shingles"), k))).alias("__sig"))
+    bs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws(",", F.sort_array(F.transform(
+                F.sequence(b * rows, b * rows + (rows - 1)),
+                lambda i: F.concat_ws(
+                    ":", i.cast("string"),
+                    F.element_at(F.col("__sig"), i + 1).cast("string"))))))
+            .alias("band_hash")))
+    return (sigged.select("doc_id", F.explode(bs).alias("__b"))
+            .select("doc_id", "__b.band", "__b.band_hash"))
+
+
+def lsh_candidate_pairs_arrays(arrs: DataFrame, k: int = 16,
+                               bands: int = 4,
+                               max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs from :func:`shingle_arrays` output — the same
+    bucket semantics (including the ``max_bucket`` star fallback) as
+    :func:`lsh_candidate_pairs`, but candidate generation reaches the
+    bucket join with ZERO upstream shuffles: the signature groupBy and
+    the banding groupBy are per-row folds.  The only exchange left is
+    the (band, band_hash) one the pair join fundamentally requires."""
+    return _bucketed_pairs(lsh_band_hashes(arrs, k=k, bands=bands),
+                           ["band", "band_hash"], "doc_id", max_bucket)
+
+
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
     """MinHash signature, long form: (doc_id, h_idx, sig).
 
@@ -113,16 +237,24 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
             return _empty_result(sigs, [("doc_a", "doc_id"),
                                         ("doc_b", "doc_id")])
         k = int(first["m"]) + 1
+    return _bucketed_pairs(_banded_from_sigs(sigs, bands, k),
+                           ["band", "band_hash"], "doc_id", max_bucket)
+
+
+def _banded_from_sigs(sigs: DataFrame, bands: int, k: int) -> DataFrame:
+    """(doc_id, band, band_hash) from LONG-FORM signatures — the
+    grouped banding, kept for callers that hold a stored long-form
+    signature/shingle table (incremental_dedup's ``corpus_sh``
+    contract).  Fresh pipelines use :func:`lsh_band_hashes`, which
+    computes the identical hashes with zero shuffles."""
     if k % bands:
         raise ValueError(f"k={k} must divide evenly into bands={bands}")
     rows = k // bands
-    banded = (sigs.withColumn("band", (F.col("h_idx") / rows).cast("int"))
-              .groupBy("doc_id", "band")
-              .agg(F.md5(F.concat_ws(",", F.sort_array(
-                  F.collect_list(F.concat_ws(":", "h_idx", "sig")))))
-                  .alias("band_hash")))
-    return _bucketed_pairs(banded, ["band", "band_hash"], "doc_id",
-                           max_bucket)
+    return (sigs.withColumn("band", (F.col("h_idx") / rows).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws(",", F.sort_array(
+                F.collect_list(F.concat_ws(":", "h_idx", "sig")))))
+                .alias("band_hash")))
 
 
 def _empty_result(df: DataFrame, fields) -> DataFrame:
@@ -254,23 +386,43 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: per bit, sum +/-1 over distinct token hashes;
-    bit set when the sum is positive: (doc_id, simhash)."""
-    toks = (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.array_distinct(tokens(F.col(text_col))))
-                      .alias("tok"))
-            .withColumn("x", md5_int(F.col("tok"))))
-    # One aggregate computes all bit-plane sums (±1 per token hash bit),
-    # then the signature assembles JVM-side — no 32-fold row explosion.
-    sums = toks.groupBy("doc_id").agg(*[
-        F.sum(F.shiftright(F.col("x"), b) % 2 * 2 - 1).alias(f"b{b}")
-        for b in range(bits)])
-    sig = sums.columns[1:]
-    expr = None
-    for b, c in enumerate(sig):
-        term = F.when(F.col(c) > 0, F.lit(1 << b).cast("long")) \
-                .otherwise(F.lit(0))
-        expr = term if expr is None else expr + term
-    return sums.select("doc_id", expr.alias("simhash"))
+    bit set when the sum is positive: (doc_id, simhash).
+
+    Scale shape (r12): a pure map — ZERO shuffles (guide §2.4).  The
+    signature is a per-document function of the distinct-token hash
+    set, so it never needed the explode + groupBy(doc_id) the r11 form
+    paid (one shuffle of per-doc partial rows).  One fold over the
+    token-hash array accumulates the per-bit set-bit counts c_b; the
+    r11 ±1 sum relates as sum_b = 2*c_b - n, so "sum_b > 0" is
+    "2*c_b > n" — bit-identical signatures (pinned by
+    tests/test_rowwise_rewrites.py).  Token-less docs (empty or NULL
+    text) are dropped, matching the grouped form's explode.  The token
+    array sits behind a Generate barrier so the size() filter and the
+    fold share one tokenize."""
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array(F.array_distinct(
+                          tokens(F.col(text_col))))).alias("__toks"))
+            .filter(F.size("__toks") >= 1))
+    xs = F.transform(F.col("__toks"), md5_int)
+    init = F.struct(*[F.lit(0).cast("long").alias(f"c{b}")
+                      for b in range(bits)])
+
+    def bump(acc, x):
+        return F.struct(*[(acc[f"c{b}"] + F.shiftright(x, b) % 2)
+                          .alias(f"c{b}") for b in range(bits)])
+
+    n = F.size(F.col("__toks"))
+
+    def assemble(acc):
+        expr = None
+        for b in range(bits):
+            term = F.when(acc[f"c{b}"] * 2 > n,
+                          F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+            expr = term if expr is None else expr + term
+        return expr
+
+    return base.select(
+        "doc_id", F.aggregate(xs, init, bump, assemble).alias("simhash"))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
@@ -485,10 +637,13 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text",
                         F.col(text_col).alias("__text"))
             .join(groups.select(F.col("rep_id").alias("doc_id")),
                   "doc_id", "left_semi"))
-    sh = shingles(reps, text_col="__text")
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k=k),
-                                bands=bands, k=k, max_bucket=max_bucket)
-    pairs = (jaccard_pairs(sh, min_jaccard=min_jaccard,
+    # map-only candidate generation (r12): signatures and band hashes
+    # fold per row, so the LSH stage's two pre-join shuffles are gone
+    arrs = shingle_arrays(reps, text_col="__text")
+    cands = lsh_candidate_pairs_arrays(arrs, k=k, bands=bands,
+                                       max_bucket=max_bucket)
+    pairs = (jaccard_pairs(exploded_shingles(arrs),
+                           min_jaccard=min_jaccard,
                            candidates=cands, max_df=max_df)
              .select("doc_a", "doc_b"))
     rep_labels = duplicate_clusters(reps.select("doc_id"), pairs,
@@ -692,7 +847,7 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                         .alias("__h")).distinct())
     surv0 = reps.join(ch, "__h", "left_anti").select("doc_id", "n_copies")
     surv0_text = surv0.join(bh.select("doc_id", "__text"), "doc_id")
-    batch_sh = shingles(surv0_text, text_col="__text", n=n)
+    batch_arrs = shingle_arrays(surv0_text, text_col="__text", n=n)
     if corpus_sh is None:
         # exact-collapse the corpus to one representative per content
         # hash before shingling.  A production corpus is already
@@ -716,10 +871,23 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                  .agg(F.min(F.struct("doc_id", "__text")).alias("__r"))
                  .select(F.col("__r.doc_id").alias("doc_id"),
                          F.col("__r.__text").alias("__text")))
-        corpus_sh = shingles(creps, text_col="__text", n=n)
-    sh = corpus_sh.select("doc_id", "shingle").unionByName(batch_sh)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k=k),
-                                bands=bands, k=k, max_bucket=max_bucket)
+        # fresh corpus text: the map-only LSH path end to end
+        corpus_arrs = shingle_arrays(creps, text_col="__text", n=n)
+        banded = lsh_band_hashes(
+            corpus_arrs.unionByName(batch_arrs), k=k, bands=bands)
+        corpus_long = exploded_shingles(corpus_arrs)
+    else:
+        # stored long-form shingle table (the production index shape):
+        # only the corpus side pays the grouped banding; the fresh
+        # batch side folds per row and unions at the banded level —
+        # the hashes are bit-identical by construction (law-tested)
+        corpus_long = corpus_sh.select("doc_id", "shingle")
+        banded = _banded_from_sigs(
+            minhash_signatures(corpus_long, k=k), bands, k).unionByName(
+            lsh_band_hashes(batch_arrs, k=k, bands=bands))
+    cands = _bucketed_pairs(banded, ["band", "band_hash"], "doc_id",
+                            max_bucket)
+    sh = corpus_long.unionByName(exploded_shingles(batch_arrs))
     pairs = (jaccard_pairs(sh, min_jaccard=min_jaccard,
                            candidates=cands, max_df=max_df)
              .select("doc_a", "doc_b"))

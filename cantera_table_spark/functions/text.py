@@ -111,6 +111,26 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp)
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array = the
+    count of its most frequent element.  One left fold; the accumulator
+    is a bound lambda variable, so nothing re-inlines (the FoldRecompute
+    class).  0 for an empty array."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("mx")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(acc["mx"],
+                       F.when(g == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1).cast("long"))).alias("mx")),
+        lambda acc: acc["mx"])
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, table A1):
@@ -119,52 +139,60 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
     Highly repetitive documents (boilerplate, keyword stuffing, decode
     loops) score high and are filtered before pretraining.
 
-    Scale shape: the per-doc n-gram frequency tables are built by
-    explode -> groupBy, NOT by per-row array self-scans — a quadratic
-    `transform(distinct, count-in-array)` per document would be O(L^2)
-    per row and blow up on long documents.  ONE scan + tokenize of the
-    corpus (explode k = 1..3 inside a single consuming branch, not a
-    three-branch union of the token projection) and two shuffles, both
-    keyed by doc_id (+gram), both with map-side partial aggregation:
+    Scale shape (r12): a pure map — ZERO shuffles, zero row explosion.
+    Every signal is a per-document function of the token stream, so the
+    n-gram frequency tables never need to leave the row: the most
+    frequent n-gram's count is the longest equal-run in the SORTED
+    per-row gram array (O(L log L) per row, never the O(L^2) per-row
+    self-scan), and the duplicate-token fraction is 1 - distinct/total.
+    The r11 shape exploded every 1..3-gram into rows and paid two
+    corpus-scale shuffles (groupBy(doc, k, gram) + groupBy(doc)) to
+    compute the same per-doc numbers; at 100 TB those shuffles moved
+    every gram string across the network twice for a decision that is
+    local to the document.  Values are bit-identical for unique-id
+    inputs (pinned by tests/test_rowwise_rewrites.py); stats are now
+    per ROW, which only differs if the same doc_id carries different
+    texts on different rows — a shape the grouped form silently merged
+    and no oracle fixture produces.
 
-      tokens --explode k--> explode grams --> groupBy(doc_id, k, gram)
-             --groupBy(doc_id)--> conditional aggregates
+    Evaluation-once discipline: the token array and the gram arrays are
+    materialized behind explode(array(...)) Generate barriers; inline
+    expressions would be re-inlined once per consuming column by
+    CollapseProject (3x the tokenize).
 
     Returns the input columns plus dup_token_frac / top_bigram_frac /
     top_trigram_frac (0.0 for documents too short to form the gram).
     """
-    toks = tokens(F.col(text_col))
-    k = F.col("k")
-    counts = (df.select(id_col, toks.alias("__toks"))
-              .select(id_col, "__toks",
-                      F.explode(F.sequence(F.lit(1), F.lit(3)))
-                      .alias("k"))
-              # sequence(1, 0) counts DOWN, so guard short docs like
-              # dedup.shingles does
-              .filter(F.size("__toks") >= k)
-              .select(id_col, "k",
-                      F.explode(F.transform(
-                          F.sequence(F.lit(1),
-                                     F.size("__toks") - (k - 1)),
-                          lambda i: F.concat_ws(
-                              " ", F.slice(F.col("__toks"), i, k))))
-                      .alias("gram"))
-              .groupBy(id_col, "k", "gram").count())
-    agg = (counts.groupBy(id_col).agg(
-        F.sum(F.when(k == 1, F.col("count"))).alias("tot1"),
-        F.count(F.when(k == 1, True)).alias("dist1"),
-        F.sum(F.when(k == 2, F.col("count"))).alias("tot2"),
-        F.max(F.when(k == 2, F.col("count"))).alias("mx2"),
-        F.sum(F.when(k == 3, F.col("count"))).alias("tot3"),
-        F.max(F.when(k == 3, F.col("count"))).alias("mx3")))
-    frac = lambda num, den: F.round(  # noqa: E731
-        F.coalesce(num / F.col(den), F.lit(0.0)), 6)
-    return (df.join(agg, id_col, "left")
-            .withColumn("dup_token_frac",
-                        frac(F.col("tot1") - F.col("dist1"), "tot1"))
-            .withColumn("top_bigram_frac", frac(F.col("mx2"), "tot2"))
-            .withColumn("top_trigram_frac", frac(F.col("mx3"), "tot3"))
-            .drop("tot1", "dist1", "tot2", "mx2", "tot3", "mx3"))
+    cols = df.columns
+    clash = [c for c in cols if c in ("__toks", "__g")]
+    if clash:
+        raise ValueError(
+            f"input columns collide with repetition internals: {clash}")
+    base = df.select("*", F.explode(F.array(tokens(F.col(text_col))))
+                     .alias("__toks"))
+
+    def grams(k: int) -> Column:
+        return F.when(F.size("__toks") >= k, F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+    g = base.select("*", F.explode(F.array(F.struct(
+        grams(2).alias("g2"), grams(3).alias("g3")))).alias("__g"))
+
+    def frac(num: Column, den: Column) -> Column:
+        # short/NULL docs: the r11 left-join form yielded NULL -> 0.0
+        return F.when(den >= 1, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    n_toks = F.size("__toks")
+    return g.select(
+        *cols,
+        frac(n_toks - F.size(F.array_distinct("__toks")), n_toks)
+        .alias("dup_token_frac"),
+        frac(_max_run(F.array_sort("__g.g2")), F.size("__g.g2"))
+        .alias("top_bigram_frac"),
+        frac(_max_run(F.array_sort("__g.g3")), F.size("__g.g3"))
+        .alias("top_trigram_frac"))
 
 
 # PII patterns restricted to syntax both Java regex (Spark) and RE2

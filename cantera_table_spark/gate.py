@@ -914,11 +914,13 @@ GROUP BY 1, 2
 """)
 def dd02_minhash(spark, sf_dir):
     """MinHash signatures (k=16) over 3-gram shingles; portable md5-based
-    hash family so the oracle reproduces signatures bit-for-bit."""
-    from cantera_table_spark.functions.dedup import (minhash_signatures,
-                                                     shingles)
-    sh = shingles(load_table(spark, sf_dir, "documents"))
-    return minhash_signatures(sh, k=16)
+    hash family so the oracle reproduces signatures bit-for-bit.
+    r12: per-row fold + posexplode (zero shuffles) — bit-identical to
+    the r11 groupBy form (tests/test_rowwise_rewrites.py)."""
+    from cantera_table_spark.functions.dedup import (minhash_signature_rows,
+                                                     shingle_arrays)
+    arrs = shingle_arrays(load_table(spark, sf_dir, "documents"))
+    return minhash_signature_rows(arrs, k=16)
 
 
 @gate("dd03_ngram_jaccard", ORACLE_SHINGLES + """
@@ -1845,16 +1847,14 @@ def dd06_dedup_clusters(spark, sf_dir):
     cluster (min-label propagation vs the oracle's recursive CTE, with
     the banding mirrored in SQL so the pruning is verified, not
     assumed)."""
-    from cantera_table_spark.functions.dedup import (duplicate_clusters,
-                                                     jaccard_pairs,
-                                                     lsh_candidate_pairs,
-                                                     minhash_signatures,
-                                                     shingles)
+    from cantera_table_spark.functions.dedup import (
+        duplicate_clusters, exploded_shingles, jaccard_pairs,
+        lsh_candidate_pairs_arrays, shingle_arrays)
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
-                                bands=4, k=16)
-    pairs = (jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+    arrs = shingle_arrays(docs)
+    cands = lsh_candidate_pairs_arrays(arrs, k=16, bands=4)
+    pairs = (jaccard_pairs(exploded_shingles(arrs), min_jaccard=0.12,
+                           candidates=cands)
              .select("doc_a", "doc_b"))
     return duplicate_clusters(docs.select("doc_id"), pairs,
                               caches=_GATE_CACHES)
@@ -2123,14 +2123,13 @@ def dd07_lsh_jaccard(spark, sf_dir):
     unpruned oracle baseline).  Banding is md5-portable, so the oracle
     reproduces candidates bit-for-bit and the whole pipeline
     hash-matches."""
-    from cantera_table_spark.functions.dedup import (jaccard_pairs,
-                                                     lsh_candidate_pairs,
-                                                     minhash_signatures,
-                                                     shingles)
-    sh = shingles(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(sh, k=16)
-    cands = lsh_candidate_pairs(sigs, bands=4, k=16)
-    return jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+    from cantera_table_spark.functions.dedup import (
+        exploded_shingles, jaccard_pairs, lsh_candidate_pairs_arrays,
+        shingle_arrays)
+    arrs = shingle_arrays(load_table(spark, sf_dir, "documents"))
+    cands = lsh_candidate_pairs_arrays(arrs, k=16, bands=4)
+    return jaccard_pairs(exploded_shingles(arrs), min_jaccard=0.12,
+                         candidates=cands)
 
 
 @gate("sim04_ivf_assign", """
@@ -3296,13 +3295,13 @@ def dd12_dedup_apply(spark, sf_dir):
     duplicates per survivor — the end-to-end near-dedup a corpus
     curator actually ships."""
     from cantera_table_spark.functions.dedup import (
-        apply_dedup, duplicate_clusters, jaccard_pairs,
-        lsh_candidate_pairs, minhash_signatures, shingles)
+        apply_dedup, duplicate_clusters, exploded_shingles, jaccard_pairs,
+        lsh_candidate_pairs_arrays, shingle_arrays)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingles(d)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k=16),
-                                bands=4, k=16)
-    pairs = jaccard_pairs(sh, min_jaccard=0.12, candidates=cands)
+    arrs = shingle_arrays(d)
+    cands = lsh_candidate_pairs_arrays(arrs, k=16, bands=4)
+    pairs = jaccard_pairs(exploded_shingles(arrs), min_jaccard=0.12,
+                          candidates=cands)
     clusters = duplicate_clusters(d.select("doc_id"), pairs,
                                   caches=_GATE_CACHES)
     return apply_dedup(d, clusters)

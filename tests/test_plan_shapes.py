@@ -280,18 +280,18 @@ def test_funnel_is_single_pass(spark):
 
 
 def test_repetition_stats_single_scan(spark):
-    """The gram-counts side of with_repetition_stats reads and
-    tokenizes the corpus ONCE (explode k=1..3 in one consuming branch)
-    — never the grams(1|2|3) three-branch union, which re-tokenized
-    the corpus per n (2 Range leaves total: the final left-join's own
-    probe side plus the single gram branch; the union form had 4)."""
+    """with_repetition_stats is a pure map since r12: ONE scan, ONE
+    tokenize, ZERO shuffles — the r11 explode->groupBy->join form had
+    2 Range leaves and 2 corpus-scale exchanges (equivalence is pinned
+    by tests/test_rowwise_rewrites.py; this pins the plan shape)."""
     from cantera_table_spark.functions.text import with_repetition_stats
     docs = spark.range(500).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("alpha beta gamma delta word"),
                  F.col("id").cast("string")).alias("text"))
     facts = plan_facts(with_repetition_stats(docs))
-    assert facts.text.count("Range (") == 2
+    assert facts.text.count("Range (") == 1
+    assert facts.n_shuffles == 0, facts.text
     assert not facts.has_python_eval
 
 
@@ -335,8 +335,10 @@ def test_incremental_dedup_single_pairs_consumption(spark):
     Spark prints unreused subtrees inline once per consumer, so a
     reintroduced second consumption roughly DOUBLES the physical node
     census; pin the known-good single-consumption counts (measured at
-    this exact fixture: 19 SortMergeJoin, 70 Generate, 94 Range) with
-    small headroom so the doubled plan fails loudly."""
+    this exact fixture after the r12 map-only LSH rewrite:
+    10 SortMergeJoin, 96 Generate, 94 Range — the rewrite cut SMJ from
+    19 and traded the banding groupBys for per-row Generate barriers)
+    with small headroom so the doubled plan fails loudly."""
     from cantera_table_spark.functions.dedup import incremental_dedup
     docs = spark.range(200).select(
         F.col("id").alias("doc_id"),
@@ -346,8 +348,8 @@ def test_incremental_dedup_single_pairs_consumption(spark):
                             docs.filter(F.col("doc_id") % 2 == 0),
                             min_jaccard=0.12)
     c = _formatted_node_counts(out)
-    assert c["SortMergeJoin"] <= 24, c["SortMergeJoin"]
-    assert c["Generate"] <= 85, c["Generate"]
+    assert c["SortMergeJoin"] <= 13, c["SortMergeJoin"]
+    assert c["Generate"] <= 115, c["Generate"]
     assert c["Range"] <= 115, c["Range"]
 
 
