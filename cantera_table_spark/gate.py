@@ -1780,12 +1780,18 @@ def corr02_event_prediction(spark, sf_dir):
         correlate_sets, filter_by_timestamp_sets)
     keys = ts_postings.filter(F.col("keyword") != "ts:purchase")
     b_disjoint = set_b.join(set_a.select("doc_id"), "doc_id", "left_anti")
-    filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint)
-    # filter_by_timestamp_sets groups per (keyword, doc_id), so the
-    # postings are provably unique — the plain-count contingency path
-    # skips countDistinct's expand + second shuffle (same counts; the
+    # everything branches off the per-(keyword, doc) min-aggregate, so
+    # keys/set rows are provably unique (unique_rows skips the three
+    # redundant min-groupBy shuffles) and set_a/set_b are unique AND
+    # disjoint by construction — the score predicate splits one
+    # grouped table (presplit skips two distincts + the anti-join);
+    # with unique rows the plain-count contingency path skips
+    # countDistinct's expand + second shuffle (same counts; the
     # oracle's count(DISTINCT ...) degenerates to count on unique rows)
-    return correlate_sets(filtered, set_a, set_b, unique_docs=True)
+    filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint,
+                                        unique_rows=True)
+    return correlate_sets(filtered, set_a, set_b, unique_docs=True,
+                          presplit=True)
 
 
 # Shared LSH -> verify -> connected-components oracle body (dd06, dd12)

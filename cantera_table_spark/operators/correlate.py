@@ -71,7 +71,8 @@ _NEG_INF = float("-inf")
 
 def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
                    caches: list | None = None,
-                   unique_docs: bool = False) -> DataFrame:
+                   unique_docs: bool = False,
+                   presplit: bool = False) -> DataFrame:
     """Core pipeline given resolved doc sets.
 
     postings: (keyword, doc_id, score) — the feature space.
@@ -82,20 +83,44 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     (and preserved by the timestamp filters, which group per doc).
     The contingency count then uses a plain conditional count instead
     of countDistinct, skipping Spark's expand + second shuffle.
+    presplit: promise that set_a / set_b are each already one row per
+    doc_id AND mutually disjoint (corr02 builds them by splitting one
+    grouped table on a score predicate) — skips the two distinct
+    shuffles and the disjointing anti-join.
 
     Returns (log_odds, match_count_a, match_count_b, keyword, min_score,
     max_score) with null min/max for unbounded ends.
 
-    Intermediates (the class-joined postings and the tiny per-keyword
-    kind/split tables) are Spark-cached because several downstream
-    branches reuse them; pass ``caches`` (a list) to receive the cached
-    DataFrames so a long-lived session can ``unpersist()`` them after
-    consuming the result (Engine.release_caches does this).
+    Scale shape (r12, guide §2.3-2.4): the postings cross the network
+    ONCE — into the per-(keyword, score) histogram ``h`` — and every
+    downstream stage (feature-kind detection, the min-support
+    prefilter, the cumulative split search, and the unique-docs
+    contingency count) consumes the histogram, whose size is the
+    number of DISTINCT score values per keyword, not the posting
+    count.  The r11 shape shuffled the postings four times (kw_ok
+    groupBy + join, kind groupBy, per_score groupBy, counted groupBy).
+    The reference's min-support keyword prefilter (correlate.cc:
+    541-543) is applied on the histogram rollup: output-identical,
+    because a keyword with fewer postings than min(limit_a, limit_b)
+    can never reach either limit in the final match-count filter.
+    Only the exact-doc contingency count without the ``unique_docs``
+    promise still needs the raw class-joined rows (countDistinct over
+    doc_id).
+
+    Intermediates (the histogram and the tiny per-keyword kind/split
+    tables) are Spark-cached because several downstream branches reuse
+    them; pass ``caches`` (a list) to receive the cached DataFrames so
+    a long-lived session can ``unpersist()`` them after consuming the
+    result (Engine.release_caches does this).
     """
     if caches is None:
         caches = []
-    a = set_a.select("doc_id").distinct()
-    b = set_b.select("doc_id").distinct().join(a, "doc_id", "left_anti")
+    if presplit:
+        a = set_a.select("doc_id")
+        b = set_b.select("doc_id")
+    else:
+        a = set_a.select("doc_id").distinct()
+        b = set_b.select("doc_id").distinct().join(a, "doc_id", "left_anti")
 
     n_a = a.count()
     n_b = b.count()
@@ -119,49 +144,64 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     limit_b = max(n_b // 20, 1)
     min_limit = min(limit_a, limit_b)
 
-    # Keyword pre-filter: posting count must reach the smaller support
-    # limit (correlate.cc:541-543).
-    kw_ok = (postings.groupBy("keyword").agg(F.count("*").alias("__n"))
-             .filter(F.col("__n") >= min_limit).select("keyword"))
-    k = postings.join(kw_ok, "keyword")
-
     # Class membership per posting row: +1 in A, -1 in B, null otherwise
     # (disjoint after subtraction, correlate.cc:246-265).
-    k = (k.join(a.withColumn("__in_a", F.lit(1)), "doc_id", "left")
+    k = (postings
+         .join(a.withColumn("__in_a", F.lit(1)), "doc_id", "left")
          .join(b.withColumn("__in_b", F.lit(1)), "doc_id", "left")
          .withColumn("cls", F.when(F.col("__in_a") == 1, F.lit(1))
                      .when(F.col("__in_b") == 1, F.lit(-1)))
          .select("keyword", "doc_id", "score", "cls"))
-    k = _persist(k)
-    caches.append(k)
+    if not unique_docs:
+        # the exact-doc contingency count below re-consumes the raw
+        # class-joined rows; without the persist that branch re-runs
+        # the postings scan + class joins
+        k = _persist(k)
+        caches.append(k)
+
+    # THE one postings-scale shuffle: per-(keyword, distinct score)
+    # class histogram.  Collapses ties exactly like the reference's
+    # ``agg`` array (correlate.cc:282-300); map-side combinable, so a
+    # score repeated a billion times combines per input partition.
+    h = (k.groupBy("keyword", "score")
+         .agg(F.count(F.when(F.col("cls") == 1, 1)).alias("__n_a"),
+              F.count(F.when(F.col("cls") == -1, 1)).alias("__n_b"),
+              F.count(F.col("cls")).alias("__n_cls"),
+              F.count("*").alias("__n_all")))
+    h = _persist(h)
+    caches.append(h)
 
     # --- split search on continuous keywords --------------------------
-    # boolean feature <=> every score is zero (correlate.cc:211-217)
-    # kind and split are tiny (one row per keyword) but feed four task
-    # branches each — cache them so the window pipeline runs once, not
-    # once per branch.
-    kind = k.groupBy("keyword").agg(
+    # boolean feature <=> every score is zero (correlate.cc:211-217).
+    # kind / split are tiny (one row per keyword) but feed four task
+    # branches each — cache them so the histogram rollup runs once, not
+    # once per branch.  __n_rows carries the reference's min-support
+    # keyword prefilter (correlate.cc:541-543), now a histogram rollup
+    # instead of a postings-scale groupBy + join.
+    kind = h.groupBy("keyword").agg(
         (F.max(F.abs(F.col("score"))) > 0.0).alias("__continuous"),
-        F.count(F.col("cls")).alias("__n_classes")).cache()
+        F.sum("__n_cls").alias("__n_classes"),
+        F.sum("__n_all").alias("__n_rows")).cache()
     caches.append(kind)
 
-    classes = k.filter(F.col("cls").isNotNull()).join(
-        kind.filter(F.col("__continuous") &
-                    (F.col("__n_classes") >= min_limit))
-        .select("keyword"), "keyword")
-
-    # Collapse ties BEFORE the cumulative scan: the reference's ``agg``
-    # array is keyed by distinct score (correlate.cc:282-300), so the
-    # per-row window only ever re-derived what a (keyword, score)
-    # pre-aggregate computes directly.  The groupBy gets map-side
-    # combine, and the window's sort input shrinks by the tie factor —
-    # at pretraining scale score ties (e.g. integer-valued features)
-    # dominate, so this is the difference between sorting the postings
-    # and sorting the value histogram.
-    per_score = (classes.groupBy("keyword", "score")
-                 .agg(F.count(F.when(F.col("cls") >= 0, 1)).alias("__n_a"),
-                      F.count(F.when(F.col("cls") <= 0, 1)).alias("__n_b"),
-                      F.count("*").alias("__n_ab")))
+    # per-(keyword, score) rows restricted to CLASS rows of qualifying
+    # continuous keywords — the r11 per_score table, read straight off
+    # the histogram (__n_cls >= 1 drops score values seen only on
+    # class-less postings, which the r11 groupBy over class rows never
+    # produced; n_classes >= min_limit implies n_rows >= min_limit, so
+    # the keyword prefilter is subsumed here)
+    # explicit broadcast: per-keyword metadata (one short row per
+    # qualifying keyword — the same relation the r11 planner already
+    # broadcast by size estimate).  Without the hint the histogram side
+    # is a cached relation AQE cannot re-plan around, and the initial
+    # SortMergeJoin survives to execution.
+    per_score = (h.filter(F.col("__n_cls") >= 1)
+                 .join(F.broadcast(
+                     kind.filter(F.col("__continuous") &
+                                 (F.col("__n_classes") >= min_limit))
+                     .select("keyword")), "keyword")
+                 .select("keyword", "score", "__n_a", "__n_b",
+                         F.col("__n_cls").alias("__n_ab")))
     w_cum = (Window.partitionBy("keyword").orderBy("score")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_tot = Window.partitionBy("keyword")
@@ -221,7 +261,10 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     # whole-range: boolean keywords + continuous without a useful split;
     # continuous keywords with too few class rows are dropped entirely
     # (correlate.cc:271: classes.empty() || < min_limit -> return).
-    bool_tasks = (kind.filter(~F.col("__continuous"))
+    # Boolean keywords additionally carry the min-support prefilter
+    # (the continuous branches inherit it through __n_classes).
+    bool_tasks = (kind.filter(~F.col("__continuous") &
+                              (F.col("__n_rows") >= min_limit))
                   .select("keyword", F.lit(None).cast("double").alias("lo"),
                           F.lit(None).cast("double").alias("hi")))
     nosplit_tasks = (split.filter(~F.col("__use_split"))
@@ -237,19 +280,26 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
              .unionByName(left_tasks).unionByName(right_tasks))
 
     # --- ProcessRange: contingency counts per (keyword, range) --------
+    # with unique postings, counting matching docs = counting matching
+    # rows = summing the histogram's per-score class counts, so the
+    # count consumes the (cached) histogram instead of the raw
+    # postings; only exact doc dedup (countDistinct) needs the rows
     in_range = ((F.col("lo").isNull() | (F.col("score") >= F.col("lo"))) &
                 (F.col("hi").isNull() | (F.col("score") <= F.col("hi"))))
     if unique_docs:
-        agg_a = F.count(F.when(F.col("cls") == 1, 1))
-        agg_b = F.count(F.when(F.col("cls") == -1, 1))
+        counted = (h.join(tasks, "keyword")
+                   .filter(in_range)
+                   .groupBy("keyword", "lo", "hi")
+                   .agg(F.sum("__n_a").alias("match_count_a"),
+                        F.sum("__n_b").alias("match_count_b")))
     else:
         agg_a = F.countDistinct(F.when(F.col("cls") == 1, F.col("doc_id")))
         agg_b = F.countDistinct(F.when(F.col("cls") == -1, F.col("doc_id")))
-    counted = (k.join(tasks, "keyword")
-               .filter(in_range)
-               .groupBy("keyword", "lo", "hi")
-               .agg(agg_a.alias("match_count_a"),
-                    agg_b.alias("match_count_b")))
+        counted = (k.join(tasks, "keyword")
+                   .filter(in_range)
+                   .groupBy("keyword", "lo", "hi")
+                   .agg(agg_a.alias("match_count_a"),
+                        agg_b.alias("match_count_b")))
 
     out = (counted
            .filter((F.col("match_count_a") >= limit_a) |
@@ -267,15 +317,29 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
 
 
 def filter_by_timestamp_sets(keys: DataFrame, set_a: DataFrame,
-                             set_b: DataFrame) -> DataFrame:
+                             set_b: DataFrame,
+                             unique_rows: bool = False) -> DataFrame:
     """FilterByTimestamp(keys, A, B) (correlate.cc:400-462): for docs in
     A (preferred) or B, keep one row per doc when the doc's earliest key
     timestamp precedes its earliest set timestamp; score becomes the age
-    delta.  Docs in neither set are dropped."""
-    kmin = keys.groupBy("keyword", "doc_id").agg(
-        F.min("score").alias("k_score"))
-    amin = set_a.groupBy("doc_id").agg(F.min("score").alias("a_score"))
-    bmin = set_b.groupBy("doc_id").agg(F.min("score").alias("b_score"))
+    delta.  Docs in neither set are dropped.
+
+    unique_rows: promise that ``keys`` already has one row per
+    (keyword, doc_id) and each set one row per doc_id (corr02 feeds
+    all three from one per-(keyword, doc) min-aggregate) — the three
+    min-groupBys are then identity maps and their shuffles are skipped
+    (guide §2.4: a distinct/groupBy on data that is already unique is
+    an accidental exchange)."""
+    if unique_rows:
+        kmin = keys.select("keyword", "doc_id",
+                           F.col("score").alias("k_score"))
+        amin = set_a.select("doc_id", F.col("score").alias("a_score"))
+        bmin = set_b.select("doc_id", F.col("score").alias("b_score"))
+    else:
+        kmin = keys.groupBy("keyword", "doc_id").agg(
+            F.min("score").alias("k_score"))
+        amin = set_a.groupBy("doc_id").agg(F.min("score").alias("a_score"))
+        bmin = set_b.groupBy("doc_id").agg(F.min("score").alias("b_score"))
     j = (kmin.join(amin, "doc_id", "left").join(bmin, "doc_id", "left")
          .withColumn("ref_score", F.coalesce("a_score", "b_score"))
          .filter(F.col("ref_score").isNotNull())

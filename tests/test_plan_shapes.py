@@ -353,15 +353,17 @@ def test_incremental_dedup_single_pairs_consumption(spark):
     assert c["Range"] <= 115, c["Range"]
 
 
-def test_correlate_class_join_cached_once(spark):
-    """corr02's heaviest intermediate — the class-joined postings (and
-    the tiny per-keyword kind/split tables) — feeds four downstream
-    branches; correlate_sets caches all three so the branches hit
-    InMemoryTableScan instead of inlining the postings scan per
-    consumer.  Pin both sides: enough cache hits to cover the
-    branches, AND a source-leaf count that stays small (a dropped
-    persist re-expands the class-join subtree under every branch,
-    multiplying Range leaves)."""
+def test_correlate_histogram_cached_once(spark):
+    """The r12 correlate shape: the postings shuffle ONCE into the
+    per-(keyword, score) histogram, which is cached (with the tiny
+    per-keyword kind/split tables) and feeds every downstream branch —
+    split search, task assembly, and (without the unique_docs promise)
+    only the countDistinct contingency pass still consumes the raw
+    class-joined rows, which are persisted for exactly that reason.
+    Pin both sides: enough cache hits to cover the branches, AND a
+    source-leaf count that stays small (a dropped persist re-expands
+    the class-join subtree under every branch, multiplying Range
+    leaves)."""
     from cantera_table_spark.operators.correlate import correlate_sets
     postings = spark.range(20_000).select(
         F.concat(F.lit("kw"), (F.col("id") % 50).cast("string"))
@@ -376,12 +378,27 @@ def test_correlate_class_join_cached_once(spark):
     try:
         out = correlate_sets(postings, a, b, caches=caches)
         c = _formatted_node_counts(out)
-        assert len(caches) == 3, len(caches)
+        # k (raw class join, countDistinct path) + h + kind + split
+        assert len(caches) == 4, len(caches)
         assert c["InMemoryTableScan"] >= 6, c["InMemoryTableScan"]
-        # 5 at the known-good shape: the postings source leaf appears
-        # only under the cached subtrees + the set A/B class builds
+        # the postings source leaf appears only under the cached
+        # subtrees + the set A/B class builds
         assert c["Range"] <= 8, c["Range"]
         assert c["Window"] <= 5, c["Window"]
+    finally:
+        for cdf in caches:
+            cdf.unpersist()
+
+    # with the unique_docs promise the raw class-joined rows have no
+    # consumer outside the histogram build: one postings-scale shuffle
+    # total, and only three cached frames
+    caches = []
+    try:
+        out = correlate_sets(postings, a, b, caches=caches,
+                             unique_docs=True)
+        assert len(caches) == 3, len(caches)
+        c = _formatted_node_counts(out)
+        assert c["Range"] <= 8, c["Range"]
     finally:
         for cdf in caches:
             cdf.unpersist()
