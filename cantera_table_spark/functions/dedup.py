@@ -707,8 +707,21 @@ def _merged_spans(base: DataFrame, n: int, min_docs: int) -> DataFrame:
                 F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
                 .alias("wh")))).alias("w"))
         .select("doc_id", "w.pos", "w.wh"))
-    dup = (wins.select("wh", "doc_id").groupBy("wh", "doc_id").count()
-           .groupBy("wh").agg(F.count("*").alias("__nd"))
+    # Distinct-per-doc window hashes fold ROW-LOCALLY (array_distinct on
+    # the per-document hash array) before the explode, so the first
+    # phase of the distinct count never shuffles: groupBy(wh) counts
+    # documents directly, map-side combinable (r12, guide §2.4 — the
+    # old groupBy(wh, doc_id) first phase shuffled every window
+    # occurrence; doc-locality makes that exchange redundant).  The
+    # hash transform is re-derived rather than reused from ``wins``:
+    # the unpersisted lineage was recomputed under this subtree either
+    # way, and the distinct array is strictly smaller than the
+    # positioned rows.
+    dwh = base.select(F.explode(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))))
+        .alias("wh"))
+    dup = (dwh.groupBy("wh").agg(F.count("*").alias("__nd"))
            .filter(F.col("__nd") >= min_docs)
            .select("wh"))
     hits = wins.join(dup, "wh")

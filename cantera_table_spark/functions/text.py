@@ -348,19 +348,31 @@ def lm_quality_score(df: DataFrame, text_col: str = "text",
     # vocabulary size as a broadcast one-row aggregate, not a driver
     # .count() action — the whole score stays one lazy plan
     vocab = uni.agg(F.count("*").cast("double").alias("__V"))
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    scored = (big
-              .join(c12, ["w1", "w2"])
+    # Score DISTINCT bigrams, not occurrences (r12, guide §2.3/§3.2):
+    # per-(doc, bigram) counts fold map-side first (doc bigrams are
+    # row-local, so each doc collapses before its shuffle), the corpus
+    # count table sums those, and the unigram/vocab joins run at
+    # distinct-bigram scale.  The r11 shape joined the RAW exploded
+    # occurrences to c12 and to uni — two occurrence-scale shuffle
+    # participations at real scale (locally AQE broadcasts the count
+    # tables, but a 100 TB vocabulary does not fit an executor).  The
+    # per-doc mean becomes the count-weighted mean over distinct
+    # bigrams — algebraically identical.
+    db = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__n"))
+    c12 = db.groupBy("w1", "w2").agg(F.sum("__n").alias("c12"))
+    bscore = (c12
               .join(uni, "w1")
               .crossJoin(F.broadcast(vocab))
-              .select(id_col,
+              .select("w1", "w2",
                       (F.log((F.col("c12") + 1) /
                              (F.col("c1") + F.col("__V"))))
                       .alias("logp")))
-    agg = (scored.groupBy(id_col)
-           .agg(F.count("*").alias("n_bigrams"),
-                F.round(-F.avg("logp"), 6).alias("avg_nll"),
-                F.round(F.exp(-F.avg("logp")), 4).alias("ppl")))
+    mean_logp = F.sum(F.col("__n") * F.col("logp")) / F.sum("__n")
+    agg = (db.join(bscore, ["w1", "w2"])
+           .groupBy(id_col)
+           .agg(F.sum("__n").alias("n_bigrams"),
+                F.round(-mean_logp, 6).alias("avg_nll"),
+                F.round(F.exp(-mean_logp), 4).alias("ppl")))
     return (df.select(id_col).join(agg, id_col, "left")
             .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0))))
 

@@ -500,6 +500,45 @@ def test_lm_score_broadcasts_vocab_and_stays_jvm(spark):
     assert not facts.has_python_eval
 
 
+def test_lm_score_scores_distinct_bigrams(spark):
+    """The r12 lm shape: occurrences pre-aggregate into per-(doc,
+    bigram) counts map-side BEFORE any join — the scoring join and the
+    per-doc mean run over the deduplicated table, never the raw
+    exploded occurrences (the r11 shape joined occurrences to the
+    count tables, an occurrence-scale shuffle once the vocabulary
+    outgrows broadcast).  Pin: the (doc, w1, w2) pre-aggregation
+    exchange exists, and no shuffle is keyed by w1 alone except the
+    vocabulary-sized unigram rollup (i.e. at most one w1-only key)."""
+    from cantera_table_spark.functions.text import lm_quality_score
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha beta").alias("text"))
+    facts = plan_facts(lm_quality_score(d))
+    # the pre-aggregation operator exists (over a range source it even
+    # needs no exchange — the doc rows are already clustered; over a
+    # parquet scan it is the ONE occurrence-scale shuffle)
+    assert "HashAggregate(keys=[doc_id" in facts.text, facts.text[:2000]
+    w1_only = [k for k in facts.distinct_shuffle_keys()
+               if "w1" in k and "w2" not in k]
+    assert len(w1_only) <= 1, facts.distinct_shuffle_keys()
+
+
+def test_repeated_spans_distinct_count_is_row_local(spark):
+    """The r12 span shape: the first phase of the duplicated-window
+    distinct count folds row-locally (array_distinct on the per-doc
+    hash array), so NO exchange is keyed by (window-hash, doc) — the
+    r11 shape shuffled every window occurrence through a
+    groupBy(wh, doc_id) before the per-hash document count."""
+    from cantera_table_spark.functions.dedup import repeated_spans
+    d = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g a b c d e f g x y z").alias("text"))
+    facts = plan_facts(repeated_spans(d, n=3, min_docs=2))
+    assert not facts.has_python_eval
+    keys = facts.distinct_shuffle_keys()
+    assert not any(("wh" in k) and ("doc_id" in k) for k in keys), keys
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Packing shuffles once on the shard key into the Arrow scan;
     token counting happens before the exchange (only doc_id + count
