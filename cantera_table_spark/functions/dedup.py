@@ -693,10 +693,15 @@ def _merged_spans(base: DataFrame, n: int, min_docs: int) -> DataFrame:
     expand), and merge each document's hit windows into maximal spans
     (windows at positions p < q merge when q - p <= n).
 
-    ``base``: (doc_id, __toks) rows with size(__toks) >= n.  Returns one
-    row per merged span: (doc_id, s, e, __nwin) where s/e are the
-    1-based first/last covered token positions (e = last window pos +
-    n - 1) and __nwin the number of hit windows merged into the span.
+    ``base``: (doc_id, __toks) rows with size(__toks) >= n, ONE ROW PER
+    DOCUMENT — like the rest of the dedup module, doc_id is the unique
+    document key (duplicate-id inputs corrupt both the per-hash doc
+    count, which is per-row since the r12 row-local rewrite, and the
+    per-doc span windows, which would merge across the copies).
+    Returns one row per merged span: (doc_id, s, e, __nwin) where s/e
+    are the 1-based first/last covered token positions (e = last
+    window pos + n - 1) and __nwin the number of hit windows merged
+    into the span.
     """
     wins = (base.select(
         "doc_id",

@@ -1779,16 +1779,17 @@ def corr02_event_prediction(spark, sf_dir):
     from cantera_table_spark.operators.correlate import (
         correlate_sets, filter_by_timestamp_sets)
     keys = ts_postings.filter(F.col("keyword") != "ts:purchase")
-    b_disjoint = set_b.join(set_a.select("doc_id"), "doc_id", "left_anti")
     # everything branches off the per-(keyword, doc) min-aggregate, so
     # keys/set rows are provably unique (unique_rows skips the three
     # redundant min-groupBy shuffles) and set_a/set_b are unique AND
-    # disjoint by construction — the score predicate splits one
-    # grouped table (presplit skips two distincts + the anti-join);
+    # disjoint by construction — the score predicate partitions one
+    # grouped table, so the b-disjointing anti-join the generic path
+    # needs removes nothing here and is dropped outright (presplit
+    # skips the two distincts + anti-join inside correlate_sets too);
     # with unique rows the plain-count contingency path skips
     # countDistinct's expand + second shuffle (same counts; the
     # oracle's count(DISTINCT ...) degenerates to count on unique rows)
-    filtered = filter_by_timestamp_sets(keys, set_a, b_disjoint,
+    filtered = filter_by_timestamp_sets(keys, set_a, set_b,
                                         unique_rows=True)
     return correlate_sets(filtered, set_a, set_b, unique_docs=True,
                           presplit=True)

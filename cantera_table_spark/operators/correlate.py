@@ -49,6 +49,15 @@ LOGIT_CUTOFF = math.log(0.55 / 0.45)   # correlate.cc:141-142
 LOGIT_CUTOFF_R3 = math.floor(LOGIT_CUTOFF * 1000.0 + 0.5) / 1000.0  # 0.201
 MIN_GAIN = math.log(1.05)              # correlate.cc:346
 
+# Broadcast the qualifying-keyword list into the split-search join
+# (local default): AQE cannot re-plan the cached-histogram side, so
+# without the hint the join executes sort-merge even when the keyword
+# list is tiny.  Set =0 when the vocabulary itself is too large to
+# broadcast (web-scale corpora) — the planner then keeps its
+# size-based fallback.
+_BROADCAST_KW = os.environ.get(
+    "SPARK_GRAFT_CORRELATE_BROADCAST_KW", "1") != "0"
+
 
 def _persist(df: DataFrame) -> DataFrame:
     """Persist policy for the class-joined postings (SCALE.md).
@@ -190,16 +199,22 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     # class-less postings, which the r11 groupBy over class rows never
     # produced; n_classes >= min_limit implies n_rows >= min_limit, so
     # the keyword prefilter is subsumed here)
-    # explicit broadcast: per-keyword metadata (one short row per
+    # broadcast hint on the per-keyword metadata (one short row per
     # qualifying keyword — the same relation the r11 planner already
-    # broadcast by size estimate).  Without the hint the histogram side
-    # is a cached relation AQE cannot re-plan around, and the initial
-    # SortMergeJoin survives to execution.
+    # broadcast by size estimate): without it the histogram side is a
+    # cached relation AQE cannot re-plan around, and the initial
+    # SortMergeJoin survives to execution.  Env-gated, NOT forced: the
+    # qualifying set is vocabulary-scale, and a web-scale vocabulary
+    # must keep the planner's sort-merge fallback — set
+    # SPARK_GRAFT_CORRELATE_BROADCAST_KW=0 there (the hint removes the
+    # size-based safety net a plain join keeps).
+    kw_q = (kind.filter(F.col("__continuous") &
+                        (F.col("__n_classes") >= min_limit))
+            .select("keyword"))
+    if _BROADCAST_KW:
+        kw_q = F.broadcast(kw_q)
     per_score = (h.filter(F.col("__n_cls") >= 1)
-                 .join(F.broadcast(
-                     kind.filter(F.col("__continuous") &
-                                 (F.col("__n_classes") >= min_limit))
-                     .select("keyword")), "keyword")
+                 .join(kw_q, "keyword")
                  .select("keyword", "score", "__n_a", "__n_b",
                          F.col("__n_cls").alias("__n_ab")))
     w_cum = (Window.partitionBy("keyword").orderBy("score")

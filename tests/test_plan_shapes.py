@@ -514,10 +514,14 @@ def test_lm_score_scores_distinct_bigrams(spark):
         F.col("id").alias("doc_id"),
         F.lit("alpha beta gamma alpha beta").alias("text"))
     facts = plan_facts(lm_quality_score(d))
-    # the pre-aggregation operator exists (over a range source it even
-    # needs no exchange — the doc rows are already clustered; over a
-    # parquet scan it is the ONE occurrence-scale shuffle)
-    assert "HashAggregate(keys=[doc_id" in facts.text, facts.text[:2000]
+    # the COMPOSITE-key pre-aggregation operator exists (over a range
+    # source it even needs no exchange — the doc rows are already
+    # clustered; over a parquet scan it is the ONE occurrence-scale
+    # shuffle).  keys=[doc_id, w1, ...] distinguishes it from the
+    # final per-doc groupBy(doc_id), which the r11 shape also had.
+    import re as _re
+    assert _re.search(r"HashAggregate\(keys=\[doc_id#\d+L?, w1#", facts.text), \
+        facts.text[:2000]
     w1_only = [k for k in facts.distinct_shuffle_keys()
                if "w1" in k and "w2" not in k]
     assert len(w1_only) <= 1, facts.distinct_shuffle_keys()
