@@ -72,58 +72,66 @@ def gate(name: str, oracle: str | None = None):
 # permanently outside the driver's window.  _DRIVER_ORDER pins the window
 # explicitly; tools/rotate_window.py regenerates it each round from the
 # CORRECTNESS_r*.json history (never-checked gates first, then stalest,
-# then a cross-family sentinel band).  Round-12 rotation (from
-# tools/rotate_window.py --sentinels 7 at round start): positions
-# 1-43 are ALL 43 r9-last-checked gates (stalest first) — the
-# sentinel band shrinks to 7 this round so the whole stale set fits,
-# meeting the r11 verdict's freshness target: after the round-12 run
-# no gate's last driver row is older than round 10.  The five
-# sentinels dropped this round (x02, p01, set01, st04, dd07) were
-# all driver-green in r11 and rejoin the band in round 13.
+# then a cross-family sentinel band).  Round-13 rotation: the r12
+# verdict explicitly requires a driver row for every gate whose
+# operator was REWRITTEN in round 12 but rotated out of the r12 window
+# (tx10, tx15, dd11, dd16, dd14, dd07, dd12, dd13, tx08), plus ml01
+# (training semantics changed in the inherited partial round) and the
+# four r12-dropped sentinels (x02, p01, set01, st04).  Those 14 pins
+# come first; the 7-gate cross-family sentinel band stays; the
+# remaining 29 slots take the stalest gates (last driver row r10) in
+# tools/rotate_window.py priority order.  Eight r10-stale gates defer
+# to a future rotation: mm03, dp01, sk01, mm04, tx09, dd09, st03,
+# mm07 (all long-green, locally swept by tools/check_gate.py).
 _DRIVER_ORDER = [
-    "q02_or",
-    "q03_subtract",
-    "q04_score_filters",
-    "q05_eq_and_range",
-    "q06_theta_join",
-    "q07_order_by",
-    "q08_negate",
-    "q09_min_dedup",
-    "q10_prefix_scan",
-    "q11_summary_key",
-    "q12_thresholds",
-    "q20_threshold_headers",
-    "q13_topk_page",
-    "q14_random_sample",
-    "q15_select_matrix",
-    "ts01_daily_rollup",
-    "ts02_merge_sum",
-    "ts03_pick_one",
-    "ts04_asof_prior",
-    "tpch_q1_pricing",
-    "tpch_q5_region_volume",
-    "ev01_user_running",
-    "dd01_exact_dedup",
-    "dd02_minhash",
-    "ev02_sessionize",
-    "tx05_tfidf",
-    "sim03_lsh_neardup",
-    "ts08_dsl_date_filter",
-    "corr02_event_prediction",
-    "dd06_dedup_clusters",
-    "tx06_quality_filter",
-    "sim04_ivf_assign",
-    "mm06_decode_png",
-    "mm08_decode_jpeg",
-    "mm09_video_frames",
-    "mm10_ipv_video",
-    "ds01_stratified_sample",
-    "ir01_bm25",
-    "sim11_pq_trained",
-    "tpch_q18_large_orders",
-    "ev08_top_events_per_user",
-    "st07_stream_complete_totals",
-    "ts10_asof_forward_tol",
+    # verdict-required pins (operators rewritten in r12 / semantics
+    # changed; last driver row r11 or older)
+    "tx10_lm_score",
+    "tx15_ppl_buckets",
+    "dd11_repeated_spans",
+    "dd16_cut_spans",
+    "dd14_incremental_dedup",
+    "dd07_lsh_jaccard",
+    "dd12_dedup_apply",
+    "tx08_repetition",
+    "ml01_logreg_quality",
+    "x02_export_results",
+    "p01_parse_echo",
+    "set01_session_state",
+    "st04_stream_sessionize",
+    # stalest band (last driver row r10), rotate_window.py order
+    "dd03_ngram_jaccard",
+    "dd08_jaccard_stopshingle",
+    "dd04_simhash",
+    "tx01_text_stats",
+    "tx02_token_counts",
+    "tx03_lang_id",
+    "tx04_fingerprint",
+    "sim01_brute_topk",
+    "sim02_ivf_topk",
+    "sim06_ivf_partitioned",
+    "mm05_frame_sample",
+    "dd05_embedding_neardup",
+    "mm01_decode_media",
+    "a06_posting_counts",
+    "ts05_prediction_bands",
+    "ts06_band_outliers",
+    "q16_uri_decode",
+    "x01_date_days",
+    "q17_external_expansion",
+    "ts07_union_merge",
+    "q18_override_patch",
+    "q19_keys_for",
+    "f32_01_score_fidelity",
+    "cat01_multi_table",
+    "tx07_corpus_stats",
+    "in02_tsv_timeseries",
+    "st01_stream_ingest",
+    "st02_stream_windowed_rollup",
+    "sim05_hyperplane_sig",
+    "mm02_decode_bmp",
+    # cross-family sentinel band (driver-green r12; dd13 is also a
+    # verdict-required pin — it rides in the band)
     "q01_and",
     "corr01_feature_mining",
     "tpch_q3_revenue",
