@@ -112,23 +112,32 @@ def exploded_shingles(arrs: DataFrame) -> DataFrame:
 
 
 def _sig_array(shingles_arr: Column, k: int = 16) -> Column:
-    """k-element MinHash signature array from a shingle array — one
-    fold, no shuffle.  Same hash family as :func:`minhash_signatures`:
-    h_i(x) = ((2i+1) * x + 12345*i + 1) mod p over the portable md5
-    base hash; sig_i = min over the array.  The accumulator is a bound
-    lambda variable, so nothing re-inlines (the FoldRecompute class).
-    Callers must guarantee a non-empty array (shingle_arrays filters
-    docs with < n tokens), matching the grouped form's drop of
-    shingle-less docs."""
+    """k-element MinHash signature array from a shingle array — pure
+    map expressions, no shuffle.  Same hash family as
+    :func:`minhash_signatures`: h_i(x) = ((2i+1) * x + 12345*i + 1)
+    mod p over the portable md5 base hash; sig_i = min over the array.
+
+    Shape (r13): transposed to k passes of ``array_min`` over the
+    md5-hashed array instead of one fold carrying a k-array
+    accumulator — bit-identical mins (law-tested vs the frozen grouped
+    pipelines), but the fold allocated a fresh k-element zip_with
+    array PER SHINGLE where this allocates k arrays PER DOCUMENT
+    (~10% off the interpreted higher-order evaluation; HOF lambdas do
+    not enter whole-stage codegen, which is the remaining honest cost
+    of the zero-shuffle shape).  The hashed array binds through a
+    one-element ``transform`` so md5 evaluates ONCE per shingle, not
+    once per hash function (the FoldRecompute class); callers must
+    guarantee a non-empty array (shingle_arrays filters docs with
+    < n tokens), matching the grouped form's drop of shingle-less
+    docs — array_min of the (impossible) empty array would be NULL
+    where the fold's identity was the prime."""
     xs = F.transform(shingles_arr, md5_int)
-    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), k)
-    return F.aggregate(
-        xs, init,
-        lambda acc, x: F.zip_with(
-            acc, F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda a, i: F.least(
-                a, ((2 * i + 1).cast("long") * x +
-                    F.lit(12345).cast("long") * i + 1) % MINHASH_PRIME)))
+    return F.get(F.transform(F.array(xs), lambda xv: F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(
+            xv, lambda x: ((2 * i + 1).cast("long") * x +
+                           F.lit(12345).cast("long") * i + 1)
+            % MINHASH_PRIME)))), F.lit(0))
 
 
 def minhash_signature_rows(arrs: DataFrame, k: int = 16) -> DataFrame:
@@ -295,6 +304,20 @@ def _bucketed_pairs(banded: DataFrame, bucket_cols: list[str],
             .select(*cols)
 
     if max_bucket is None:
+        # Evaluate-once discipline at the PLAN level (r13): since the
+        # r12 map-only rewrite the banding pipeline below can be a pure
+        # map with ZERO exchanges, so this self-join executed the whole
+        # shingle+signature+band fold once PER SIDE (isolated medians:
+        # candidate generation 4.40 s vs the grouped form's 1.76 s at
+        # sf0.1).  Repartitioning by the join keys inserts the exchange
+        # the join requires anyway — no net shuffle added on ANY input
+        # shape, grouped inputs included (their aggregate partitioning
+        # is (doc_id, band), so the join re-shuffled them too) — and
+        # ReuseExchange then feeds both sides from ONE banding pass
+        # (guide §2.4: two operations keyed the same way share one
+        # exchange).  The max_bucket branch already shares its window's
+        # (bucket_cols) exchange the same way.
+        banded = banded.repartition(*bucket_cols)
         return pair_select(banded.alias("a"), banded.alias("b")) \
             .dropDuplicates(["doc_a", "doc_b"])
     # count AND hub in one window pass so every branch below derives
@@ -850,7 +873,11 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     index persists) is passed — only the batch is shingled, and the
     LSH band join + candidate-restricted verification touch corpus
     rows only where buckets collide.  Requires disjoint id spaces
-    between batch and corpus (ids are the only pair labels).
+    between batch and corpus: ids are the only pair labels, and since
+    the r12 per-row banding each side folds its own signature — an id
+    on BOTH sides would band as two independent documents while the
+    Jaccard verify merged its shingles, so candidate generation and
+    verification would disagree on that (out-of-contract) id.
 
     Returns admitted batch representatives: (doc_id, n_copies) where
     n_copies counts the batch-internal exact-duplicate group.
