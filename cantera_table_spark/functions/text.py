@@ -163,11 +163,18 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
     Returns the input columns plus dup_token_frac / top_bigram_frac /
     top_trigram_frac (0.0 for documents too short to form the gram).
     """
+    del id_col   # retained for API compatibility; the rewrite is per-row
     cols = df.columns
-    clash = [c for c in cols if c in ("__toks", "__g")]
+    # the three output names clash too: the r11 withColumn replaced an
+    # existing column of the same name, the r12 select would duplicate
+    # it (r12 ADVICE)
+    clash = [c for c in cols
+             if c in ("__toks", "__g", "dup_token_frac",
+                      "top_bigram_frac", "top_trigram_frac")]
     if clash:
         raise ValueError(
-            f"input columns collide with repetition internals: {clash}")
+            f"input columns collide with repetition internals or "
+            f"outputs: {clash}")
     base = df.select("*", F.explode(F.array(tokens(F.col(text_col))))
                      .alias("__toks"))
 

@@ -54,9 +54,11 @@ MIN_GAIN = math.log(1.05)              # correlate.cc:346
 # without the hint the join executes sort-merge even when the keyword
 # list is tiny.  Set =0 when the vocabulary itself is too large to
 # broadcast (web-scale corpora) — the planner then keeps its
-# size-based fallback.
-_BROADCAST_KW = os.environ.get(
-    "SPARK_GRAFT_CORRELATE_BROADCAST_KW", "1") != "0"
+# size-based fallback.  Read per call (not at import) so a long-lived
+# session can toggle it (r12 ADVICE).
+def _broadcast_kw() -> bool:
+    return os.environ.get(
+        "SPARK_GRAFT_CORRELATE_BROADCAST_KW", "1") != "0"
 
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -211,7 +213,7 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
     kw_q = (kind.filter(F.col("__continuous") &
                         (F.col("__n_classes") >= min_limit))
             .select("keyword"))
-    if _BROADCAST_KW:
+    if _broadcast_kw():
         kw_q = F.broadcast(kw_q)
     per_score = (h.filter(F.col("__n_cls") >= 1)
                  .join(kw_q, "keyword")
@@ -308,13 +310,36 @@ def correlate_sets(postings: DataFrame, set_a: DataFrame, set_b: DataFrame,
                    .agg(F.sum("__n_a").alias("match_count_a"),
                         F.sum("__n_b").alias("match_count_b")))
     else:
-        agg_a = F.countDistinct(F.when(F.col("cls") == 1, F.col("doc_id")))
-        agg_b = F.countDistinct(F.when(F.col("cls") == -1, F.col("doc_id")))
-        counted = (k.join(tasks, "keyword")
-                   .filter(in_range)
+        # exact doc dedup without unique postings: collapse the raw
+        # class rows to ONE row per (keyword, doc_id) carrying the
+        # doc's class (cls joins on doc_id alone, so it is constant
+        # within the group) and its score envelope — a map-side
+        # combinable aggregate, so ties collapse before the shuffle.
+        # A doc then has a posting inside a task's range iff the range
+        # overlaps [min_s, max_s]: exact because every task assembled
+        # above is one-sided or unbounded (bool/nosplit: whole range;
+        # left: (-inf, mid]; right: [next, +inf)) — a two-sided task
+        # would need per-score data and must not reuse this test.
+        # Replaces the r12 countDistinct over raw class rows, whose
+        # two-distinct-aggregate Expand doubled the postings-scale
+        # shuffle and re-shuffled every posting occurrence per
+        # matching task (guide §2.3: shuffle fewer bytes; §2.4).
+        kd = (k.filter(F.col("cls").isNotNull())
+              .groupBy("keyword", "doc_id")
+              .agg(F.first("cls").alias("cls"),
+                   F.min("score").alias("__min_s"),
+                   F.max("score").alias("__max_s")))
+        overlaps = ((F.col("lo").isNull() |
+                     (F.col("__max_s") >= F.col("lo"))) &
+                    (F.col("hi").isNull() |
+                     (F.col("__min_s") <= F.col("hi"))))
+        counted = (kd.join(tasks, "keyword")
+                   .filter(overlaps)
                    .groupBy("keyword", "lo", "hi")
-                   .agg(agg_a.alias("match_count_a"),
-                        agg_b.alias("match_count_b")))
+                   .agg(F.count(F.when(F.col("cls") == 1, 1))
+                        .alias("match_count_a"),
+                        F.count(F.when(F.col("cls") == -1, 1))
+                        .alias("match_count_b")))
 
     out = (counted
            .filter((F.col("match_count_a") >= limit_a) |
