@@ -16,6 +16,7 @@ def _write(p, text):
         f.write(text)
 
 
+@pytest.mark.slow
 def test_cli_index_roundtrip_keeps_scores(spark, tmp_path):
     docs_tsv = tmp_path / "docs.tsv"
     # a doc name with TSV escapes (literal tab via \t, backslash via \\)
@@ -55,6 +56,7 @@ def test_cli_index_roundtrip_keeps_scores(spark, tmp_path):
     assert sorted(r.score for r in dumped.collect()) == [0.5, 1.5, 2.25]
 
 
+@pytest.mark.slow
 def test_cli_load_index_no_score_flag(spark, tmp_path):
     docs_tsv = tmp_path / "docs.tsv"
     _write(docs_tsv, 'd1\t{}\nd2\t{}\n')

@@ -3,6 +3,7 @@ expectations transcribing correlate.cc)."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from cantera_table_spark.operators.correlate import (
@@ -17,6 +18,7 @@ def rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_boolean_feature_counts_and_logodds(spark):
     # A = {0..9}, B = {10..14}; feature 'f' present on 8 A docs, 1 B doc.
     a = spark.createDataFrame([(i, 0.0) for i in range(10)], S_SCHEMA)
@@ -33,6 +35,7 @@ def test_boolean_feature_counts_and_logodds(spark):
     assert r.min_score is None and r.max_score is None
 
 
+@pytest.mark.slow
 def test_min_support_filters_rare_features(spark):
     # |A|=40 -> limit_a=2; a feature on a single A doc must not appear.
     a = spark.createDataFrame([(i, 0.0) for i in range(40)], S_SCHEMA)
@@ -41,6 +44,7 @@ def test_min_support_filters_rare_features(spark):
     assert correlate_sets(postings, a, b).count() == 0
 
 
+@pytest.mark.slow
 def test_b_made_disjoint_from_a(spark):
     # Doc 0 in both sets counts only for A (correlate.cc:498-500).
     a = spark.createDataFrame([(0, 0.0), (1, 0.0)], S_SCHEMA)
@@ -55,6 +59,7 @@ def test_b_made_disjoint_from_a(spark):
     assert abs(out[0].log_odds - round(math.log(1.5), 3)) < 1e-9
 
 
+@pytest.mark.slow
 def test_continuous_feature_split(spark):
     # Continuous feature: A docs score ~10, B docs score ~1 -> a split
     # should isolate the high range and boost the A-side log-odds.
@@ -110,6 +115,7 @@ def test_filter_by_timestamp_sets_unique_rows_fast_path(spark):
         facts.n_shuffles, grouped_facts.n_shuffles)
 
 
+@pytest.mark.slow
 def test_correlate_presplit_fast_path_matches_default(spark):
     """presplit=True (skip two distincts + the disjointing anti-join)
     must be row-identical to the default path whenever its promise
@@ -148,6 +154,7 @@ def test_filter_by_timestamp_now(spark):
     assert out == [("k", 0, 950.0), ("k", 1, 3.0)]
 
 
+@pytest.mark.slow
 def test_statement_path_timestamped_with_ephemeral_skip(spark):
     """Drive CORRELATE through Engine.execute_script with a timestamped
     primary keyword: ephemeral features must be excluded, the as-of
@@ -277,6 +284,7 @@ def _spark_rows(df):
                   key=lambda r: (r[3], repr(r[4]), repr(r[5])))
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(postings=_postings_st, set_a=_docs_st, set_b=_docs_st)
 def test_correlate_matches_model(spark, postings, set_a, set_b):
@@ -297,6 +305,7 @@ def test_correlate_matches_model(spark, postings, set_a, set_b):
     assert got == want
 
 
+@pytest.mark.slow
 @settings(max_examples=6, deadline=None)
 @given(postings=_postings_st, set_a=_docs_st, set_b=_docs_st)
 def test_correlate_unique_docs_path_matches_model(spark, postings,
@@ -336,6 +345,7 @@ _aset_st = st.lists(st.tuples(st.integers(0, 12), st.integers(0, 20)),
                     max_size=10)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(keys=_keys_st, set_a=_aset_st, now=st.integers(21, 40))
 def test_filter_by_timestamp_now_matches_model(spark, keys, set_a, now):
@@ -368,6 +378,7 @@ def test_filter_by_timestamp_now_matches_model(spark, keys, set_a, now):
     assert got == want
 
 
+@pytest.mark.slow
 def test_r11_empty_class_short_circuit_and_primary_keyword(spark):
     """r11 operators-review findings, pinned: (a) an empty class —
     either A, or B emptied by the disjoint subtraction — emits NO

@@ -17,20 +17,27 @@ import pytest
 import cantera_table_spark.gate as gate
 from tools.edge_data import write_empty
 
-# one per family + the three first-run catches
+# one per family + the three first-run catches; the four instances
+# costing >=10s each carry the slow mark (fast tier keeps the other
+# eight as the in-suite net; the full tier and the 131-gate sweep
+# still cover everything)
 REPRESENTATIVES = [
     "q01_and",                  # DSL query + envelope
     "q20_threshold_headers",    # envelope bare-[] form (fixed)
     "ev07_rollup_day",          # rollup grand-total divergence (fixed)
-    "sim06_ivf_partitioned",    # empty-index schema pin (fixed)
-    "dd14_incremental_dedup",   # dedup stack
-    "sim02_ivf_topk",           # ANN stack
+    pytest.param("sim06_ivf_partitioned",   # empty-index schema pin
+                 marks=pytest.mark.slow),
+    pytest.param("dd14_incremental_dedup",  # dedup stack
+                 marks=pytest.mark.slow),
+    pytest.param("sim02_ivf_topk",          # ANN stack
+                 marks=pytest.mark.slow),
     "tx08_repetition",          # text stack
     "ts09_asof_join",           # time-series joins
     "ds03_pack_sequences",      # Arrow applyInPandas packing
     "mm01_decode_media",        # multimodal mapInPandas codecs
     "corr01_feature_mining",    # CORRELATE pipeline
-    "in01_tsv_postings",        # ingest path
+    pytest.param("in01_tsv_postings",       # ingest path
+                 marks=pytest.mark.slow),
 ]
 
 

@@ -59,6 +59,7 @@ def test_tsv_postings_docname_resolution(spark, tmpdir):
     assert rows == [("kw1", 0, 0.0), ("kw1", 1, 0.0), ("kw2", 1, 0.0)]
 
 
+@pytest.mark.slow
 def test_merge_modes(spark):
     from cantera_table_spark.sources.ingest import MergeError, merge_tables
     s = "key string, ts long, value double"
@@ -112,6 +113,7 @@ def test_dump_paths(spark):
     assert dump.dump_counts(cat, per_key=False).collect()[0].n_rows == 3
 
 
+@pytest.mark.slow
 def test_streaming_ingest_availablenow(spark, tmpdir):
     from cantera_table_spark.streaming.ingest import (
         start_parquet_sink, stream_tsv_timeseries, windowed_rollup)

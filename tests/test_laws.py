@@ -5,6 +5,7 @@ Laws hold on *doc-id sets* (scores carry provenance-dependent values,
 so score equality is only asserted where the semantics pin it down).
 """
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from cantera_table_spark.operators import set_algebra as sa
@@ -29,6 +30,7 @@ def rows(df):
     return sorted((r.doc_id, r.score) for r in df.collect())
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(a=postings, b=postings)
 def test_and_is_subset_and_not_is_complement(spark, a, b):
@@ -41,6 +43,7 @@ def test_and_is_subset_and_not_is_complement(spark, a, b):
     assert inter == base & {d for d, _ in b}
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(a=postings, b=postings)
 def test_or_covers_union_and_de_morgan(spark, a, b):
@@ -55,6 +58,7 @@ def test_or_covers_union_and_de_morgan(spark, a, b):
     assert lhs == rhs
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(a=postings)
 def test_dedup_idempotent_and_negate_involution(spark, a):
@@ -64,6 +68,7 @@ def test_dedup_idempotent_and_negate_involution(spark, a):
     assert rows(sa.negate(sa.negate(da))) == rows(da)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(a=postings, b=postings)
 def test_and_keeps_lhs_scores(spark, a, b):
@@ -73,6 +78,7 @@ def test_and_keeps_lhs_scores(spark, a, b):
     assert got == sorted((d, s) for d, s in a if d in bdocs)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(a=postings)
 def test_sample_is_deterministic_subset(spark, a):
@@ -534,6 +540,7 @@ _WORDS = st.lists(st.sampled_from("alpha beta gamma delta eps".split()),
                   min_size=0, max_size=12)
 
 
+@pytest.mark.slow
 @given(_WORDS)
 @settings(max_examples=10, deadline=None)
 def test_repetition_fracs_bounded_law(spark, words):
@@ -683,6 +690,7 @@ def test_retention_cohort_laws(spark, evs):
     assert all(c.periods_since >= 0 for c in cells)
 
 
+@pytest.mark.slow
 @settings(max_examples=4, deadline=None)
 @given(mult=st.lists(st.integers(1, 3), min_size=3, max_size=3))
 def test_near_dup_clusters_clone_count_invariance_law(spark, mult):
@@ -745,6 +753,7 @@ def _ts_df(spark, rows, schema):
 @given(l=_events, r=_events_nullable,
        direction=st.sampled_from(["backward", "forward"]),
        strict=st.booleans())
+@pytest.mark.slow
 def test_asof_join_matches_nested_loop_model(spark, l, r, direction,
                                              strict):
     from cantera_table_spark.functions.timeseries import asof_join
@@ -785,6 +794,7 @@ def test_asof_join_matches_nested_loop_model(spark, l, r, direction,
         assert got[eid] == (best_ts, want_v)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(p=_events, iv=_events, width=st.sampled_from([60, 300, 3600]))
 def test_interval_join_matches_cross_filter(spark, p, iv, width):
@@ -820,6 +830,7 @@ _bm25_postings = st.lists(
 ).map(lambda v: sorted({(k, d): tf for k, d, tf in v}.items()))
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(p=_bm25_postings)
 def test_bm25_matches_model(spark, p):
@@ -859,6 +870,7 @@ _ranked_list = st.lists(st.integers(0, 12), min_size=1, max_size=8,
                         unique=True)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(lists_=st.lists(_ranked_list, min_size=1, max_size=3))
 def test_rrf_matches_model(spark, lists_):
@@ -894,6 +906,7 @@ def test_rrf_matches_model(spark, lists_):
     min_size=1, max_size=30,
 ).map(lambda v: list({d: (s, d, nt) for s, d, nt in v}.values())),
     budget=st.integers(1, 60))
+@pytest.mark.slow
 def test_mixture_sample_coarse_equals_naive_law(spark, docs_, budget):
     """The coarse two-phase cumsum (bucket offsets + boundary-bucket
     refinement) must admit EXACTLY the docs the naive per-stratum
@@ -919,6 +932,7 @@ def test_mixture_sample_coarse_equals_naive_law(spark, docs_, budget):
              min_size=0, max_size=14),
     min_size=2, max_size=8),
     n=st.integers(2, 4))
+@pytest.mark.slow
 def test_cut_spans_conserves_uncovered_tokens_law(spark, docs_, n):
     """Cross-operator conservation: cut_repeated_spans must keep
     EXACTLY n_tokens - (covered tokens) per document, where covered

@@ -1,6 +1,7 @@
 """Tests for the training-data pipeline operators (dedup / similarity /
 text / multimodal)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -115,6 +116,7 @@ def test_fingerprint_properties(spark):
     assert fp[1] == fp[2] != fp[3]
 
 
+@pytest.mark.slow
 def test_multimodal_decode_and_frames(spark):
     from cantera_table_spark.functions.multimodal import (
         decode_media, frame_sample, media_from_documents)
@@ -139,6 +141,7 @@ def test_decode_real_is_marked_stub():
         decode_image_real(b"\x89PNG")
 
 
+@pytest.mark.slow
 def test_hyperplane_lsh_recall_on_planted_neardups(spark):
     import math
     from cantera_table_spark.functions.dedup import embedding_near_dup_pairs
@@ -217,6 +220,7 @@ def test_near_dup_clusters_clone_invariant(spark):
     assert len(out) == len(rows)
 
 
+@pytest.mark.slow
 def test_ivf_trained_centroids_recall_not_worse(spark):
     from cantera_table_spark.functions.similarity import (
         brute_force_topk, ivf_assign, ivf_topk, ivf_train, seed_centroids)
@@ -255,6 +259,7 @@ def test_pandas_topk_matches_jvm_topk(spark):
         assert n_j == n_p or abs(c_j - c_p) < 2e-6
 
 
+@pytest.mark.slow
 def test_topk_null_cos_alignment_jvm_vs_pandas(spark):
     """r9 deferred divergence (a), pinned: a query with fewer than k
     non-degenerate candidates returns fewer than k rows on BOTH paths —
@@ -405,6 +410,7 @@ def test_jaccard_stop_shingle_cap(spark):
     assert all(capped[p] <= full[p] for p in capped)
 
 
+@pytest.mark.slow
 def test_lsh_hot_bucket_bound(spark):
     """VERDICT r2 item 5: a degenerate band bucket (hundreds of
     identical documents — the boilerplate-page shape) must not pair
@@ -459,6 +465,7 @@ def test_lsh_hot_bucket_bound(spark):
     assert all(r.id_a == 0 and r.cos == 1.0 for r in out)
 
 
+@pytest.mark.slow
 def test_mm_oracles_index_bytes_not_chars(spark, tmp_path):
     """The mm gate oracles must cycle over UTF-8 BYTES exactly like the
     Spark side's t.encode('utf-8') (ADVICE r2: character-positioned
@@ -621,6 +628,7 @@ def test_multimodal_gates_survive_non_ascii_text(spark, tmp_path):
     con.close()
 
 
+@pytest.mark.slow
 def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     """NULL/empty/whitespace text is the other fixture shape a
     regeneration can introduce.  Pin Spark == oracle on it for the
@@ -678,6 +686,7 @@ def test_text_gates_survive_null_and_empty_text(spark, tmp_path):
     con.close()
 
 
+@pytest.mark.slow
 def test_gates_survive_empty_tables(spark, tmp_path):
     """Zero-row tables must yield zero-row results, not crashes —
     notably logreg training, whose full-batch gradient aggregate
@@ -705,6 +714,7 @@ def test_gates_survive_empty_tables(spark, tmp_path):
         assert qs[name](spark, sf_dir).count() == 0, name
 
 
+@pytest.mark.slow
 def test_streaming_gates_survive_null_events(spark, tmp_path):
     """NULL ts/type/value events through the STREAMING path: concat_ws
     SKIPS null fields, so an unfiltered TSV drop silently shifts
@@ -759,6 +769,7 @@ def test_streaming_gates_survive_null_events(spark, tmp_path):
     con.close()
 
 
+@pytest.mark.slow
 def test_engine_gates_survive_null_doc_fields(spark, tmp_path):
     """NULL text/lang/source through the ENGINE path (derived postings,
     label postings, JSON export, CORRELATE): the export oracle must
@@ -818,6 +829,7 @@ def test_engine_gates_survive_null_doc_fields(spark, tmp_path):
     con.close()
 
 
+@pytest.mark.slow
 def test_embedding_event_gates_survive_null_shapes(spark, tmp_path):
     """NULL/empty embeddings and NULL ts/value/type events: quantize
     must drop code-less vectors like the oracle's unnest does (not
@@ -1236,6 +1248,7 @@ def test_gif_patch_frame_and_every_n_guards(spark):
         gif_frame_stats(media, every_n=0)
 
 
+@pytest.mark.slow
 def test_fourth_sweep_null_and_identity_contracts(spark):
     """r10 fourth-sweep findings, pinned: (a) dedup_lines preserves
     NULL-text docs (NULL out, zero counts) instead of dropping them;
@@ -1465,6 +1478,7 @@ def test_repeated_spans_merge_and_coverage(spark):
         assert abs(out2[i].repeated_token_frac - 5 / 7) < 1e-6
 
 
+@pytest.mark.slow
 def test_bpe_pair_stats_hand_computed(spark):
     from cantera_table_spark.functions.text import bpe_pair_stats
     # word freqs: abab x2 docs + ab x1 -> 'ab': abab has pairs
@@ -1478,6 +1492,7 @@ def test_bpe_pair_stats_hand_computed(spark):
     assert out == {"ab": 5, "ba": 2}
 
 
+@pytest.mark.slow
 def test_chunk_documents_overlap_and_tail(spark):
     from cantera_table_spark.functions.text import chunk_documents
     import pytest as _pytest
@@ -1505,6 +1520,7 @@ def test_chunk_documents_overlap_and_tail(spark):
         chunk_documents(d, chunk_tokens=4, overlap=4)
 
 
+@pytest.mark.slow
 def test_bm25_idf_and_length_normalization(spark):
     from cantera_table_spark.functions.retrieval import bm25_scores
     # rare term in doc 1; common term in every doc; doc 3 is long
@@ -1581,6 +1597,7 @@ def test_funnel_strict_ordering_and_retention(spark):
     assert ret[(0, 0)] == 5
 
 
+@pytest.mark.slow
 def test_incremental_dedup_laws(spark):
     from cantera_table_spark.functions.dedup import incremental_dedup, shingles
     from pyspark.sql import functions as F
@@ -1686,6 +1703,7 @@ def test_pq_encoding_laws(spark):
             assert r["neighbor_id"] == 100 + r["query_id"]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_laws(spark):
     from cantera_table_spark.functions.similarity import semantic_dedup
     # seeds 0-7 get clusters; 100+i is an exact copy of seed i -> same
@@ -1709,6 +1727,7 @@ def test_semantic_dedup_laws(spark):
     assert all(r["kept"] for r in all_kept)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_prefilter_exactness(spark):
     """The int8-quantized pair-stage prefilter must be invisible:
     keep/drop decisions identical to the direct exact-cosine
@@ -1799,6 +1818,7 @@ def test_semantic_dedup_nan_embedding(spark):
     assert got == {0: True, 1: False, 2: True, 3: False, 4: True}
 
 
+@pytest.mark.slow
 def test_hier_assignment_laws(spark):
     from cantera_table_spark.functions.similarity import (
         ivf_assign, ivf_assign_hier, seed_centroids, semantic_dedup)
@@ -1887,6 +1907,7 @@ def test_wordpiece_greedy_laws(spark):
     assert stats == {1: (2 * 1 + 2, 0), 2: (0, 0)}
 
 
+@pytest.mark.slow
 def test_wordpiece_vocab_file_artifact(spark, tmpdir):
     """r8 verdict item 5: the vocab as a persisted tokenizer-file
     artifact — derived by a Spark write job (no driver collect),
@@ -2060,6 +2081,7 @@ def test_cut_repeated_spans_hand_case(spark):
     assert got2[1] == "a c" and got2[2] == ""
 
 
+@pytest.mark.slow
 def test_review_fix_regressions(spark):
     """Round-4 review fixes pinned: zero-token docs in span cutting,
     NULL-query IVFPQ, zero-token mixture boundary, bin-width guard."""
@@ -2364,6 +2386,7 @@ def test_r11_salt_collision_guard(spark):
         salted_count_sum(df, ["doc_id"], "v")
 
 
+@pytest.mark.slow
 def test_r11_similarity_review_fixes(spark):
     """r11 similarity-sweep findings, pinned:
     (a) a degenerate (zero) lowest-id centroid must LOSE, not capture,
@@ -2574,6 +2597,7 @@ def test_r12_dedup_hash_injective_encoding(spark):
     assert got[0].content_hash == hashlib.md5(b"hello world").hexdigest()
 
 
+@pytest.mark.slow
 def test_r12_vocab_memo_fingerprints_artifact(spark):
     """r12 advisory fix, pinned: the _VOCAB_PARAMS_OK memo includes a
     fingerprint of the _params sidecar (file listing + mtimes), so an

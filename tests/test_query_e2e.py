@@ -271,6 +271,7 @@ _ast_st = st.recursive(
     max_leaves=5)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(tree=_ast_st, seed=st.integers(0, 999), use_max=st.booleans())
 def test_unique_elision_fuzz_matches_general_path(spark, tree, seed,

@@ -221,6 +221,7 @@ def _eval_tree(spark, node):
     return sa.order_by(ldf, rdf), canon(ref.order_by(lref, rref))
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(tree=_tree_st, use_max=st.booleans())
 def test_random_ast_matches_reference_model(spark, tree, use_max):
